@@ -1,0 +1,94 @@
+"""Engine configuration.
+
+Analog of the reference's ``Config`` / ``FilterConfig``
+(``core/api/Config.java:32``, ``core/api/FilterConfig.java:30-78``): a frozen
+dataclass constructed once and shipped to every actor; compiled state (regexes)
+derives from it inside actor ``__init__``, never per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class SanitizationRule:
+    """One regex→placeholder rule (``core/api/FilterConfig.java:37-78``)."""
+
+    pattern: str
+    replacement: str
+
+
+# Default PII rules mirroring the reference's FilterConfig default rule set
+# (``core/api/FilterConfig.java:38-78``): email, intl phone, ID, credit card,
+# account number, IPv4, IPv6, MAC, IMEI, URL.  Order matters: rules are applied
+# in sequence with earlier matches masking later ones (overlap resolution in
+# ``core/utils/ContentSanitizer.java:197-263``).
+DEFAULT_SANITIZATION_RULES: Tuple[SanitizationRule, ...] = (
+    SanitizationRule(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "email@example.com"),
+    SanitizationRule(r"[+]\d+(?:-\d+)+", "+00-0000-0000"),
+    SanitizationRule(r"[A-Z]{1,2}\d{6,9}", "AA0000000"),
+    SanitizationRule(r"\b\d{4}-?\d{4}-?\d{4}-?\d{4}\b", "0000-0000-0000-0000"),
+    SanitizationRule(r"\b\d{10,18}\b", "0000000000000000"),
+    SanitizationRule(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "0.0.0.0"),
+    SanitizationRule(r"\b(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}\b", "0.0.0.0::1"),
+    SanitizationRule(r"\b(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}\b", "00:00:00:00:00:00"),
+    SanitizationRule(r"\b\d{15}\b", "000000000000000"),
+    SanitizationRule(r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/\S*)?", "https://example.com"),
+)
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """Extraction behavior (maps the reference CLI options, ``options.json``)."""
+
+    # --- filtering (ContentFilterProcessor / HiddenTextProcessor analogs) ---
+    filter_hidden_text: bool = True          # display:none / visibility:hidden / opacity:0 / same-color
+    filter_out_of_page: bool = True          # absolutely positioned outside the viewport
+    filter_tiny_text: bool = True            # font-size < tiny_text_pt
+    tiny_text_px: float = 2.0
+    page_width: float = 800.0                # viewport used for off-page + XY-cut
+    page_height: float = 1200.0
+
+    # --- invalid characters (TextProcessor.replaceUndefinedCharacters) ---
+    replacement_text: str = " "              # what U+FFFD / control chars become
+
+    # --- sanitization (ContentSanitizer) ---
+    sanitize: bool = False
+    sanitization_rules: Tuple[SanitizationRule, ...] = DEFAULT_SANITIZATION_RULES
+
+    # --- structure detection ---
+    detect_headings: bool = True
+    detect_lists: bool = True
+    detect_tables: bool = True
+    detect_captions: bool = True
+    detect_header_footer: bool = True        # repeated-across-pages boilerplate
+    detect_aligned_columns: bool = True      # borderless whitespace-aligned tables
+    detect_special_tables: bool = True       # Korean 수신/경유/제목 restructure
+    reading_order: bool = True               # XY-cut++ for absolutely positioned content
+
+    # --- output (TextGenerator / MarkdownGenerator analogs) ---
+    include_header_footer: bool = False      # JsonWriter.java:92-94 default: exclude
+    page_separator: str = ""                 # emitted between pages; "" = blank line only
+    indent: str = "  "                       # per nesting level in text output
+
+    def with_(self, **kw) -> "ExtractorConfig":
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CDCConfig:
+    """CDC / lake configuration (north_rule surface)."""
+
+    num_partitions: int = 32                 # P url-hash partitions of the lake
+    num_salts: int = 8                       # S salt shards for hot-key two-phase merge
+    epoch_size: int = 10_000                 # events per checkpoint epoch
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    extract_batch_size: int = 64             # html payloads are wide → small batches
+    extract_concurrency: int = 8             # actor pool size for the extractor stage
+    salted_merge: bool = True                # two-phase local(salted)→global merge
+    drop_html_after_extract: bool = True     # project before shuffle: never shuffle html
+
+
+DEFAULT_EXTRACTOR_CONFIG = ExtractorConfig()

@@ -1,0 +1,178 @@
+"""Serializers: blocks → plain text / Markdown / JSON-able dict.
+
+Text output mirrors ``core/text/TextGenerator.java:81-160``: objects joined by
+single newlines, indent per nesting level, images skipped, header/footer
+included only when configured; pages separated by a blank line (plus an
+optional page-separator string). Markdown mirrors
+``core/markdown/MarkdownGenerator.java:96-125``; JSON mirrors
+``core/json/JsonWriter.java:70-108`` + ``schema.json``.
+
+All pure functions — used identically by the distributed engine and the
+single-process oracle, which is what makes the byte-identical invariant hold.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from ..config import ExtractorConfig
+from .blocks import (
+    CAPTION,
+    HEADER_FOOTER,
+    HEADING,
+    IMAGE,
+    LIST,
+    LIST_ITEM,
+    PARAGRAPH,
+    TABLE,
+    TABLE_CELL,
+    TABLE_ROW,
+    TEXT_BLOCK,
+    Block,
+)
+
+# ------------------------------------------------------------------------- text
+
+
+def _indent_lines(text: str, indent: str, level: int) -> List[str]:
+    pad = indent * level
+    return [pad + line for line in text.split("\n")]
+
+
+def _block_lines(b: Block, cfg: ExtractorConfig, level: int) -> List[str]:
+    if b.type == HEADER_FOOTER:
+        if not cfg.include_header_footer:
+            return []
+        lines: List[str] = []
+        for kid in b.kids:
+            lines.extend(_block_lines(kid, cfg, level))
+        return lines
+    if b.type in (HEADING, PARAGRAPH, TEXT_BLOCK, CAPTION):
+        return _indent_lines(b.text, cfg.indent, level)
+    if b.type == LIST:
+        lines = []
+        for item in b.kids:
+            lines.extend(_block_lines(item, cfg, level))
+        return lines
+    if b.type == LIST_ITEM:
+        pad = cfg.indent * (level + b.level)
+        first = f"{pad}{b.label} {b.text}" if b.text else f"{pad}{b.label}"
+        lines = [first]
+        for sub in b.kids:  # nested lists
+            lines.extend(_block_lines(sub, cfg, level))
+        return lines
+    if b.type == TABLE:
+        lines = []
+        for row in b.kids:
+            cells = [c.text.replace("\n", " ") for c in row.kids]
+            lines.append(cfg.indent * level + " | ".join(cells))
+        return lines
+    if b.type == IMAGE:
+        return []  # TextGenerator writes no image content
+    return _indent_lines(b.text, cfg.indent, level) if b.text else []
+
+
+def to_text(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
+    """Deterministic linearization — THE byte-identical invariant surface."""
+    page_texts: List[str] = []
+    for page_idx, blocks in enumerate(pages):
+        lines: List[str] = []
+        if cfg.page_separator:
+            sep = cfg.page_separator.replace("%page%", str(page_idx + 1))
+            lines.append(sep)
+        for b in blocks:
+            lines.extend(_block_lines(b, cfg, 0))
+        page_texts.append("\n".join(lines))
+    return "\n\n".join(page_texts)
+
+
+# --------------------------------------------------------------------- markdown
+
+
+def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
+    if b.type == HEADER_FOOTER:
+        if not cfg.include_header_footer:
+            return []
+        out: List[str] = []
+        for kid in b.kids:
+            out.extend(_md_block(kid, cfg, depth))
+        return out
+    if b.type == HEADING:
+        level = min(max(b.level, 1), 6)
+        return ["#" * level + " " + b.text.replace("\n", " ")]
+    if b.type in (PARAGRAPH, TEXT_BLOCK):
+        return [b.text]
+    if b.type == CAPTION:
+        return ["*" + b.text.replace("\n", " ") + "*"]
+    if b.type == IMAGE:
+        return [f"![{b.text}]()" if b.text else "![]()"]
+    if b.type == LIST:
+        out = []
+        for item in b.kids:
+            out.extend(_md_block(item, cfg, depth))
+        return out
+    if b.type == LIST_ITEM:
+        pad = "  " * b.level
+        marker = "-" if b.label == "•" else b.label
+        out = [f"{pad}{marker} {b.text}"]
+        for sub in b.kids:
+            out.extend(_md_block(sub, cfg, depth + 1))
+        return out
+    if b.type == TABLE:
+        out = []
+        for i, row in enumerate(b.kids):
+            cells = [c.text.replace("\n", " ").replace("|", "\\|") for c in row.kids]
+            out.append("| " + " | ".join(cells) + " |")
+            if i == 0:
+                out.append("|" + "|".join([" --- "] * len(cells)) + "|")
+        return out
+    return [b.text] if b.text else []
+
+
+def to_markdown(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
+    parts: List[str] = []
+    for blocks in pages:
+        for b in blocks:
+            md = _md_block(b, cfg, 0)
+            if md:
+                parts.append("\n".join(md))
+    return "\n\n".join(parts)
+
+
+# ------------------------------------------------------------------------- json
+
+
+def _json_block(b: Block) -> Dict:
+    out: Dict = {"type": b.type, "page number": b.page + 1}
+    if b.id >= 0:
+        out["id"] = b.id
+    if b.bbox is not None:
+        out["bounding box"] = list(b.bbox)
+    if b.type == HEADING or (b.type in (LIST, LIST_ITEM) and b.level):
+        out["level"] = b.level
+    if b.text:
+        out["content"] = b.text
+    if b.type == TABLE_CELL:
+        out.update({"row number": b.row, "column number": b.col,
+                    "row span": b.row_span, "column span": b.col_span,
+                    "is header": b.is_header})
+    if b.type == LIST_ITEM and b.label:
+        out["label"] = b.label
+    if b.kids:
+        key = ("rows" if b.type == TABLE
+               else "cells" if b.type == TABLE_ROW
+               else "list items" if b.type == LIST
+               else "kids")
+        out[key] = [_json_block(k) for k in b.kids]
+    return out
+
+
+def to_json_dict(pages: List[List[Block]], cfg: ExtractorConfig,
+                 file_name: str = "") -> Dict:
+    kids = []
+    for blocks in pages:
+        for b in blocks:
+            if b.type == HEADER_FOOTER and not cfg.include_header_footer:
+                continue  # JsonWriter.java:92-94
+            kids.append(_json_block(b))
+    return {"file name": file_name, "number of pages": len(pages), "kids": kids}

@@ -1,0 +1,186 @@
+"""Extractor operator unit tests — mirrors the reference's per-processor test
+strategy (SURVEY.md §5: coretest/processors/*Test.java)."""
+
+from opendataloader_pdf_ray.config import ExtractorConfig
+from opendataloader_pdf_ray.extractor import ContentSanitizer, extract, extract_text
+from opendataloader_pdf_ray.extractor.blocks import (
+    CAPTION, HEADER_FOOTER, HEADING, LIST, PARAGRAPH, TABLE,
+)
+
+CFG = ExtractorConfig()
+
+
+def types(result, page=0):
+    return [b.type for b in result.pages[page]]
+
+
+class TestFilters:
+    def test_hidden_display_none(self):
+        assert "secret" not in extract_text(b'<p>ok</p><p style="display:none">secret</p>')
+
+    def test_hidden_visibility_and_opacity(self):
+        html = b'<p>ok</p><p style="visibility:hidden">a</p><p style="opacity:0">b</p>'
+        assert extract_text(html) == "ok"
+
+    def test_hidden_same_color_as_background(self):
+        html = b'<div style="background-color:#fff"><p>ok</p><p style="color:#fff">white on white</p></div>'
+        assert extract_text(html) == "ok"
+
+    def test_off_page_absolute(self):
+        html = b'<p>ok</p><p style="position:absolute;left:-5000px;top:10px;width:50px;height:10px">gone</p>'
+        assert extract_text(html) == "ok"
+
+    def test_tiny_text(self):
+        html = b'<p>ok</p><p style="font-size:1px">tiny</p>'
+        assert extract_text(html) == "ok"
+
+    def test_keep_hidden_when_disabled(self):
+        cfg = CFG.with_(filter_hidden_text=False)
+        assert "secret" in extract_text(b'<p style="display:none">secret</p>', cfg)
+
+
+class TestInvalidChars:
+    def test_replacement_and_ratio(self):
+        r = extract("<p>ab��cd</p>".encode())
+        assert "�" not in r.text
+        assert r.replacement_ratio > 0
+
+    def test_whitespace_collapse(self):
+        assert extract_text(b"<p>a   b\t c</p>") == "a b c"
+
+
+class TestHeadings:
+    def test_tag_levels_dense_ranked(self):
+        r = extract(b"<h1>A</h1><h2>B</h2><p>body</p><h2>C</h2>")
+        heads = [b for b in r.pages[0] if b.type == HEADING]
+        assert [h.level for h in heads] == [1, 2, 2]
+
+    def test_style_statistics_promotion(self):
+        # big-font short paragraph among many body paragraphs → heading
+        body = b'<p style="font-size:16px">' + b"word " * 30 + b"</p>"
+        html = body * 3 + b'<p style="font-size:26px">Big Short Title</p>' + body
+        r = extract(html)
+        heads = [b for b in r.pages[0] if b.type == HEADING]
+        assert len(heads) == 1 and heads[0].text == "Big Short Title"
+        assert heads[0].level == 1
+
+
+class TestLists:
+    def test_nested_labels(self):
+        html = (b'<ul><li>one</li><li>two'
+                b'<ol type="a"><li>x</li><li>y</li></ol></li></ul>')
+        text = extract_text(html)
+        assert text == "• one\n• two\n  a. x\n  b. y"
+
+    def test_roman_labels(self):
+        text = extract_text(b'<ol type="i"><li>a</li><li>b</li><li>c</li></ol>')
+        assert text == "i. a\nii. b\niii. c"
+
+
+class TestTables:
+    def test_grid_with_spans(self):
+        html = (b"<table><tr><th>H1</th><th>H2</th></tr>"
+                b'<tr><td rowspan="2">s</td><td>b</td></tr><tr><td>c</td></tr></table>')
+        r = extract(html)
+        table = next(b for b in r.pages[0] if b.type == TABLE)
+        rows = table.kids
+        assert rows[0].kids[0].is_header
+        assert rows[1].kids[0].row_span == 2
+        # rowspan pushes row-2 cell to column 1
+        assert rows[2].kids[0].col == 1
+        assert r.text == "H1 | H2\ns | b\nc"
+
+    def test_aligned_columns(self):
+        html = b"<pre>Name   Qty\nApple  2\nPear   1</pre>"
+        r = extract(html)
+        assert types(r) == [TABLE]
+        assert r.text == "Name | Qty\nApple | 2\nPear | 1"
+
+    def test_special_korean_table(self):
+        text = extract_text("<p>수신: 부서</p><p>제목: 안건</p>".encode())
+        assert text == "수신 | 부서\n제목 | 안건"
+
+
+class TestCaptions:
+    def test_figure_caption(self):
+        r = extract(b'<figure><img alt="img"/><figcaption>Figure 1 result</figcaption></figure>')
+        assert CAPTION in types(r)
+
+    def test_text_caption_adjacent_to_image(self):
+        r = extract(b'<img alt="x"/><p>Figure 2 the plot</p><p>normal text</p>')
+        assert types(r)[1] == CAPTION
+        assert types(r)[2] == PARAGRAPH
+
+
+class TestHeaderFooter:
+    HTML = (b'<div class="page"><p>ACME Report</p><p>one</p><p>Page 1</p></div>'
+            b'<div class="page"><p>ACME Report</p><p>two</p><p>Page 2</p></div>')
+
+    def test_removed_by_default(self):
+        assert extract_text(self.HTML) == "one\n\ntwo"
+
+    def test_included_when_configured(self):
+        text = extract_text(self.HTML, CFG.with_(include_header_footer=True))
+        assert text == "ACME Report\none\nPage 1\n\nACME Report\ntwo\nPage 2"
+
+    def test_single_page_untouched(self):
+        assert extract_text(b'<div class="page"><p>solo</p></div>') == "solo"
+
+
+class TestReadingOrder:
+    def test_two_columns_column_major(self):
+        html = (b'<div style="position:absolute;left:420px;top:10px;width:300px;height:100px"><p>R1</p></div>'
+                b'<div style="position:absolute;left:20px;top:10px;width:300px;height:100px"><p>L1</p></div>'
+                b'<div style="position:absolute;left:20px;top:150px;width:300px;height:100px"><p>L2</p></div>'
+                b'<div style="position:absolute;left:420px;top:150px;width:300px;height:100px"><p>R2</p></div>')
+        assert extract_text(html) == "L1\nL2\nR1\nR2"
+
+    def test_flow_order_preserved(self):
+        assert extract_text(b"<p>a</p><p>b</p><p>c</p>") == "a\nb\nc"
+
+
+class TestSanitizer:
+    def test_default_rules(self):
+        s = ContentSanitizer()
+        assert s.sanitize("mail bob@x.io now") == "mail email@example.com now"
+        assert s.sanitize("card 1234-5678-9012-3456 x") == "card 0000-0000-0000-0000 x"
+        assert s.sanitize("ip 10.0.0.1 x") == "ip 0.0.0.0 x"
+        assert s.sanitize("see https://a.example/path?q=1") == "see https://example.com"
+
+    def test_extract_with_sanitize(self):
+        text = extract_text(b"<p>bob@x.io called +1-555-0000</p>", CFG.with_(sanitize=True))
+        assert text == "email@example.com called +00-0000-0000"
+
+    def test_off_by_default(self):
+        assert "bob@x.io" in extract_text(b"<p>bob@x.io</p>")
+
+
+class TestDeterminism:
+    def test_byte_identical_repeat(self):
+        from opendataloader_pdf_ray.fixtures.gen import render_html
+
+        url = "https://site007.example/page00003"
+        h = render_html(url, 2)
+        t1 = extract(h).text
+        t2 = extract(render_html(url, 2)).text
+        assert t1 == t2 and len(t1) > 0
+
+    def test_ids_preorder(self):
+        r = extract(b"<h1>t</h1><ul><li>a</li><li>b</li></ul>")
+        flat = r.flat_blocks()
+        assert [b["id"] for b in flat] == list(range(len(flat)))
+
+
+class TestSerializers:
+    def test_markdown(self):
+        r = extract(b"<h1>Title</h1><p>body</p><ul><li>x</li></ul>")
+        md = r.markdown(CFG)
+        assert md == "# Title\n\nbody\n\n- x"
+
+    def test_json_shape(self):
+        r = extract(b"<h1>T</h1><table><tr><td>a</td><td>b</td></tr></table>")
+        d = r.json_dict(CFG, "f.html")
+        assert d["number of pages"] == 1
+        assert d["kids"][0]["type"] == "heading"
+        table = d["kids"][1]
+        assert table["rows"][0]["cells"][0]["content"] == "a"
