@@ -1,44 +1,75 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay pipeline (documents → synthetic
+change events → extract → salted LWW merge → copy-on-write lake) on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` the matching DuckDB SQL.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from opendataloader_pdf_ray.pipelines.cdc_queries import CDC_ORACLE_SQL, CDC_QUERIES
+from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return run_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(CDC_QUERIES)
+    try:
+        from opendataloader_pdf_ray.pipelines.tpch import TPCH_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(TPCH_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.documents import DOC_QUERIES
+
+        out.update(DOC_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.embeddings import EMB_QUERIES
+
+        out.update(EMB_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(CDC_ORACLE_SQL)
+    try:
+        from opendataloader_pdf_ray.pipelines.tpch import TPCH_ORACLE_SQL
+
+        out.update(TPCH_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.documents import DOC_ORACLE_SQL
+
+        out.update(DOC_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.embeddings import EMB_ORACLE_SQL
+
+        out.update(EMB_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

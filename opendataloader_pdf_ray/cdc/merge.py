@@ -1,0 +1,130 @@
+"""Last-writer-wins merge semantics (north_rule core).
+
+Winner per ``url`` = event with max ``(warc_ts, seq)``. This reduce is
+commutative + associative, so it can run as a per-batch combiner, then per
+salted shard, then globally per partition — all three phases produce the same
+winner (SURVEY.md §2.4 "CDC upsert", §2.7 "key dedup").
+
+Deletes are **tombstones**, not physical drops: a ``D`` winner stays in the
+lake flagged ``deleted=true`` so a later epoch's event with an *older*
+``warc_ts`` still loses LWW against it (out-of-order arrivals across epochs,
+FIXTURES.md §2). A ``U``/``I`` that out-ranks a tombstone resurrects the key
+(SURVEY.md §7.4). The user-facing state view filters tombstones out.
+
+All functions are pure pyarrow-table→table transforms, vectorized via numpy
+argsort — no Python loop over rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MERGE_KEY = "url"
+VERSION_COLS = ("warc_ts", "seq")
+DELETED_COL = "deleted"
+
+
+def latest_per_key(table: pa.Table, aggs: Optional[dict] = None) -> pa.Table:
+    """Keep the max-(warc_ts, seq) row per url. Vectorized:
+    stable lexicographic argsort then last-occurrence selection.
+
+    ``aggs`` maps helper-column name → 'sum'|'min'|'max'; those columns are
+    aggregated ACROSS the whole key group onto the winner row (used to carry
+    lineage counters — events consumed, seq range — through the combiner and
+    salted phases without a second pass over raw events)."""
+    if table.num_rows <= 1:
+        return table
+    urls = table[MERGE_KEY].to_numpy(zero_copy_only=False)
+    ts = table["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seq = table["seq"].to_numpy(zero_copy_only=False)
+    _, inv = np.unique(urls, return_inverse=True)  # int codes for fast lexsort
+    order = np.lexsort((seq, ts, inv))  # primary: url, then warc_ts, then seq
+    sorted_codes = inv[order]
+    # last row of each url-run is the winner
+    is_last = np.ones(len(order), dtype=bool)
+    is_last[:-1] = sorted_codes[1:] != sorted_codes[:-1]
+    is_first = np.ones(len(order), dtype=bool)
+    is_first[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    winners = order[is_last]  # in url-sorted group order
+    out = table.take(pa.array(winners))
+    if aggs:
+        starts = np.flatnonzero(is_first)
+        for col, how in aggs.items():
+            vals = table[col].to_numpy(zero_copy_only=False)[order]
+            if how == "sum":
+                agg = np.add.reduceat(vals, starts)
+            elif how == "min":
+                agg = np.minimum.reduceat(vals, starts)
+            elif how == "max":
+                agg = np.maximum.reduceat(vals, starts)
+            else:  # pragma: no cover
+                raise ValueError(how)
+            idx = out.column_names.index(col)
+            out = out.set_column(idx, col, pa.array(agg, table.schema.field(col).type))
+    return out
+
+
+def ensure_deleted_col(table: pa.Table) -> pa.Table:
+    if DELETED_COL in table.column_names:
+        return table
+    if "op" in table.column_names:
+        deleted = pc.equal(table["op"], pa.scalar("D"))
+    else:
+        deleted = pa.array(np.zeros(table.num_rows, dtype=bool))
+    return table.append_column(DELETED_COL, deleted.cast(pa.bool_()))
+
+
+def unify_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project onto a unified schema, null-backfilling missing columns
+    (additive schema evolution, Arrow schema unification)."""
+    cols: List[pa.ChunkedArray | pa.Array] = []
+    for f in schema:
+        if f.name in table.column_names:
+            col = table[f.name]
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(table.num_rows, f.type))
+    return pa.table(cols, schema=schema)
+
+
+def unified_schema(a: pa.Schema, b: pa.Schema) -> pa.Schema:
+    """Additive unification: a's fields in order, then b's new fields in b's
+    order. Deterministic regardless of which side is the base."""
+    fields = list(a)
+    names = {f.name for f in a}
+    for f in b:
+        if f.name not in names:
+            fields.append(f)
+            names.add(f.name)
+    return pa.schema(fields)
+
+
+def merge_base_with_updates(base: Optional[pa.Table], updates: pa.Table) -> pa.Table:
+    """Copy-on-write partition merge: unify schemas, concat, LWW per url.
+    ``base`` rows already carry (warc_ts, seq, deleted) from their last apply;
+    ``updates`` must have gone through ensure_deleted_col()."""
+    updates = ensure_deleted_col(updates)
+    if base is None or base.num_rows == 0:
+        merged = latest_per_key(updates)
+    else:
+        schema = unified_schema(base.schema, updates.schema)
+        merged = latest_per_key(
+            pa.concat_tables(
+                [unify_to_schema(base, schema), unify_to_schema(updates, schema)]
+            )
+        )
+    # canonical per-partition order: sort by url (SURVEY.md §4 determinism)
+    return merged.sort_by([(MERGE_KEY, "ascending")])
+
+
+def live_view(table: pa.Table) -> pa.Table:
+    """User-facing state: tombstones filtered out."""
+    if DELETED_COL not in table.column_names:
+        return table
+    return table.filter(pc.invert(pc.fill_null(table[DELETED_COL], False)))

@@ -1,0 +1,148 @@
+"""CDC-semantics queries over the driver testdata ``events`` table.
+
+The testdata events table (event_id, ts, user_id, event_type, value, props)
+is treated as a changelog keyed by ``user_id`` — the same LWW/groupby-latest
+pattern the lake upsert uses, expressed over the driver's schema so DuckDB
+can oracle it (SURVEY.md §2.4 "CDC upsert" / §2.7 "key dedup").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.lww import latest_state
+
+
+def _events(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=columns)
+
+
+def cdc_latest_state(sf_dir: str):
+    """Last event per user_id by (ts, event_id) — groupby-latest LWW."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return latest_state(ds, key="user_id", version_cols=["ts", "event_id"])
+
+
+def cdc_first_seen(sf_dir: str):
+    """First event ts per user (argmin) + total events — partial-aggregate
+    inside map_batches before the small groupby."""
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(users, return_inverse=True)
+        order = np.lexsort((ts, inv))
+        starts_mask = np.ones(len(order), dtype=bool)
+        starts_mask[1:] = inv[order][1:] != inv[order][:-1]
+        starts = np.flatnonzero(starts_mask)
+        counts = np.add.reduceat(np.ones(len(order), np.int64), starts)
+        return pa.table({
+            "user_id": pa.array(uniq, batch["user_id"].type),
+            "first_ts": pa.array(ts[order][starts]).cast(pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("first_ts", alias_name="first_ts"),
+                   Sum("n_events", alias_name="n_events"))
+    )
+
+
+def cdc_op_stats(sf_dir: str):
+    """Per-op counters — the lineage-style aggregate (events consumed per
+    class), rounded for stable float hashing."""
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        return (batch.set_column(batch.column_names.index("sum_value"), "sum_value",
+                                 pc.round(batch["sum_value"], 2))
+                     .set_column(batch.column_names.index("avg_value"), "avg_value",
+                                 pc.round(batch["avg_value"], 4)))
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def cdc_epoch_windows(sf_dir: str):
+    """Checkpoint-epoch micro-batch aggregate: events bucketed into daily
+    epochs (the time-window analog of seq//epoch_size), partial-aggregated
+    per batch then combined — no raw-row shuffle."""
+    ds = _events(sf_dir, columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000).astype(np.int64)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(day, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        starts_mask = np.ones(len(order), dtype=bool)
+        starts_mask[1:] = inv[order][1:] != inv[order][:-1]
+        starts = np.flatnonzero(starts_mask)
+        return pa.table({
+            "epoch_day": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.add.reduceat(np.ones(len(order), np.int64), starts)),
+            "sum_value": pa.array(np.add.reduceat(vals[order], starts)),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("epoch_day")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value",
+                               pc.round(t["sum_value"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+CDC_QUERIES = {
+    "cdc_latest_state": cdc_latest_state,
+    "cdc_first_seen": cdc_first_seen,
+    "cdc_op_stats": cdc_op_stats,
+    "cdc_epoch_windows": cdc_epoch_windows,
+}
+
+CDC_ORACLE_SQL = {
+    "cdc_latest_state": """
+        SELECT event_id, ts, user_id, event_type, value FROM (
+            SELECT event_id, ts, user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "cdc_first_seen": """
+        SELECT user_id, min(ts) AS first_ts, count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "cdc_op_stats": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "cdc_epoch_windows": """
+        SELECT epoch_day, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS epoch_day,
+                     value FROM events)
+        GROUP BY epoch_day
+    """,
+}

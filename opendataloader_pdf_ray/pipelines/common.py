@@ -1,0 +1,50 @@
+"""Shared helpers for the query library."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns=None, filter=None) -> "ray.data.Dataset":
+    """Pruned read: only needed columns / row groups leave storage."""
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns, filter=filter)
+
+
+def round_half_away(values: np.ndarray, digits: int) -> np.ndarray:
+    """DuckDB-compatible rounding (half away from zero; numpy rounds half to
+    even) so Ray results value-hash-match the SQL oracle."""
+    scale = 10.0 ** digits
+    return np.sign(values) * np.floor(np.abs(values) * scale + 0.5) / scale
+
+
+def round_col(table: pa.Table, col: str, digits: int) -> pa.Table:
+    idx = table.column_names.index(col)
+    vals = table[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return table.set_column(idx, col, pa.array(round_half_away(vals, digits)))
+
+
+def round_cols(table: pa.Table, spec: Dict[str, int]) -> pa.Table:
+    for col, digits in spec.items():
+        table = round_col(table, col, digits)
+    return table
+
+
+def lookup_array(keys: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Dense key→value lookup table (keys are small non-negative ints)."""
+    out = np.zeros(int(keys.max()) + 1, dtype=values.dtype)
+    out[keys] = values
+    return out
+
+
+def broadcast(obj) -> "ray.ObjectRef":
+    """Put a small lookup structure in the object store ONCE; workers read it
+    zero-copy per task instead of re-shipping per batch (SURVEY.md joins)."""
+    return ray.put(obj)

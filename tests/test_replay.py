@@ -1,0 +1,121 @@
+"""Golden end-to-end replay tests (FIXTURES.md §4): final-table-state equality
+after (a) straight replay, (b) crash/resume, (c) mid-stream schema change,
+(d) Zipf skew under the salted two-phase merge."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, oracle_final_state, replay
+from opendataloader_pdf_ray.config import CDCConfig
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+CFG = CDCConfig(num_partitions=8, num_salts=4, epoch_size=60,
+                extract_batch_size=16, extract_concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cdc") / "events.parquet")
+    pq.write_table(gen_events(180, 40, seed=42), path)
+    return path
+
+
+def assert_state_matches_oracle(lake: Lake, events: pa.Table):
+    oracle = oracle_final_state(events)
+    got = {r["url"]: r for r in lake.read_state(include_tombstones=True).to_pylist()}
+    assert set(got) == set(oracle)
+    for url, want in oracle.items():
+        row = got[url]
+        assert row["deleted"] == want["deleted"], url
+        assert row["seq"] == want["seq"], url
+        # the byte-identical invariant (north_star): distributed text ==
+        # single-threaded oracle text, per url
+        assert row["text"] == want["text"], url
+    # live view excludes tombstones
+    live = lake.read_state()
+    assert live.num_rows == sum(1 for e in oracle.values() if not e["deleted"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReplay:
+    def test_straight_replay_matches_oracle(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        lineage = replay(events_path, lake.root, CFG)
+        events = pq.read_table(events_path)
+        assert_state_matches_oracle(lake, events)
+        # lineage accounting: every event consumed exactly once
+        assert sum(l["events_consumed"] for l in lineage) == events.num_rows
+        assert all(not l["skipped"] for l in lineage)
+
+    def test_crash_resume_identical_state(self, events_path, tmp_path):
+        full = Lake(str(tmp_path / "full"), CFG.num_partitions)
+        replay(events_path, full.root, CFG)
+
+        crashed = Lake(str(tmp_path / "crashed"), CFG.num_partitions)
+        replay(events_path, crashed.root, CFG, max_epoch=1)  # "crash" after epoch 1
+        lineage2 = replay(events_path, crashed.root, CFG)    # resume
+
+        # resumed run must not re-apply committed epochs (done markers)
+        assert {l["epoch"] for l in lineage2} == {2}
+        a = full.read_state(include_tombstones=True).to_pylist()
+        b = crashed.read_state(include_tombstones=True).to_pylist()
+        assert a == b
+
+    def test_partial_epoch_commit_idempotent(self, events_path, tmp_path):
+        """Crash mid-epoch: some partitions committed, epoch not marked done.
+        Resume re-runs the epoch; committed partitions are skipped."""
+        lake = Lake(str(tmp_path / "partial"), CFG.num_partitions)
+        replay(events_path, lake.root, CFG, max_epoch=0)
+        # simulate: epoch 1 ran but crashed before the done marker; one
+        # partition got committed
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+        lineage_mid = ingest_epoch(events_path, lake, 1, CFG)
+        assert not os.path.exists(lake.epoch_done_path(1))
+        lineage_resume = replay(events_path, lake.root, CFG)
+        # epoch-1 partitions must all report skipped on the re-run
+        skipped = [l for l in lineage_resume if l["epoch"] == 1]
+        assert skipped and all(l["skipped"] for l in skipped)
+        # and totals still match the oracle
+        assert_state_matches_oracle(lake, pq.read_table(events_path))
+
+    def test_schema_evolution_mid_stream(self, tmp_path):
+        events = gen_events(120, 30, seed=7, evolve_from=60)
+        path = str(tmp_path / "events_v2.parquet")
+        pq.write_table(events, path)
+        lake = Lake(str(tmp_path / "lake_v2"), CFG.num_partitions)
+        replay(path, lake.root, CFG)
+        state = lake.read_state(include_tombstones=True)
+        assert "content_type" in state.column_names
+        oracle = oracle_final_state(events)
+        got = {r["url"]: r for r in state.to_pylist()}
+        for url, want in oracle.items():
+            assert got[url].get("content_type") == want.get("content_type"), url
+        # pre-evolution winners show null content_type
+        pre = [u for u, w in oracle.items() if w["seq"] < 60]
+        assert any(got[u]["content_type"] is None for u in pre)
+
+    def test_skew_salted_merge(self, tmp_path):
+        """All events hammer 3 urls (extreme skew) — salted two-phase merge
+        must still produce the oracle state."""
+        base = gen_events(150, 3, seed=13)
+        path = str(tmp_path / "skew.parquet")
+        pq.write_table(base, path)
+        cfg = CDCConfig(num_partitions=4, num_salts=4, epoch_size=50,
+                        extract_batch_size=8, extract_concurrency=2)
+        lake = Lake(str(tmp_path / "lake_skew"), cfg.num_partitions)
+        replay(path, lake.root, cfg)
+        assert_state_matches_oracle(lake, base)
+
+    def test_unsalted_equals_salted(self, events_path, tmp_path):
+        salted = Lake(str(tmp_path / "s"), CFG.num_partitions)
+        replay(events_path, salted.root, CFG)
+        unsalted_cfg = CDCConfig(num_partitions=CFG.num_partitions, num_salts=1,
+                                 epoch_size=CFG.epoch_size, salted_merge=False,
+                                 extract_batch_size=16, extract_concurrency=2)
+        unsalted = Lake(str(tmp_path / "u"), CFG.num_partitions)
+        replay(events_path, unsalted.root, unsalted_cfg)
+        assert (salted.read_state(include_tombstones=True).to_pylist()
+                == unsalted.read_state(include_tombstones=True).to_pylist())
