@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix, per-batch local top-k, tiny global merge — the baseline.
+- LSH-bucketed variant (random-hyperplane signatures, fixed seed): the scale
+  path — candidates only from matching/adjacent buckets, so the per-batch
+  matmul shrinks from N×D to |bucket|×D. Recall measured against brute force
+  in tests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     exclude_ids: Optional[set] = None) -> pa.Table:
+    """Top-k cosine rows for ONE query vector. Per-batch: matmul + argpartition
+    local top-k (k rows per batch leave the worker); global merge on driver."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    q_ref = ray.put(q)
+    excl = exclude_ids or set()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        sims = mat @ qv
+        if excl:
+            mask = ~np.isin(ids, list(excl))
+            ids, sims = ids[mask], sims[mask]
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cosine": pa.array(np.round(sims, 6))})
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in local], dtype=np.int64)
+    sims = np.array([r["cosine"] for r in local])
+    order = np.lexsort((ids, -sims))[:k]  # score desc, id asc tiebreak
+    return pa.table({id_col: pa.array(ids[order]),
+                     "cosine": pa.array(sims[order])})
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures (fixed seed → identical planes on every
+    actor). ``nbits`` bits → up to 2^nbits buckets."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(nbits, dim))
+        self.nbits = nbits
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0
+        return (bits @ (1 << np.arange(self.nbits))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        return batch.append_column("bucket", pa.array(self.bucket_of(mat)))
+
+
+def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+             nbits: int = 8, probe_hamming: int = 1, dim: Optional[int] = None,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:
+    """Approximate top-k: score only rows whose bucket is within
+    ``probe_hamming`` bits of the query's bucket."""
+    q = np.asarray(query, dtype=np.float64)
+    dim = dim or len(q)
+    lsh = HyperplaneLSH(dim, nbits=nbits)
+    q_bucket = int(lsh.bucket_of(q[None, :])[0])
+    probe = {q_bucket}
+    if probe_hamming >= 1:
+        for b in range(nbits):
+            probe.add(q_bucket ^ (1 << b))
+    if probe_hamming >= 2:
+        for b1 in range(nbits):
+            for b2 in range(b1 + 1, nbits):
+                probe.add(q_bucket ^ (1 << b1) ^ (1 << b2))
+    probe_arr = pa.array(sorted(probe), pa.int64())
+
+    bucketed = ds.map_batches(HyperplaneLSH,
+                              fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+                              batch_format="pyarrow", concurrency=2)
+    import pyarrow.compute as pc
+
+    candidates = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t["bucket"], value_set=probe_arr)),
+        batch_format="pyarrow")
+    return brute_force_topk(candidates, query, k=k, id_col=id_col, emb_col=emb_col)

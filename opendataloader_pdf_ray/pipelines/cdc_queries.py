@@ -62,21 +62,33 @@ def cdc_first_seen(sf_dir: str):
 
 def cdc_op_stats(sf_dir: str):
     """Per-op counters — the lineage-style aggregate (events consumed per
-    class), rounded for stable float hashing."""
+    class). Exact integer-scaled sums (see common.to_scaled_int64) so the
+    distributed result bit-matches the sequential oracle."""
+    from .common import round_half_away, to_scaled_int64
+
     ds = _events(sf_dir, columns=["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"],
+                         "v_i": pa.array(to_scaled_int64(v, 2))})
+
+    out = ds.map_batches(scale, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
         Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Mean("value", alias_name="avg_value"),
+        Sum("v_i", alias_name="v_i"),
     )
 
-    def round_cols(batch: pa.Table) -> pa.Table:
-        return (batch.set_column(batch.column_names.index("sum_value"), "sum_value",
-                                 pc.round(batch["sum_value"], 2))
-                     .set_column(batch.column_names.index("avg_value"), "avg_value",
-                                 pc.round(batch["avg_value"], 4)))
+    def finalize(batch: pa.Table) -> pa.Table:
+        import numpy as np
 
-    return out.map_batches(round_cols, batch_format="pyarrow")
+        sv = batch["v_i"].to_numpy(zero_copy_only=False) / 100.0
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": batch["event_type"], "n": batch["n"],
+                         "sum_value": pa.array(round_half_away(sv, 2)),
+                         "avg_value": pa.array(round_half_away(sv / n, 4))})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def cdc_epoch_windows(sf_dir: str):
@@ -85,12 +97,14 @@ def cdc_epoch_windows(sf_dir: str):
     per batch then combined — no raw-row shuffle."""
     ds = _events(sf_dir, columns=["ts", "value"])
 
+    from .common import round_half_away, to_scaled_int64
+
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         day = (ts // 86_400_000_000).astype(np.int64)
-        vals = batch["value"].to_numpy(zero_copy_only=False)
+        vals = to_scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
         uniq, inv = np.unique(day, return_inverse=True)
         order = np.argsort(inv, kind="stable")
         starts_mask = np.ones(len(order), dtype=bool)
@@ -99,19 +113,21 @@ def cdc_epoch_windows(sf_dir: str):
         return pa.table({
             "epoch_day": pa.array(uniq, pa.int64()),
             "n": pa.array(np.add.reduceat(np.ones(len(order), np.int64), starts)),
-            "sum_value": pa.array(np.add.reduceat(vals[order], starts)),
+            "v_i": pa.array(np.add.reduceat(vals[order], starts)),
         })
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("epoch_day")
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("v_i", alias_name="v_i"))
     )
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("sum_value"), "sum_value",
-                               pc.round(t["sum_value"], 2)),
-        batch_format="pyarrow",
-    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sv = t["v_i"].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table({"epoch_day": t["epoch_day"], "n": t["n"],
+                         "sum_value": pa.array(round_half_away(sv, 2))})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 CDC_QUERIES = {
@@ -135,12 +151,14 @@ CDC_ORACLE_SQL = {
         FROM events GROUP BY user_id
     """,
     "cdc_op_stats": """
-        SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-               round(avg(value), 4) AS avg_value
+        SELECT event_type, count(*) AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
         FROM events GROUP BY event_type
     """,
     "cdc_epoch_windows": """
-        SELECT epoch_day, count(*) AS n, round(sum(value), 2) AS sum_value
+        SELECT epoch_day, count(*) AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS epoch_day,
                      value FROM events)
         GROUP BY epoch_day

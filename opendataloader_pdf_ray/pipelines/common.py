@@ -25,6 +25,18 @@ def round_half_away(values: np.ndarray, digits: int) -> np.ndarray:
     return np.sign(values) * np.floor(np.abs(values) * scale + 0.5) / scale
 
 
+def to_scaled_int64(values: np.ndarray, digits: int) -> np.ndarray:
+    """Exact-sum trick: round(x·10^digits) as int64. Integer sums are
+    order-independent, so distributed partial aggregation matches a sequential
+    SQL engine bit-for-bit — float sums do NOT (accumulation-order noise can
+    flip the final rounding boundary). The SQL mirror is
+    ``sum(CAST(round(x * 10^digits) AS BIGINT))``. Bounds: |x|·10^digits·rows
+    must stay < 2^63 (fine through sf 10; document at larger scales)."""
+    scale = 10.0 ** digits
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
+
+
 def round_col(table: pa.Table, col: str, digits: int) -> pa.Table:
     idx = table.column_names.index(col)
     vals = table[col].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -1,0 +1,127 @@
+"""Document-table queries: text analysis + deduplication (training-data ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions import dedup as dd
+from ..functions import text_stats as ts
+from .common import read_table, round_cols
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-doc char/token/punct counts — Arrow kernels, SQL-parity semantics."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(ts.token_stats, batch_format="pyarrow")
+              .select_columns(["doc_id", "n_chars_c", "n_tokens", "n_punct"]))
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id, length(text) AS n_chars_c,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+FROM documents
+"""
+
+
+def doc_source_stats(sf_dir: str):
+    """Per-source corpus profile: doc count, mean chars, token total."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = ts.token_stats(batch)
+        return batch.group_by("source").aggregate(
+            [("n_chars", "sum"), ("n_tokens", "sum"), ("source", "count")])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_chars_sum", alias_name="sum_chars"),
+                   Sum("n_tokens_sum", alias_name="sum_tokens"),
+                   Sum("source_count", alias_name="n_docs"))
+    )
+    return out
+
+
+DOC_SOURCE_STATS_SQL = """
+SELECT source, sum(n_chars) AS sum_chars,
+       sum(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    """Exact content fingerprint per doc (md5 — SQL-parity with DuckDB md5())."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(ts.md5_fingerprint, batch_format="pyarrow")
+              .select_columns(["doc_id", "fp"]))
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def dedup_exact(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.exact_dedup_keys(ds)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def lang_quality(sf_dir: str):
+    """Language ID + quality features per doc (heuristics — rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(ts.LangId, batch_format="pyarrow", concurrency=2)
+    ds = ds.map_batches(ts.quality_score, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: round_cols(t.drop_columns(["text"]),
+                             {"mean_token_len": 4, "stopword_ratio": 4,
+                              "punct_ratio": 4}),
+        batch_format="pyarrow")
+
+
+def lang_id_accuracy(sf_dir: str):
+    """Aggregate: predicted-vs-actual language counts (rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+    ds = ds.map_batches(ts.LangId, batch_format="pyarrow", concurrency=2)
+    return ds.groupby(["lang", "pred_lang"]).aggregate(Count(alias_name="n"))
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs with exact-Jaccard verification (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash banded near-dup pairs (rows-only)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.simhash_pairs(ds, max_hamming=3)
+
+
+DOC_QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_source_stats": doc_source_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_exact": dedup_exact,
+    "lang_quality": lang_quality,
+    "lang_id_accuracy": lang_id_accuracy,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+}
+
+DOC_ORACLE_SQL = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_source_stats": DOC_SOURCE_STATS_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    # lang_quality / lang_id_accuracy / dedup_minhash / dedup_simhash:
+    # heuristic & sketch ops — not SQL-expressible, rows-only driver check
+}

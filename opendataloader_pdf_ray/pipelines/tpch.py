@@ -1,0 +1,464 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+Each query demonstrates a scale-conscious Ray Data pattern (SURVEY.md §2 and
+the optimization rules): pruned reads, per-batch partial aggregation before
+the small groupby, broadcast small-side joins (``ray.put`` once, lookup per
+batch), one genuine hash-shuffle join for the big×big case, sort/limit top-k
+with deterministic tiebreaks, and distinct.
+
+All float aggregates are rounded with DuckDB-compatible half-away rounding so
+the driver's order-insensitive value hash matches the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .common import (broadcast, read_table, round_cols, round_half_away,
+                     to_scaled_int64)
+
+_TS = lambda s: pa.scalar(np.datetime64(s, "us"), pa.timestamp("us"))  # noqa: E731
+
+
+# --------------------------------------------------------------------------- q1
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: wide scan → per-batch pyarrow group_by partials →
+    tiny shuffle → finalize averages. Filter pushed into the read."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"],
+        filter=pc.field("l_shipdate") <= _TS("1998-09-02"),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # exact-sum trick (common.to_scaled_int64): integer partials make the
+        # distributed sum order-independent and bit-equal to the SQL oracle
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        scaled = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_i": pa.array(to_scaled_int64(qty, 2)),
+            "base_i": pa.array(to_scaled_int64(ext, 2)),
+            "disc_price_i": pa.array(to_scaled_int64(ext * (1 - disc), 6)),
+            "charge_i": pa.array(to_scaled_int64(ext * (1 - disc) * (1 + tax), 6)),
+            "disc_i": pa.array(to_scaled_int64(disc, 2)),
+        })
+        return scaled.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("base_i", "sum"), ("disc_price_i", "sum"),
+             ("charge_i", "sum"), ("disc_i", "sum"), ("qty_i", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i_sum", alias_name="qty_i"),
+            Sum("base_i_sum", alias_name="base_i"),
+            Sum("disc_price_i_sum", alias_name="disc_price_i"),
+            Sum("charge_i_sum", alias_name="charge_i"),
+            Sum("disc_i_sum", alias_name="disc_i"),
+            Sum("qty_i_count", alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = batch["qty_i"].to_numpy(zero_copy_only=False) / 100.0
+        base = batch["base_i"].to_numpy(zero_copy_only=False) / 100.0
+        dp = batch["disc_price_i"].to_numpy(zero_copy_only=False) / 1e6
+        ch = batch["charge_i"].to_numpy(zero_copy_only=False) / 1e6
+        dc = batch["disc_i"].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(round_half_away(qty, 2)),
+            "sum_base_price": pa.array(round_half_away(base, 2)),
+            "sum_disc_price": pa.array(round_half_away(dp, 2)),
+            "sum_charge": pa.array(round_half_away(ch, 2)),
+            "avg_qty": pa.array(round_half_away(qty / n, 4)),
+            "avg_price": pa.array(round_half_away(base / n, 4)),
+            "avg_disc": pa.array(round_half_away(dc / n, 4)),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------- q3
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape with BOTH small sides broadcast: BUILDING customers →
+    filter orders; qualifying orders (key→date dict) → filter+join lineitem
+    inside map_batches. No shuffle until the final tiny groupby."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                      filter=pc.field("c_mktsegment") == "BUILDING")
+    custkeys = set(cust.to_pandas()["c_custkey"])  # small dimension side
+    cust_ref = broadcast(custkeys)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        filter=pc.field("o_orderdate") < _TS("1998-03-15"))
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        mask = pc.is_in(batch["o_custkey"], value_set=pa.array(list(keys)))
+        return batch.filter(mask)
+
+    odf = orders.map_batches(filter_orders, batch_format="pyarrow").to_pandas()
+    okeys = np.sort(odf["o_orderkey"].to_numpy())
+    odates = odf.set_index("o_orderkey")["o_orderdate"].astype("int64") \
+                .loc[okeys].to_numpy()
+    orders_ref = broadcast((okeys, odates))  # sorted key + parallel value arrays
+
+    line = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_extendedprice", "l_discount"],
+                      filter=pc.field("l_shipdate") > _TS("1998-03-15"))
+
+    def join_revenue(batch: pa.Table) -> pa.Table:
+        okeys_b, odates_b = ray.get(orders_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(okeys_b, keys)
+        pos_clip = np.minimum(pos, len(okeys_b) - 1)
+        mask = okeys_b[pos_clip] == keys  # vectorized membership via binary search
+        if not mask.any():
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], pa.timestamp("us")),
+                             "revenue_i": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(mask))
+        skeys = sub["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = (sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - sub["l_discount"].to_numpy(zero_copy_only=False)))
+        dates = odates_b[np.searchsorted(okeys_b, skeys)]
+        return pa.table({"l_orderkey": pa.array(skeys),
+                         "o_orderdate": pa.array(dates).cast(pa.timestamp("us")),
+                         "revenue_i": pa.array(to_scaled_int64(rev, 6))})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = t["revenue_i"].to_numpy(zero_copy_only=False) / 1e6
+        return t.drop_columns(["revenue_i"]).append_column(
+            "revenue", pa.array(round_half_away(rev, 2)))
+
+    out = (
+        line.map_batches(join_revenue, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue_i", alias_name="revenue_i"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------- q5
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: ONE genuine hash-shuffle join (lineitem × orders, the
+    two large tables) via Dataset.join; every dimension (supplier, customer,
+    nation, region) broadcast as dense numpy lookup arrays."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    asia_keys = set(region[region["r_name"] == "ASIA"]["r_regionkey"])
+    nation_region = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp_nation = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    supp_nation[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+    cust_nation = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cust_nation[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    asia_nations = np.array([k for k, v in nation_region.items() if v in asia_keys])
+    refs = broadcast({"supp": supp_nation, "cust": cust_nation,
+                      "asia_nations": asia_nations, "nation_name": nation_name})
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= _TS("1996-01-01"))
+        & (pc.field("o_orderdate") < _TS("1997-01-01")),
+    )
+    line = read_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    joined = line.join(orders, join_type="inner", num_partitions=16,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        r = ray.get(refs)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        sn = r["supp"][sk]
+        cn = r["cust"][ck]
+        mask = (sn == cn) & np.isin(sn, r["asia_nations"])
+        if not mask.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_i": pa.array([], pa.int64())})
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[mask]))
+        rev_i = to_scaled_int64(rev, 6)
+        names = np.array([r["nation_name"][n] for n in sn[mask]], dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev_i)
+        return pa.table({"n_name": pa.array(list(uniq), pa.string()),
+                         "revenue_i": pa.array(sums)})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rev = t["revenue_i"].to_numpy(zero_copy_only=False) / 1e6
+        return t.drop_columns(["revenue_i"]).append_column(
+            "revenue", pa.array(round_half_away(rev, 2)))
+
+    return (
+        joined.map_batches(per_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_i", alias_name="revenue_i"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------- q6
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Pure pushdown filter + scalar aggregate: predicate evaluated at the
+    parquet read (row-group pruning), one number out."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= _TS("1996-01-01"))
+        & (pc.field("l_shipdate") < _TS("1997-01-01"))
+        & (pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_i = int(np.sum(to_scaled_int64(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * batch["l_discount"].to_numpy(zero_copy_only=False), 6)))
+        return pa.table({"revenue_i": pa.array([rev_i], pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue_i") or 0
+    rev = float(round_half_away(np.array([total / 1e6]), 2)[0])
+    return pa.table({"revenue": pa.array([rev])})
+
+
+Q6_SQL = """
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) / 1000000.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------------------ more shapes
+
+
+def top_customers(sf_dir: str):
+    """Aggregate big side first, THEN broadcast-join names onto the small
+    result — never shuffle the dimension."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "tp_i": pa.array(to_scaled_int64(tp, 2))})
+
+    agg = orders.map_batches(scale, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+        Sum("tp_i", alias_name="tp_i"),
+        Count(alias_name="n_orders"),
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    names_ref = broadcast(names)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        spent = batch["tp_i"].to_numpy(zero_copy_only=False) / 100.0
+        return batch.drop_columns(["tp_i"]).append_column(
+            "total_spent", pa.array(round_half_away(spent, 2))).append_column(
+            "c_name", pa.array([nm.get(k) for k in keys], pa.string()))
+
+    return (
+        agg.map_batches(attach, batch_format="pyarrow")
+        .sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_spent,
+       count(*) AS n_orders, any_value(c_name) AS c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC
+LIMIT 20
+"""
+
+
+def order_status_stats(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return batch.append_column("tp_i", pa.array(to_scaled_int64(tp, 2)))
+
+    out = ds.map_batches(scale, batch_format="pyarrow") \
+        .groupby("o_orderstatus").aggregate(
+        Count(alias_name="n"),
+        Sum("tp_i", alias_name="tp_i"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sp = t["tp_i"].to_numpy(zero_copy_only=False) / 100.0
+        t = t.drop_columns(["tp_i"]).append_column(
+            "sum_price", pa.array(round_half_away(sp, 2)))
+        return round_cols(t, {"min_price": 2, "max_price": 2})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDER_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+       round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def parts_by_brand(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        rp = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        return batch.append_column("rp_i", pa.array(to_scaled_int64(rp, 2)))
+
+    out = ds.map_batches(scale, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("rp_i", alias_name="rp_i"),
+        Max("p_size", alias_name="max_size"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg = (t["rp_i"].to_numpy(zero_copy_only=False) / 100.0) \
+            / t["n_parts"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["rp_i"]).append_column(
+            "avg_price", pa.array(round_half_away(avg, 4)))
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def distinct_segments(sf_dir: str):
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n")) \
+             .select_columns(["c_mktsegment"]).sort("c_mktsegment")
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def top_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+              .limit(15)
+              .map_batches(lambda t: round_cols(t, {"o_totalprice": 2}),
+                           batch_format="pyarrow"))
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+TPCH_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "top_customers": top_customers,
+    "order_status_stats": order_status_stats,
+    "parts_by_brand": parts_by_brand,
+    "distinct_segments": distinct_segments,
+    "top_orders": top_orders,
+}
+
+TPCH_ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "order_status_stats": ORDER_STATUS_SQL,
+    "parts_by_brand": PARTS_BY_BRAND_SQL,
+    "distinct_segments": DISTINCT_SEGMENTS_SQL,
+    "top_orders": TOP_ORDERS_SQL,
+}

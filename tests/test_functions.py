@@ -1,0 +1,144 @@
+"""Tests for dedup / similarity / text-analysis operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opendataloader_pdf_ray.functions import dedup as dd
+from opendataloader_pdf_ray.functions import text_stats as ts
+from opendataloader_pdf_ray.functions.lww import argmax_per_key, latest_state
+from opendataloader_pdf_ray.functions.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    texts, ids = [], []
+    for i in range(20):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"
+        texts.append(" ".join(words))
+        ids.append(i)
+    # plant near-dup pair (21 == 5 with one word changed) and exact dup (22 == 0)
+    texts.append(texts[5].replace("tok5", "tok5x"))
+    ids.append(21)
+    texts.append(texts[0])
+    ids.append(22)
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+class TestExactDedup:
+    def test_exact_groups(self, doc_ds):
+        out = dd.exact_dedup_keys(doc_ds).to_pandas()
+        assert len(out) == 21  # 22 docs, one exact dup collapsed
+        dup_row = out[out["n_copies"] == 2]
+        assert len(dup_row) == 1 and dup_row["doc_id"].iloc[0] == 0
+
+
+class TestMinHash:
+    def test_near_dup_pair_found(self, doc_ds):
+        pairs = dd.minhash_lsh_pairs(doc_ds, threshold=0.5).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert (5, 21) in got      # planted near-dup
+        assert (0, 22) in got      # exact dup has jaccard 1.0
+        j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+        assert j.loc[(0, 22)] == 1.0
+
+    def test_signature_deterministic(self):
+        m1, m2 = dd.MinHasher(seed=42), dd.MinHasher(seed=42)
+        assert (m1.signature("a b c d e f") == m2.signature("a b c d e f")).all()
+
+
+class TestSimHash:
+    def test_near_dup_pair_found(self, doc_ds):
+        pairs = dd.simhash_pairs(doc_ds, max_hamming=6).to_pandas()
+        got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+        assert (0, 22) in got
+        h = pairs.set_index(["id_a", "id_b"])["hamming"]
+        assert h.loc[(0, 22)] == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        rng = np.random.RandomState(0)
+        mat = rng.normal(size=(200, 16))
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        })), mat
+
+    def test_bruteforce_topk_exact(self, emb_ds):
+        ds, mat = emb_ds
+        q = mat[0]
+        out = brute_force_topk(ds, q, k=5, exclude_ids={0}).to_pylist()
+        # reference: numpy exact
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ (q / np.linalg.norm(q))
+        sims[0] = -np.inf
+        want = set(np.argsort(-sims)[:5].tolist())
+        assert {r["vec_id"] for r in out} == want
+
+    def test_lsh_recall_on_clustered_data(self, ray_session):
+        # LSH recall is meaningful on clustered embeddings (the realistic
+        # case); uniform random vectors are its worst case.
+        import pyarrow as pa2
+
+        rng = np.random.RandomState(3)
+        centers = rng.normal(size=(10, 16)) * 4
+        mat = np.vstack([c + rng.normal(size=(20, 16)) * 0.3 for c in centers])
+        ds = ray.data.from_arrow(pa2.table({
+            "vec_id": pa2.array(range(200), pa2.int64()),
+            "embedding": pa2.array(mat.tolist(), pa2.list_(pa2.float32())),
+        }))
+        q = mat[7]
+        exact = {r["vec_id"] for r in
+                 brute_force_topk(ds, q, k=10, exclude_ids=set()).to_pylist()}
+        approx = {r["vec_id"] for r in
+                  lsh_topk(ds, q, k=10, nbits=8, probe_hamming=2).to_pylist()}
+        recall = len(exact & approx) / 10
+        assert recall >= 0.8
+
+
+class TestTextStats:
+    def test_token_stats_kernel(self):
+        t = pa.table({"text": pa.array(["one two three!", "a, b"])})
+        out = ts.token_stats(t)
+        assert out["n_tokens"].to_pylist() == [3, 2]
+        assert out["n_punct"].to_pylist() == [1, 1]
+
+    def test_lang_id(self):
+        lid = ts.LangId()
+        assert lid.predict("the cat and the dog of the house") == "en"
+        assert lid.predict("der Hund und die Katze ist nicht da") == "de"
+        assert lid.predict("le chat est dans la maison pour les amis") == "fr"
+        assert lid.predict("中文文本处理") == "zh"
+
+    def test_rolling_fingerprint_deterministic(self):
+        a = ts.rolling_fingerprint("some document text here")
+        b = ts.rolling_fingerprint("some document text here")
+        c = ts.rolling_fingerprint("an entirely different document body")
+        assert a == b and a != c
+
+
+class TestGenericLWW:
+    def test_argmax_per_key(self):
+        t = pa.table({"k": ["a", "a", "b"], "v1": [1, 2, 5], "v2": [9, 1, 1],
+                      "payload": ["x", "y", "z"]})
+        out = argmax_per_key(t, "k", ["v1", "v2"])
+        rows = {r["k"]: r["payload"] for r in out.to_pylist()}
+        assert rows == {"a": "y", "b": "z"}  # v1 dominates v2
+
+    def test_latest_state_dataset(self, ray_session):
+        t = pa.table({"k": ["a"] * 50 + ["b"] * 50,
+                      "v": list(range(50)) + list(range(50)),
+                      "p": [f"r{i}" for i in range(100)]})
+        ds = ray.data.from_arrow(t)
+        out = latest_state(ds, "k", ["v"]).to_pandas().set_index("k")["p"]
+        assert out.loc["a"] == "r49" and out.loc["b"] == "r99"

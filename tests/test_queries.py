@@ -1,0 +1,57 @@
+"""Fast regression: representative queries() entries vs their oracle_sql()
+via DuckDB at sf0.001 (the driver runs the full set at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# cheap-but-representative subset: one per operator family
+SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
+          "cdc_latest_state", "dedup_exact", "doc_token_stats",
+          "knn_bruteforce", "embedding_label_stats"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as entry_mod
+
+    return entry_mod.queries(), entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, contract, oracle_con):
+    queries, oracles = contract
+    out = queries[name](SF)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out)
+    want = oracle_con.execute(oracles[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        a, b = g[c], w[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_all_oracle_keys_exist(contract):
+    queries, oracles = contract
+    assert set(oracles) <= set(queries)
+    assert len(queries) >= 20
