@@ -1,4 +1,5 @@
-from .ingest import ApplyPartition, ingest_epoch, num_epochs_in, replay, url_partition
+from .ingest import (ApplyPartition, ApplyPartitionBacklog, ingest_epoch,
+                     ingest_epochs, num_epochs_in, replay, url_partition)
 from .lake import Lake, Lineage
 from .merge import (
     ensure_deleted_col,
@@ -11,7 +12,8 @@ from .merge import (
 from .oracle import oracle_final_state, oracle_live_texts
 
 __all__ = [
-    "ApplyPartition", "ingest_epoch", "num_epochs_in", "replay", "url_partition",
+    "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
+    "num_epochs_in", "replay", "url_partition",
     "Lake", "Lineage", "ensure_deleted_col", "latest_per_key", "live_view",
     "merge_base_with_updates", "unified_schema", "unify_to_schema",
     "oracle_final_state", "oracle_live_texts",

@@ -56,7 +56,7 @@ def url_partition(urls, num_partitions: int) -> np.ndarray:
     return (codes % np.uint64(num_partitions)).astype(np.int32)
 
 
-def _add_keys(cfg: CDCConfig) -> Callable[[pa.Table], pa.Table]:
+def _add_keys(cfg: CDCConfig, with_epoch: bool = False) -> Callable[[pa.Table], pa.Table]:
     def fn(batch: pa.Table) -> pa.Table:
         batch = ensure_deleted_col(batch)
         if "op" in batch.column_names:
@@ -65,19 +65,27 @@ def _add_keys(cfg: CDCConfig) -> Callable[[pa.Table], pa.Table]:
         seq = batch["seq"].to_numpy(zero_copy_only=False)
         part = url_partition(urls, cfg.num_partitions)
         salt = (seq % cfg.num_salts).astype(np.int32)
-        return (
+        batch = (
             batch.append_column("part", pa.array(part, pa.int32()))
             .append_column("salt", pa.array(salt, pa.int32()))
             .append_column("n_events", pa.array(np.ones(len(seq), np.int64)))
             .append_column("seq_lo", pa.array(seq, pa.int64()))
             .append_column("seq_hi", pa.array(seq, pa.int64()))
         )
+        if with_epoch:
+            batch = batch.append_column(
+                "epoch", pa.array((seq // cfg.epoch_size).astype(np.int32)))
+        return batch
 
     return fn
 
 
 def _combine(batch: pa.Table) -> pa.Table:
     return latest_per_key(batch, aggs=_LINEAGE_AGGS)
+
+
+def _combine_by_epoch(batch: pa.Table) -> pa.Table:
+    return latest_per_key(batch, aggs=_LINEAGE_AGGS, extra_group_col="epoch")
 
 
 class ApplyPartition:
@@ -133,15 +141,129 @@ class ApplyPartition:
         )
 
 
+class ApplyPartitionBacklog:
+    """Backlog-replay variant: one call per partition for a RANGE of epochs.
+
+    The LWW fold is associative, so replaying K epochs needs only ONE shuffle:
+    the group arrives with a per-(url, epoch) pre-reduced event set; the task
+    folds epochs in order, committing each epoch's snapshot — identical
+    state and commit records to K single-epoch pipelines, at 1/K the
+    orchestration cost. Already-committed (part, epoch) pairs are trusted
+    and loaded instead of recomputed (exactly-once under retry/resume)."""
+
+    __name__ = "ApplyPartitionBacklog"
+
+    def __init__(self, lake_root: str, num_partitions: int, epochs: List[int]):
+        self.lake_root = lake_root
+        self.num_partitions = num_partitions
+        self.epochs = sorted(epochs)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        lake = Lake(self.lake_root, self.num_partitions)
+        part = int(group["part"][0].as_py())
+        out_rows: List[Lineage] = []
+        merged = lake.read_partition(part, as_of=self.epochs[0] - 1)
+        epoch_arr = group["epoch"].to_numpy(zero_copy_only=False)
+        for epoch in self.epochs:
+            sub = group.filter(pa.array(epoch_arr == epoch))
+            if sub.num_rows == 0:
+                continue
+            if lake.is_committed(part, epoch):
+                merged = lake.read_partition(part, as_of=epoch)
+                prior = lake.read_lineage(part, epoch)
+                prior.skipped = True
+                out_rows.append(prior)
+                continue
+            events_consumed = int(pc.sum(sub["n_events"]).as_py())
+            seq_min = int(pc.min(sub["seq_lo"]).as_py())
+            seq_max = int(pc.max(sub["seq_hi"]).as_py())
+            updates = sub.drop_columns(
+                [c for c in _HELPER_COLS + ["epoch"] if c in sub.column_names])
+            winners = latest_per_key(updates)
+            rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+            merged = merge_base_with_updates(merged, winners)
+            lineage = Lineage(part=part, epoch=epoch,
+                              events_consumed=events_consumed,
+                              rows_upserted=winners.num_rows - rows_deleted,
+                              rows_deleted=rows_deleted,
+                              seq_min=seq_min, seq_max=seq_max)
+            out_rows.append(lake.commit_partition(part, epoch, merged, lineage))
+        return pa.table({
+            "part": pa.array([r.part for r in out_rows], pa.int32()),
+            "epoch": pa.array([r.epoch for r in out_rows], pa.int32()),
+            "events_consumed": pa.array([r.events_consumed for r in out_rows], pa.int64()),
+            "rows_upserted": pa.array([r.rows_upserted for r in out_rows], pa.int64()),
+            "rows_deleted": pa.array([r.rows_deleted for r in out_rows], pa.int64()),
+            "seq_min": pa.array([r.seq_min for r in out_rows], pa.int64()),
+            "seq_max": pa.array([r.seq_max for r in out_rows], pa.int64()),
+            "skipped": pa.array([r.skipped for r in out_rows], pa.bool_()),
+        })
+
+
+class ApplyPartitionFinal:
+    """Backlog replay with ``backlog_snapshots="final"``: fold the WHOLE
+    pending range and write one snapshot + one commit at the last epoch.
+    Lineage spans the range (seq_min..seq_max). Exactly-once and resumable at
+    partition granularity: a retried/resumed task sees the (part, last-epoch)
+    commit and no-ops."""
+
+    __name__ = "ApplyPartitionFinal"
+
+    def __init__(self, lake_root: str, num_partitions: int, epochs: List[int]):
+        self.lake_root = lake_root
+        self.num_partitions = num_partitions
+        self.epochs = sorted(epochs)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        lake = Lake(self.lake_root, self.num_partitions)
+        part = int(group["part"][0].as_py())
+        last = self.epochs[-1]
+        events_consumed = int(pc.sum(group["n_events"]).as_py())
+        seq_min = int(pc.min(group["seq_lo"]).as_py())
+        seq_max = int(pc.max(group["seq_hi"]).as_py())
+        if lake.is_committed(part, last):
+            out = lake.read_lineage(part, last)
+            out.skipped = True
+        else:
+            updates = group.drop_columns(
+                [c for c in _HELPER_COLS + ["epoch"] if c in group.column_names])
+            winners = latest_per_key(updates)
+            rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+            base = lake.read_partition(part, as_of=self.epochs[0] - 1)
+            merged = merge_base_with_updates(base, winners)
+            lineage = Lineage(part=part, epoch=last,
+                              events_consumed=events_consumed,
+                              rows_upserted=winners.num_rows - rows_deleted,
+                              rows_deleted=rows_deleted,
+                              seq_min=seq_min, seq_max=seq_max)
+            out = lake.commit_partition(part, last, merged, lineage)
+        return pa.table({
+            "part": pa.array([out.part], pa.int32()),
+            "epoch": pa.array([out.epoch], pa.int32()),
+            "events_consumed": pa.array([out.events_consumed], pa.int64()),
+            "rows_upserted": pa.array([out.rows_upserted], pa.int64()),
+            "rows_deleted": pa.array([out.rows_deleted], pa.int64()),
+            "seq_min": pa.array([out.seq_min], pa.int64()),
+            "seq_max": pa.array([out.seq_max], pa.int64()),
+            "skipped": pa.array([out.skipped], pa.bool_()),
+        })
+
+
 def num_epochs_in(events_path: str, epoch_size: int) -> int:
-    """Max seq from parquet row-group statistics (no data read)."""
-    meta = pq.ParquetFile(events_path).metadata
-    seq_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}["seq"]
+    """Max seq from parquet row-group statistics (no data read).
+    Handles both a single file and a directory of binlog segments."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(events_path, format="parquet")
     max_seq = 0
-    for rg in range(meta.num_row_groups):
-        stats = meta.row_group(rg).column(seq_idx).statistics
-        if stats is not None and stats.has_min_max:
-            max_seq = max(max_seq, stats.max)
+    for frag in dset.get_fragments():
+        meta = frag.metadata
+        seq_idx = {meta.schema.column(i).name: i
+                   for i in range(meta.num_columns)}["seq"]
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(seq_idx).statistics
+            if stats is not None and stats.has_min_max:
+                max_seq = max(max_seq, stats.max)
     return max_seq // epoch_size + 1
 
 
@@ -159,31 +281,120 @@ def ingest_epoch(events_path: str, lake: Lake, epoch: int, cfg: CDCConfig,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
+        num_cpus=cfg.extract_num_cpus,
     )
     ds = ds.map_batches(_add_keys(cfg), batch_format="pyarrow")
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:
         ds = ds.groupby(["part", "salt"]).map_groups(_combine, batch_format="pyarrow")
+    elif cfg.local_merge_blocks:
+        ds = ds.repartition(cfg.local_merge_blocks).map_batches(
+            _combine, batch_format="pyarrow")
     lineage_ds = ds.groupby("part").map_groups(
         ApplyPartition(lake.root, cfg.num_partitions, epoch), batch_format="pyarrow"
     )
     return lineage_ds.take_all()  # ≤ P tiny rows
 
 
+def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
+                  cfg: CDCConfig) -> List[dict]:
+    """Backlog replay: ALL given epochs in ONE pipeline (one extract pass,
+    one salted shuffle, one partition shuffle) with per-epoch fold + commit
+    inside the partition task. Equivalent to sequential ingest_epoch calls
+    because the LWW merge is associative (property-tested in
+    tests/test_cdc_merge.py)."""
+    epochs = sorted(epochs)
+    lo = epochs[0] * cfg.epoch_size
+    hi = (epochs[-1] + 1) * cfg.epoch_size
+    ds = ray.data.read_parquet(
+        events_path, filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi)
+    )
+    if len(epochs) < epochs[-1] - epochs[0] + 1:  # holes (already-done epochs)
+        done = [e for e in range(epochs[0], epochs[-1] + 1) if e not in set(epochs)]
+        expr = None
+        for e in done:
+            cond = (pc.field("seq") >= e * cfg.epoch_size) & \
+                   (pc.field("seq") < (e + 1) * cfg.epoch_size)
+            expr = cond if expr is None else expr | cond
+        ds = ray.data.read_parquet(
+            events_path,
+            filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi) & ~expr,
+        )
+    ds = ds.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs={"cfg": cfg.extractor,
+                               "drop_html": cfg.drop_html_after_extract},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=cfg.extract_num_cpus,
+    )
+    # "final" snapshot mode may merge across epochs everywhere (no
+    # intermediate snapshots to preserve) → ~K× less shuffle payload
+    final_mode = cfg.backlog_snapshots == "final"
+    combine_fn = _combine if final_mode else _combine_by_epoch
+    ds = ds.map_batches(_add_keys(cfg, with_epoch=not final_mode),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(combine_fn, batch_format="pyarrow")
+    if cfg.salted_merge:
+        # full salted exchange: guarantees ≤S rows per url into shuffle 2 —
+        # the belt-and-braces path for extreme hot-key skew
+        ds = ds.groupby(["part", "salt"]).map_groups(combine_fn,
+                                                     batch_format="pyarrow")
+    elif cfg.local_merge_blocks:
+        # coalesce blocks and combine again — bounds per-url rows at the
+        # coalesced block count (costs a barrier; see CDCConfig)
+        ds = ds.repartition(cfg.local_merge_blocks).map_batches(
+            combine_fn, batch_format="pyarrow")
+    # Materialize the (already combiner-reduced) stream before the partition
+    # shuffle: the sort is a barrier that holds every block in the object
+    # store anyway, and cutting the pipeline here releases the extractor actor
+    # pool's CPU reservation so the shuffle gets the whole machine. Measured:
+    # avoids a pathological stall when pool reservation ≈ total CPUs.
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _debug = _os.environ.get("ODL_INGEST_DEBUG")
+    _t0 = _time.time()
+    ds = ds.materialize()
+    if _debug:
+        print(f"[ingest] read+extract+combine: {_time.time()-_t0:.1f}s",
+              file=_sys.stderr)
+    _t1 = _time.time()
+    apply_cls = ApplyPartitionFinal if final_mode else ApplyPartitionBacklog
+    lineage_ds = ds.groupby("part").map_groups(
+        apply_cls(lake.root, cfg.num_partitions, epochs),
+        batch_format="pyarrow",
+    )
+    out = lineage_ds.take_all()
+    if _debug:
+        print(f"[ingest] shuffle+apply: {_time.time()-_t1:.1f}s", file=_sys.stderr)
+    return out
+
+
 def replay(events_path: str, lake_root: str, cfg: Optional[CDCConfig] = None,
-           max_epoch: Optional[int] = None) -> List[dict]:
-    """Replay the event log epoch by epoch; resumable: epochs with a done
-    marker are skipped outright, partially committed epochs re-run with
-    per-partition idempotence. Returns all lineage rows of this run."""
+           max_epoch: Optional[int] = None, mode: str = "backlog") -> List[dict]:
+    """Replay the event log; resumable: epochs with a done marker are skipped
+    outright, partially committed epochs re-run with per-partition
+    idempotence. ``mode="backlog"`` (default) runs all pending epochs in one
+    pipeline; ``mode="epoch"`` micro-batches one pipeline per epoch (the
+    streaming-tail shape). Returns all lineage rows of this run."""
     cfg = cfg or CDCConfig()
     lake = Lake(lake_root, cfg.num_partitions)
     total = num_epochs_in(events_path, cfg.epoch_size)
     if max_epoch is not None:
         total = min(total, max_epoch + 1)
+    pending = [e for e in range(total) if not lake.is_epoch_done(e)]
+    if not pending:
+        return []
     lineage: List[dict] = []
-    for epoch in range(total):
-        if lake.is_epoch_done(epoch):
-            continue
-        lineage.extend(ingest_epoch(events_path, lake, epoch, cfg))
-        lake.mark_epoch_done(epoch)
+    if mode == "backlog":
+        lineage.extend(ingest_epochs(events_path, lake, pending, cfg))
+        for epoch in pending:
+            lake.mark_epoch_done(epoch)
+    else:
+        for epoch in pending:
+            lineage.extend(ingest_epoch(events_path, lake, epoch, cfg))
+            lake.mark_epoch_done(epoch)
     return lineage

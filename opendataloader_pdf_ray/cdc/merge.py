@@ -28,20 +28,29 @@ VERSION_COLS = ("warc_ts", "seq")
 DELETED_COL = "deleted"
 
 
-def latest_per_key(table: pa.Table, aggs: Optional[dict] = None) -> pa.Table:
+def latest_per_key(table: pa.Table, aggs: Optional[dict] = None,
+                   extra_group_col: Optional[str] = None) -> pa.Table:
     """Keep the max-(warc_ts, seq) row per url. Vectorized:
     stable lexicographic argsort then last-occurrence selection.
 
     ``aggs`` maps helper-column name → 'sum'|'min'|'max'; those columns are
     aggregated ACROSS the whole key group onto the winner row (used to carry
     lineage counters — events consumed, seq range — through the combiner and
-    salted phases without a second pass over raw events)."""
+    salted phases without a second pass over raw events).
+
+    ``extra_group_col`` widens the group key to (url, extra) — used by the
+    backlog replay path, where winners must stay separate per checkpoint
+    epoch so per-epoch snapshots/commits remain exact."""
     if table.num_rows <= 1:
         return table
     urls = table[MERGE_KEY].to_numpy(zero_copy_only=False)
     ts = table["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
     seq = table["seq"].to_numpy(zero_copy_only=False)
     _, inv = np.unique(urls, return_inverse=True)  # int codes for fast lexsort
+    if extra_group_col is not None:
+        extra = table[extra_group_col].to_numpy(zero_copy_only=False)
+        _, einv = np.unique(extra, return_inverse=True)
+        inv = inv * (einv.max() + 1) + einv
     order = np.lexsort((seq, ts, inv))  # primary: url, then warc_ts, then seq
     sorted_codes = inv[order]
     # last row of each url-run is the winner

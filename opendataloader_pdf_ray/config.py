@@ -9,7 +9,7 @@ derives from it inside actor ``__init__``, never per batch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -87,7 +87,36 @@ class CDCConfig:
     extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
     extract_batch_size: int = 64             # html payloads are wide → small batches
     extract_concurrency: int = 8             # actor pool size for the extractor stage
-    salted_merge: bool = True                # two-phase local(salted)→global merge
+    # fractional CPU reservation per extractor actor: a pool of N actors then
+    # reserves 0.8·N CPUs, leaving headroom for the read/shuffle stages at ANY
+    # cluster size (a flat "N-2" penalizes small clusters asymmetrically and
+    # distorts scaling-efficiency measurements)
+    extract_num_cpus: float = 0.8
+    # Two-phase merge. Phase 1 (local) is ALWAYS the per-batch combiner
+    # (≤1 row per (url, epoch) per block); phase 2 (global) is the partition
+    # groupby. Extra phase-1 flavors for heavier skew:
+    #   salted_merge=True      → full salted exchange (≤num_salts rows per url
+    #                            into the global merge; costs one extra
+    #                            all-to-all — extreme hot-key insurance)
+    #   local_merge_blocks=N   → coalesce blocks + re-combine (bounds per-url
+    #                            rows at N; costs a barrier that breaks
+    #                            extract/shuffle pipelining)
+    # Default: coalesce to ~32 blocks. Beyond the row reduction, this bounds
+    # the BLOCK count entering the partition sort — a sort over B input blocks
+    # creates O(B²) intermediate objects, which dominates wall time once B is
+    # in the hundreds (measured: 240-block sort of 260 MB took 23s; 32-block
+    # took ~3s).
+    salted_merge: bool = False
+    local_merge_blocks: Optional[int] = 32
+    # Backlog-replay snapshot policy:
+    #   "every_epoch" (default) — one CoW snapshot + commit per (part, epoch):
+    #       full per-epoch lineage and as-of time travel, at K× write
+    #       amplification for a K-epoch backlog.
+    #   "final" — fold the whole pending range, write ONE snapshot + commit at
+    #       the last epoch (lineage spans the range). Combiner may then merge
+    #       across epochs too → ~K× less shuffle payload and ~K/2× less write
+    #       I/O. Still exactly-once + resumable (partition granularity).
+    backlog_snapshots: str = "every_epoch"
     drop_html_after_extract: bool = True     # project before shuffle: never shuffle html
 
 

@@ -63,7 +63,7 @@ def render_html(url: str, rev: int) -> bytes:
     with rev so updates change the extracted text."""
     h = _h(url)
     parts: List[str] = []
-    n_pages = 1 + (h % 3)
+    n_pages = 2 + (h % 3)
     title = _words(url, rev, "title", 4).title()
     for pg in range(n_pages):
         page: List[str] = ['<div class="page">']
@@ -72,17 +72,20 @@ def render_html(url: str, rev: int) -> bytes:
         if pg == 0:
             page.append(f"<h1>{title}</h1>")
             page.append(f'<h2 style="font-size:24px">{_words(url, rev, "s1", 3).title()}</h2>')
-        page.append(f"<p>{_words(url, rev, f'body{pg}', 30)}.</p>")
+        # several realistic-size paragraphs per page (Common-Crawl pages are
+        # tens of KB; tiny docs make benches fixed-cost-bound)
+        for para in range(3):
+            page.append(f"<p>{_words(url, rev, f'body{pg}.{para}', 70)}.</p>")
         if h % 5 == 0:
             page.append(f'<p style="font-size:22px">{_words(url, rev, "bigp", 4).title()}</p>')
         if h % 3 == 0:
-            items = "".join(f"<li>{_words(url, rev, f'li{i}', 3)}</li>" for i in range(3))
+            items = "".join(f"<li>{_words(url, rev, f'li{i}', 4)}</li>" for i in range(6))
             sub = "".join(f"<li>{_words(url, rev, f'sub{i}', 2)}</li>" for i in range(2))
             page.append(f'<ul><li>first item<ol type="a">{sub}</ol></li>{items}</ul>')
         if h % 4 == 0:
             rows = "".join(
                 f"<tr><td>{_words(url, rev, f'c{r}0', 1)}</td>"
-                f"<td>{_words(url, rev, f'c{r}1', 2)}</td></tr>" for r in range(3))
+                f"<td>{_words(url, rev, f'c{r}1', 3)}</td></tr>" for r in range(8))
             page.append(f'<table><tr><th>Key</th><th rowspan="1">Value</th></tr>{rows}</table>')
         if h % 7 == 0:
             page.append('<div style="position:absolute;left:20px;top:400px;width:300px;height:120px">'
@@ -203,9 +206,31 @@ def gen_events(n_events: int, n_urls: int, seed: int = 42,
 
 
 def write_fixture(path: str, n_events: int, n_urls: int, seed: int = 42,
-                  evolve_from: Optional[int] = None) -> str:
+                  evolve_from: Optional[int] = None,
+                  row_group_size: int = 2000) -> str:
     import pyarrow.parquet as pq
 
     table = gen_events(n_events, n_urls, seed=seed, evolve_from=evolve_from)
-    pq.write_table(table, path)
+    # row groups aligned with epoch boundaries → the per-epoch seq filter
+    # prunes at the read instead of scanning the whole log every epoch
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return path
+
+
+def write_fixture_dir(path: str, n_events: int, n_urls: int, seed: int = 42,
+                      evolve_from: Optional[int] = None,
+                      shard_size: int = 2000) -> str:
+    """Sharded event log (one file per seq segment) — the binlog-segment
+    layout. One file per shard gives the Ray read stage one task per shard
+    instead of one serial task for the whole log."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = gen_events(n_events, n_urls, seed=seed, evolve_from=evolve_from)
+    os.makedirs(path, exist_ok=True)
+    for i, lo in enumerate(range(0, table.num_rows, shard_size)):
+        pq.write_table(table.slice(lo, shard_size),
+                       os.path.join(path, f"segment-{i:05d}.parquet"),
+                       row_group_size=shard_size)
     return path

@@ -1,0 +1,130 @@
+"""Multimodal column stages — image/audio as opaque ``binary`` + typed metadata.
+
+The Ray-side plumbing (schema, actor-pool signature, batch sizing, output
+layout) is real and tested; the codec step itself is stubbed because this
+container ships no image/audio libraries. Two stub modes:
+
+- ``mode="fake"`` (default): deterministic fake decode — metadata derived
+  purely from the payload bytes (hash-seeded), so tests are reproducible.
+- ``mode="strict"``: raises NotImplementedError at the decode call — the
+  marker for "plug a real codec here" (PIL / torchaudio / ffmpeg).
+
+At scale: payloads are wide → run with small ``batch_size`` and let blocks
+stay Arrow binary (never pandas object dtype)."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _h(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+class ImageDecoder:
+    """map_batches(ImageDecoder, batch_size=SMALL, concurrency=N).
+
+    Input: ``image: binary``. Output: + width, height, channels, format —
+    and optionally a thumbnail payload column."""
+
+    def __init__(self, mode: str = "fake", emit_thumbnail: bool = False):
+        if mode not in ("fake", "strict"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.emit_thumbnail = emit_thumbnail
+
+    def decode(self, payload: bytes) -> dict:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "image decode requires an imaging library (PIL/cv2) — "
+                "not available in this environment; use mode='fake' for tests")
+        h = _h(payload)
+        return {"width": 64 + h % 1920, "height": 64 + (h >> 16) % 1080,
+                "channels": 3, "format": ("jpeg", "png", "webp")[h % 3]}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, channels, formats, thumbs = [], [], [], [], []
+        for item in batch["image"]:
+            payload = item.as_py()
+            if payload is None:
+                widths.append(None)
+                heights.append(None)
+                channels.append(None)
+                formats.append(None)
+                thumbs.append(None)
+                continue
+            meta = self.decode(payload)
+            widths.append(meta["width"])
+            heights.append(meta["height"])
+            channels.append(meta["channels"])
+            formats.append(meta["format"])
+            if self.emit_thumbnail:
+                thumbs.append(payload[:256])  # stub: first bytes as "thumbnail"
+        out = (
+            batch.append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("channels", pa.array(channels, pa.int32()))
+            .append_column("format", pa.array(formats, pa.string()))
+        )
+        if self.emit_thumbnail:
+            out = out.append_column("thumbnail", pa.array(thumbs, pa.binary()))
+        return out
+
+
+class ImageFeaturizer:
+    """Binary payload → fixed-dim embedding (list<float32>). The "model" is a
+    deterministic hash-seeded projection built ONCE per actor — the stand-in
+    for loading a real vision encoder in ``__init__``."""
+
+    def __init__(self, dim: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.normal(size=(256, dim)).astype(np.float32)
+        self.dim = dim
+
+    def embed(self, payload: bytes) -> np.ndarray:
+        hist = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                           minlength=256).astype(np.float32)
+        norm = np.linalg.norm(hist)
+        if norm > 0:
+            hist /= norm
+        return hist @ self.proj
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = []
+        for item in batch["image"]:
+            payload = item.as_py()
+            embs.append(None if payload is None else self.embed(payload).tolist())
+        return batch.append_column(
+            "embedding", pa.array(embs, pa.list_(pa.float32())))
+
+
+class AudioFrameSampler:
+    """Audio binary → deterministic frame-sample offsets (stubbed decode).
+    Shows the frame-sampling plumbing: one input row → list of frame rows."""
+
+    def __init__(self, frames_per_clip: int = 4, mode: str = "fake"):
+        self.frames_per_clip = frames_per_clip
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, offsets, payloads = [], [], []
+        id_col = batch.column_names[0]
+        for i in range(batch.num_rows):
+            payload = batch["audio"][i].as_py()
+            if payload is None:
+                continue
+            if self.mode == "strict":
+                raise NotImplementedError("audio decode needs ffmpeg/torchaudio")
+            n = len(payload)
+            for f in range(self.frames_per_clip):
+                start = (f * max(1, n // self.frames_per_clip))
+                ids.append(batch[id_col][i].as_py())
+                offsets.append(start)
+                payloads.append(payload[start:start + 128])
+        return pa.table({id_col: pa.array(ids),
+                         "frame_offset": pa.array(offsets, pa.int64()),
+                         "frame_bytes": pa.array(payloads, pa.binary())})

@@ -130,7 +130,86 @@ def cdc_epoch_windows(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def cdc_asof_enrich(sf_dir: str):
+    """As-of join (SURVEY.md §2.4 caption-adjacency analog, guide pattern):
+    each non-purchase event joined to the user's most recent prior purchase.
+    Key-bucketed: groupby(user_id) → pd.merge_asof per group."""
+    import pandas as pd
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array((users % 32).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one task per user-hash bucket; merge_asof's by= handles the keys —
+        # far fewer tasks than one group per user
+        g = g.sort_values(["ts", "event_id"])
+        left = g[g["event_type"] != "purchase"][["event_id", "ts", "user_id"]]
+        right = g[g["event_type"] == "purchase"][["event_id", "ts", "user_id"]] \
+            .rename(columns={"event_id": "purchase_event_id", "ts": "purchase_ts"})
+        if left.empty:
+            return pd.DataFrame(columns=["event_id", "ts", "user_id",
+                                         "purchase_event_id", "purchase_ts"])
+        if right.empty:
+            out = left.copy()
+            out["purchase_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["purchase_ts"] = pd.NaT
+        else:
+            out = pd.merge_asof(left.sort_values("ts"), right.sort_values("purchase_ts"),
+                                left_on="ts", right_on="purchase_ts",
+                                by="user_id", direction="backward")
+            out["purchase_event_id"] = out["purchase_event_id"].astype("Int64")
+        return out[["event_id", "ts", "user_id", "purchase_event_id", "purchase_ts"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+def cdc_user_sessions(sf_dir: str):
+    """Session windows (streaming-shaped, SURVEY.md §2.9): per user, count
+    sessions split at >30-minute gaps — groupby(key).map_groups over the
+    ts-sorted group."""
+    import pandas as pd
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array((users % 32).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new_session = (gaps > 1800).groupby(g["user_id"]).sum()
+        counts = g.groupby("user_id").size()
+        return pd.DataFrame({"user_id": counts.index,
+                             "n_events": counts.values,
+                             "n_sessions": (1 + new_session).astype("int64").values})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+def cdc_replay_flagship(sf_dir: str):
+    """Full CDC replay (documents-derived events → lake) — the flagship
+    pipeline as a queries() entry. Not SQL-expressible (stateful exactly-once
+    ingest): rows-only driver check; correctness is pinned by the pytest
+    replay suite against the sequential oracle."""
+    from .flagship import run_flagship
+
+    return run_flagship(sf_dir, work_dir="/tmp/odl_ray_flagship_q")
+
+
 CDC_QUERIES = {
+    "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_asof_enrich": cdc_asof_enrich,
+    "cdc_user_sessions": cdc_user_sessions,
     "cdc_latest_state": cdc_latest_state,
     "cdc_first_seen": cdc_first_seen,
     "cdc_op_stats": cdc_op_stats,
@@ -138,6 +217,23 @@ CDC_QUERIES = {
 }
 
 CDC_ORACLE_SQL = {
+    "cdc_asof_enrich": """
+        SELECT e.event_id, e.ts, e.user_id,
+               p.event_id AS purchase_event_id, p.ts AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+        ASOF LEFT JOIN (SELECT event_id, ts, user_id FROM events
+                        WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "cdc_user_sessions": """
+        SELECT user_id, count(*) AS n_events,
+               1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+        FROM (SELECT user_id,
+                     epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)) AS gap_s
+              FROM events)
+        GROUP BY user_id
+    """,
     "cdc_latest_state": """
         SELECT event_id, ts, user_id, event_type, value FROM (
             SELECT event_id, ts, user_id, event_type, value,

@@ -106,7 +106,51 @@ def dedup_simhash(sf_dir: str):
     return dd.simhash_pairs(ds, max_hamming=3)
 
 
+def doc_adjacent_levenshtein(sf_dir: str):
+    """Levenshtein distance between each doc's text prefix and the next
+    doc_id's (TextSimilarity.java analog; distances match DuckDB's
+    levenshtein(), test-verified). Broadcast of the small keyed prefix table,
+    distance computed vectorized-DP inside map_batches."""
+    import ray
+
+    from ..functions.text_sim import levenshtein
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pfx": pc.utf8_slice_codeunits(batch["text"], 0, 40)})
+
+    pfx = ds.map_batches(prefix, batch_format="pyarrow")
+    lookup = {r["doc_id"]: r["pfx"] for r in pfx.take_all()}
+    ref = ray.put(lookup)
+
+    def dist(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids, dists = [], []
+        for i in range(batch.num_rows):
+            did = batch["doc_id"][i].as_py()
+            nxt = table.get(did + 1)
+            if nxt is None:
+                continue
+            ids.append(did)
+            dists.append(levenshtein(batch["pfx"][i].as_py(), nxt))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dist": pa.array(dists, pa.int64())})
+
+    return pfx.map_batches(dist, batch_format="pyarrow")
+
+
+DOC_LEVENSHTEIN_SQL = """
+SELECT a.doc_id, levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
 DOC_QUERIES = {
+    "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_token_stats": doc_token_stats,
     "doc_source_stats": doc_source_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -118,6 +162,7 @@ DOC_QUERIES = {
 }
 
 DOC_ORACLE_SQL = {
+    "doc_adjacent_levenshtein": DOC_LEVENSHTEIN_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_source_stats": DOC_SOURCE_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,

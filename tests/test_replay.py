@@ -104,14 +104,50 @@ class TestReplay:
         path = str(tmp_path / "skew.parquet")
         pq.write_table(base, path)
         cfg = CDCConfig(num_partitions=4, num_salts=4, epoch_size=50,
+                        salted_merge=True,
                         extract_batch_size=8, extract_concurrency=2)
         lake = Lake(str(tmp_path / "lake_skew"), cfg.num_partitions)
         replay(path, lake.root, cfg)
         assert_state_matches_oracle(lake, base)
 
+    def test_backlog_equals_epoch_mode(self, events_path, tmp_path):
+        """The one-pipeline backlog replay must produce identical state AND
+        identical per-(part, epoch) lineage to epoch-by-epoch micro-batching."""
+        a = Lake(str(tmp_path / "bl"), CFG.num_partitions)
+        lin_a = replay(events_path, a.root, CFG, mode="backlog")
+        b = Lake(str(tmp_path / "ep"), CFG.num_partitions)
+        lin_b = replay(events_path, b.root, CFG, mode="epoch")
+        assert (a.read_state(include_tombstones=True).to_pylist()
+                == b.read_state(include_tombstones=True).to_pylist())
+        key = lambda l: (l["part"], l["epoch"])  # noqa: E731
+        assert sorted(lin_a, key=key) == sorted(lin_b, key=key)
+
+    def test_final_snapshot_mode_equals_every_epoch(self, events_path, tmp_path):
+        """backlog_snapshots='final' must produce the identical live state;
+        lineage collapses to one range-record per touched partition."""
+        a = Lake(str(tmp_path / "ev"), CFG.num_partitions)
+        replay(events_path, a.root, CFG)
+        final_cfg = CDCConfig(num_partitions=CFG.num_partitions,
+                              epoch_size=CFG.epoch_size,
+                              backlog_snapshots="final",
+                              extract_batch_size=16, extract_concurrency=2)
+        b = Lake(str(tmp_path / "fin"), CFG.num_partitions)
+        lin = replay(events_path, b.root, final_cfg)
+        assert (a.read_state(include_tombstones=True).to_pylist()
+                == b.read_state(include_tombstones=True).to_pylist())
+        # lineage spans the whole range, committed at the last epoch
+        assert all(l["epoch"] == max(x["epoch"] for x in lin) for l in lin)
+        assert sum(l["events_consumed"] for l in lin) == 180
+        # resume is a no-op (all partitions skipped via their final commit)
+        lin2 = replay(events_path, b.root, final_cfg)
+        assert lin2 == []  # done markers short-circuit the whole range
+
     def test_unsalted_equals_salted(self, events_path, tmp_path):
+        salted_cfg = CDCConfig(num_partitions=CFG.num_partitions, num_salts=4,
+                               epoch_size=CFG.epoch_size, salted_merge=True,
+                               extract_batch_size=16, extract_concurrency=2)
         salted = Lake(str(tmp_path / "s"), CFG.num_partitions)
-        replay(events_path, salted.root, CFG)
+        replay(events_path, salted.root, salted_cfg)
         unsalted_cfg = CDCConfig(num_partitions=CFG.num_partitions, num_salts=1,
                                  epoch_size=CFG.epoch_size, salted_merge=False,
                                  extract_batch_size=16, extract_concurrency=2)
