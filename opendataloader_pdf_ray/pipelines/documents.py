@@ -149,8 +149,57 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+def doc_word_jaccard_adjacent(sf_dir: str):
+    """Exact word-set Jaccard between doc i and doc i+1 — the n-gram-Jaccard
+    dedup primitive with a SQL oracle (DuckDB list_intersect/list_distinct).
+    Word sets broadcast once; similarity computed per batch."""
+    import re
+
+    import ray
+
+    word_re = re.compile(r"\S+")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rows = ds.take_all()
+    sets = {r["doc_id"]: frozenset(word_re.findall(r["text"])) for r in rows}
+    ref = ray.put(sets)
+
+    def jac(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids, out = [], []
+        for i in range(batch.num_rows):
+            did = batch["doc_id"][i].as_py()
+            nxt = table.get(did + 1)
+            if nxt is None:
+                continue
+            cur = table[did]
+            union = len(cur | nxt)
+            j = len(cur & nxt) / union if union else 1.0
+            ids.append(did)
+            out.append(j)
+        import numpy as np
+
+        from .common import round_half_away
+
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "jaccard": pa.array(round_half_away(np.array(out), 6))})
+
+    return ds.map_batches(jac, batch_format="pyarrow")
+
+
+DOC_WORD_JACCARD_SQL = """
+WITH w AS (SELECT doc_id,
+                  list_distinct(regexp_extract_all(text, '\\S+')) AS ws
+           FROM documents)
+SELECT a.doc_id,
+       round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
+    "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
     "doc_token_stats": doc_token_stats,
     "doc_source_stats": doc_source_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -163,6 +212,7 @@ DOC_QUERIES = {
 
 DOC_ORACLE_SQL = {
     "doc_adjacent_levenshtein": DOC_LEVENSHTEIN_SQL,
+    "doc_word_jaccard_adjacent": DOC_WORD_JACCARD_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_source_stats": DOC_SOURCE_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,

@@ -439,7 +439,60 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
 """
 
 
+def customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (guide: semi/anti = broadcast the key
+    set and filter inside map_batches — no shuffle)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"],
+                        filter=pc.field("o_orderdate") < _TS("1996-07-01"))
+    keys = np.sort(np.unique(orders.to_pandas()["o_custkey"].to_numpy()))
+    keys_ref = broadcast(keys)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(have, ck)
+        pos_clip = np.minimum(pos, len(have) - 1)
+        mask = have[pos_clip] != ck
+        out = batch.filter(pa.array(mask))
+        return round_cols(out, {"c_acctbal": 2})
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer WHERE c_custkey NOT IN
+    (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01')
+"""
+
+
+def union_key_counts(sf_dir: str):
+    """Dataset.union coverage: tag + union two key tables, aggregate."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"side": pa.array(["customer"] * t.num_rows),
+                            "key": t["c_custkey"]}), batch_format="pyarrow")
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lambda t: pa.table({"side": pa.array(["supplier"] * t.num_rows),
+                            "key": t["s_suppkey"]}), batch_format="pyarrow")
+    both = cust.union(supp)
+    return both.groupby("side").aggregate(Count(alias_name="n"),
+                                          Max("key", alias_name="max_key"))
+
+
+UNION_KEY_COUNTS_SQL = """
+SELECT side, count(*) AS n, max(key) AS max_key FROM (
+    SELECT 'customer' AS side, c_custkey AS key FROM customer
+    UNION ALL
+    SELECT 'supplier' AS side, s_suppkey AS key FROM supplier
+) GROUP BY side
+"""
+
+
 TPCH_QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "union_key_counts": union_key_counts,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -452,6 +505,8 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "union_key_counts": UNION_KEY_COUNTS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
