@@ -38,9 +38,11 @@ _SF_EVENTS = {"sf0.001": (1_200, 300), "sf0.01": (12_000, 2_500), "sf0.1": (320_
 # queries worth timing at bench scale (one per operator family)
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "top_customers", "cdc_latest_state",
-    "cdc_epoch_windows", "doc_token_stats", "dedup_exact", "dedup_minhash",
-    "knn_bruteforce", "embedding_dup_pairs",
+    "q6_forecast_revenue", "top_customers", "customers_without_orders",
+    "cdc_latest_state", "cdc_epoch_windows", "cdc_asof_enrich",
+    "cdc_user_sessions", "doc_token_stats", "doc_word_jaccard_adjacent",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "knn_bruteforce",
+    "knn_lsh", "embedding_dup_pairs",
 ]
 
 

@@ -65,7 +65,11 @@ def exact_dedup_keys(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
 class MinHasher:
     """Stateful stage: permutation coefficients generated once per actor from
-    a fixed seed (deterministic across the pool)."""
+    a fixed seed (deterministic across the pool).
+
+    Shingle hashing is vectorized: hash each DISTINCT word once (blake2b),
+    then combine adjacent word hashes into n-gram hashes with a rolling
+    polynomial — numpy end to end instead of a Python loop per shingle."""
 
     def __init__(self, num_hashes: int = 64, ngram: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -73,12 +77,36 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
         self.num_hashes = num_hashes
         self.ngram = ngram
+        self._word_cache: dict = {}  # word → uint64 hash, amortized per actor
+        # fixed odd multipliers for the positional polynomial combine
+        self._poly = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                               0x165667B19E3779F9, 0xD6E8FEB86659FD93,
+                               0xA2F4979B2F8B3E15][:max(1, ngram)],
+                              dtype=np.uint64)
+
+    def _gram_hashes(self, text: str) -> np.ndarray:
+        words = [w.lower() for w in _WORD_RE.findall(text)]
+        if not words:
+            return np.zeros(0, dtype=np.uint64)
+        cache = self._word_cache
+        for w in set(words):
+            if w not in cache:
+                cache[w] = _stable_hash64(w)
+        wh = np.fromiter((cache[w] for w in words), dtype=np.uint64, count=len(words))
+        n = self.ngram
+        if len(words) < n:
+            return np.array([wh.sum(dtype=np.uint64)], dtype=np.uint64)
+        # rolling combine: sum_k poly[k] * word_hash[i+k] (wraparound uint64)
+        acc = np.zeros(len(words) - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc += self._poly[k] * wh[k:len(words) - n + 1 + k]
+        return acc
 
     def signature(self, text: str) -> np.ndarray:
-        grams = word_ngrams(text, self.ngram)
-        if not grams:
+        hashes = self._gram_hashes(text)
+        if hashes.size == 0:
             return np.zeros(self.num_hashes, dtype=np.uint64)
-        hashes = np.array([_stable_hash64(g) for g in grams], dtype=np.uint64)
+        hashes = hashes % np.uint64(_MERSENNE)
         # (a*x + b) mod p for all permutations × all shingles, then min
         prod = (hashes[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
@@ -164,23 +192,22 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
 
 
 class SimHasher:
-    """64-bit SimHash signatures from word features (stateful: nothing heavy,
-    but kept as an actor stage for API symmetry)."""
+    """64-bit SimHash signatures from word features (stateful: the word-hash
+    cache amortizes across batches). Fully vectorized: gram hashes via the
+    same rolling polynomial as MinHasher, bit counting via one 64×n matrix."""
 
     def __init__(self, ngram: int = 2):
-        self.ngram = ngram
+        self._inner = MinHasher(num_hashes=1, ngram=ngram)
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def sig(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for g in word_ngrams(text, self.ngram):
-            h = _stable_hash64(g)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        grams = self._inner._gram_hashes(text)
+        if grams.size == 0:
+            return 0
+        bits = ((grams[:, None] >> self._shifts[None, :]) & np.uint64(1))
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(grams)
+        return int(np.bitwise_or.reduce(
+            (np.uint64(1) << self._shifts)[acc > 0], initial=np.uint64(0)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.sig(t) for t in batch["text"].to_pylist()]
