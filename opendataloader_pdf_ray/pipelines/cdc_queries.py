@@ -156,13 +156,14 @@ def cdc_asof_enrich(sf_dir: str):
                                          "purchase_event_id", "purchase_ts"])
         if right.empty:
             out = left.copy()
-            out["purchase_event_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["purchase_event_id"] = float("nan")
             out["purchase_ts"] = pd.NaT
         else:
             out = pd.merge_asof(left.sort_values("ts"), right.sort_values("purchase_ts"),
                                 left_on="ts", right_on="purchase_ts",
                                 by="user_id", direction="backward")
-            out["purchase_event_id"] = out["purchase_event_id"].astype("Int64")
+        # float64-with-NaN to match how SQL NULLs surface from the oracle
+        out["purchase_event_id"] = out["purchase_event_id"].astype("float64")
         return out[["event_id", "ts", "user_id", "purchase_event_id", "purchase_ts"]]
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -227,7 +228,7 @@ CDC_ORACLE_SQL = {
     """,
     "cdc_user_sessions": """
         SELECT user_id, count(*) AS n_events,
-               1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions
+               CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM (SELECT user_id,
                      epoch(ts - lag(ts) OVER (PARTITION BY user_id
                                               ORDER BY ts, event_id)) AS gap_s

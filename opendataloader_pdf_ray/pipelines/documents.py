@@ -48,8 +48,8 @@ def doc_source_stats(sf_dir: str):
 
 
 DOC_SOURCE_STATS_SQL = """
-SELECT source, sum(n_chars) AS sum_chars,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens,
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """

@@ -87,7 +87,7 @@ def embedding_label_stats(sf_dir: str):
 
 
 EMB_LABEL_STATS_SQL = """
-SELECT label, count(*) AS n,
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
        round(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000000) AS BIGINT))
              / 1000000000.0 / count(*), 6) AS avg_dim0
 FROM embeddings GROUP BY label

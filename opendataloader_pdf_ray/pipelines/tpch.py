@@ -162,6 +162,8 @@ def q3_shipping_priority(sf_dir: str):
 
     def finalize(t: pa.Table) -> pa.Table:
         rev = t["revenue_i"].to_numpy(zero_copy_only=False) / 1e6
+        t = t.set_column(t.column_names.index("o_orderdate"), "o_orderdate",
+                         t["o_orderdate"].cast(pa.timestamp("us")))
         return t.drop_columns(["revenue_i"]).append_column(
             "revenue", pa.array(round_half_away(rev, 2)))
 
@@ -172,6 +174,11 @@ def q3_shipping_priority(sf_dir: str):
         .map_batches(finalize, batch_format="pyarrow")
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
+        .map_batches(
+            lambda t: t.set_column(t.column_names.index("o_orderdate"),
+                                   "o_orderdate",
+                                   t["o_orderdate"].cast(pa.timestamp("us"))),
+            batch_format="pyarrow")
     )
     return out
 
@@ -410,7 +417,7 @@ def parts_by_brand(sf_dir: str):
 PARTS_BY_BRAND_SQL = """
 SELECT p_brand, count(*) AS n_parts,
        round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_price,
-       max(p_size) AS max_size
+       CAST(max(p_size) AS BIGINT) AS max_size
 FROM part GROUP BY p_brand
 """
 
