@@ -1,0 +1,37 @@
+"""CLI surface tests (reference CLIMain analog)."""
+
+import json
+
+from opendataloader_pdf_ray.__main__ import main
+from opendataloader_pdf_ray.fixtures.gen import render_html
+
+
+class TestConvertCLI:
+    def test_directory_walk_and_outputs(self, tmp_path, capsys):
+        src = tmp_path / "in"
+        src.mkdir()
+        for i in range(2):
+            (src / f"d{i}.html").write_bytes(
+                render_html(f"https://site00{i}.example/page0000{i}", 0))
+        out = tmp_path / "out"
+        rc = main(["convert", str(src), "--format", "text", "json",
+                   "--output-dir", str(out)])
+        assert rc == 0
+        assert sorted(p.name for p in out.iterdir()) == [
+            "d0.json", "d0.txt", "d1.json", "d1.txt"]
+        doc = json.loads((out / "d0.json").read_text())
+        assert doc["kids"] and doc["file name"] == "d0.html"
+
+    def test_stdout_mode(self, tmp_path, capsys):
+        f = tmp_path / "x.html"
+        f.write_bytes(b"<h1>Hello</h1><p>world</p>")
+        rc = main(["convert", str(f)])
+        assert rc == 0
+        assert capsys.readouterr().out.strip() == "Hello\nworld"
+
+    def test_missing_file_warns_but_continues(self, tmp_path, capsys):
+        f = tmp_path / "ok.html"
+        f.write_bytes(b"<p>fine</p>")
+        rc = main(["convert", str(tmp_path / "nope.html"), str(f)])
+        assert rc == 0
+        assert "not found" in capsys.readouterr().err
