@@ -95,19 +95,30 @@ class Lake:
 
     # -------------------------------------------------------------------- read
     def read_partition(self, part: int, as_of: Optional[int] = None) -> Optional[pa.Table]:
-        epoch = self.latest_epoch(part, as_of)
-        if epoch is None:
-            return None
-        return pq.read_table(self._data_path(part, epoch))
+        epochs = self.committed_epochs(part)
+        if as_of is not None:
+            epochs = [e for e in epochs if e <= as_of]
+        # newest committed epoch whose snapshot still exists (vacuum may have
+        # reclaimed older ones; commit records are kept for lineage)
+        for epoch in reversed(epochs):
+            path = self._data_path(part, epoch)
+            if os.path.exists(path):
+                return pq.read_table(path)
+        return None
 
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
-        """Latest committed file per partition — the input list for a
-        ``ray.data.read_parquet`` over current state."""
+        """Latest committed (and still-present) file per partition — the input
+        list for a ``ray.data.read_parquet`` over current state."""
         files = []
         for part in range(self.num_partitions):
-            epoch = self.latest_epoch(part, as_of)
-            if epoch is not None:
-                files.append(self._data_path(part, epoch))
+            epochs = self.committed_epochs(part)
+            if as_of is not None:
+                epochs = [e for e in epochs if e <= as_of]
+            for epoch in reversed(epochs):
+                path = self._data_path(part, epoch)
+                if os.path.exists(path):
+                    files.append(path)
+                    break
         return files
 
     def read_state(self, as_of: Optional[int] = None, include_tombstones: bool = False) -> pa.Table:
@@ -161,6 +172,23 @@ class Lake:
     def read_lineage(self, part: int, epoch: int) -> Lineage:
         with open(self._commit_path(part, epoch)) as f:
             return Lineage(**json.load(f))
+
+    def vacuum(self, keep_snapshots: int = 1) -> int:
+        """Remove superseded CoW snapshot files, keeping the latest
+        ``keep_snapshots`` per partition. Commit records (lineage) are always
+        kept — history stays auditable, only data-file storage is reclaimed.
+        The write-amplification cleanup for ``backlog_snapshots="every_epoch"``
+        lakes; safe anytime (current-state reads always resolve to the latest
+        committed snapshot). Returns number of files removed."""
+        removed = 0
+        for part in range(self.num_partitions):
+            epochs = self.committed_epochs(part)
+            for epoch in epochs[:-keep_snapshots] if keep_snapshots else epochs:
+                path = self._data_path(part, epoch)
+                if os.path.exists(path):
+                    os.remove(path)
+                    removed += 1
+        return removed
 
     def all_lineage(self) -> List[Dict]:
         out = []

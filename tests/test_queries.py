@@ -12,7 +12,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # cheap-but-representative subset: one per operator family
 SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
-          "cdc_latest_state", "dedup_exact", "doc_token_stats",
+          "cdc_latest_state", "cdc_asof_enrich", "cdc_user_sessions",
+          "customers_without_orders", "union_key_counts", "dedup_exact",
+          "doc_token_stats", "doc_word_jaccard_adjacent",
           "knn_bruteforce", "embedding_label_stats"]
 
 

@@ -122,6 +122,25 @@ class TestReplay:
         key = lambda l: (l["part"], l["epoch"])  # noqa: E731
         assert sorted(lin_a, key=key) == sorted(lin_b, key=key)
 
+    def test_vacuum_reclaims_but_state_intact(self, events_path, tmp_path):
+        """vacuum() removes superseded CoW snapshots; live state, lineage and
+        resume behavior are unchanged."""
+        import glob
+
+        lake = Lake(str(tmp_path / "vac"), CFG.num_partitions)
+        replay(events_path, lake.root, CFG)
+        before_state = lake.read_state(include_tombstones=True).to_pylist()
+        n_files_before = len(glob.glob(f"{lake.root}/part=*/epoch=*.parquet"))
+        removed = lake.vacuum(keep_snapshots=1)
+        assert removed > 0
+        n_files_after = len(glob.glob(f"{lake.root}/part=*/epoch=*.parquet"))
+        assert n_files_after == n_files_before - removed
+        # state and lineage unaffected
+        assert lake.read_state(include_tombstones=True).to_pylist() == before_state
+        assert len(lake.all_lineage()) >= n_files_before
+        # resume after vacuum is still a no-op
+        assert replay(events_path, lake.root, CFG) == []
+
     def test_final_snapshot_mode_equals_every_epoch(self, events_path, tmp_path):
         """backlog_snapshots='final' must produce the identical live state;
         lineage collapses to one range-record per touched partition."""
