@@ -67,6 +67,7 @@ class ExtractorConfig:
     detect_aligned_columns: bool = True      # borderless whitespace-aligned tables
     detect_special_tables: bool = True       # Korean 수신/경유/제목 restructure
     reading_order: bool = True               # XY-cut++ for absolutely positioned content
+    merge_across_pages: bool = True          # table/list continuation over page breaks
 
     # --- output (TextGenerator / MarkdownGenerator analogs) ---
     include_header_footer: bool = False      # JsonWriter.java:92-94 default: exclude

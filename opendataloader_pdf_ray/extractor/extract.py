@@ -27,6 +27,7 @@ from .structure import (
     detect_special_tables,
     detect_style_headings,
     detect_text_captions,
+    merge_neighbor_structures,
     split_pages,
 )
 
@@ -78,6 +79,8 @@ def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
     assign_heading_levels(pages)
     detect_text_captions(pages, cfg)
     detect_header_footer(pages, cfg)
+    if cfg.merge_across_pages:
+        merge_neighbor_structures(pages, cfg)
 
     # reading order (XY-Cut++ analog, per page)
     if cfg.reading_order:

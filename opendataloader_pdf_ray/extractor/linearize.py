@@ -82,7 +82,8 @@ def to_text(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
             lines.append(sep)
         for b in blocks:
             lines.extend(_block_lines(b, cfg, 0))
-        page_texts.append("\n".join(lines))
+        if lines:  # pages emptied by boilerplate removal / cross-page merges
+            page_texts.append("\n".join(lines))
     return "\n\n".join(page_texts)
 
 

@@ -527,6 +527,66 @@ def detect_text_captions(pages: List[List[Block]], cfg: ExtractorConfig) -> None
                 b.type = CAPTION
 
 
+def _table_ncols(table: Block) -> int:
+    return max((c.col + c.col_span for row in table.kids for c in row.kids),
+               default=0)
+
+
+def _list_label_style(block: Block) -> str:
+    for item in block.kids:
+        if item.type == LIST_ITEM:
+            label = item.label
+            if label == "•":
+                return "bullet"
+            if re.fullmatch(r"\d+\.", label):
+                return "arabic"
+            if re.fullmatch(r"[a-z]\.", label):
+                return "loweralpha"
+            if re.fullmatch(r"[A-Z]\.", label):
+                return "upperalpha"
+            if re.fullmatch(r"[ivxl]+\.", label):
+                return "lowerroman"
+            if re.fullmatch(r"[IVXL]+\.", label):
+                return "upperroman"
+    return "unknown"
+
+
+def merge_neighbor_structures(pages: List[List[Block]], cfg: ExtractorConfig) -> None:
+    """Merge a table/list that continues across a page break
+    (``TableBorderProcessor.checkNeighborTables`` /
+    ``ListProcessor.checkNeighborLists``, ``DocumentProcessor.java:417-423``):
+    a table ending page p merges with a same-column-count table starting
+    page p+1; a list continues when the label style matches, renumbering
+    ordered labels."""
+    for p in range(len(pages) - 1):
+        cur_vis = [b for b in pages[p] if b.type != HEADER_FOOTER]
+        nxt_vis = [b for b in pages[p + 1] if b.type != HEADER_FOOTER]
+        if not cur_vis or not nxt_vis:
+            continue
+        last, first = cur_vis[-1], nxt_vis[0]
+        if (cfg.detect_tables and last.type == TABLE and first.type == TABLE
+                and _table_ncols(last) == _table_ncols(first) > 0):
+            base_rows = len(last.kids)
+            for i, row in enumerate(first.kids):
+                row.row = base_rows + i
+                for cell in row.kids:
+                    cell.row = row.row
+                last.kids.append(row)
+            pages[p + 1].remove(first)
+        elif (cfg.detect_lists and last.type == LIST and first.type == LIST
+              and last.level == first.level
+              and _list_label_style(last) == _list_label_style(first) != "unknown"):
+            style = _list_label_style(last)
+            offset = sum(1 for it in last.kids if it.type == LIST_ITEM)
+            idx = offset
+            for item in first.kids:
+                if item.type == LIST_ITEM and style != "bullet":
+                    item.label = _list_label(style, idx)
+                    idx += 1
+                last.kids.append(item)
+            pages[p + 1].remove(first)
+
+
 def _normalize_page_number(text: str) -> str:
     return _DIGIT_RE.sub("#", text)
 

@@ -184,3 +184,33 @@ class TestSerializers:
         assert d["kids"][0]["type"] == "heading"
         table = d["kids"][1]
         assert table["rows"][0]["cells"][0]["content"] == "a"
+
+
+class TestCrossPageContinuation:
+    """checkNeighborTables / checkNeighborLists analogs."""
+
+    def test_table_merges_across_pages(self):
+        html = (b'<div class="page"><table><tr><th>A</th><th>B</th></tr>'
+                b'<tr><td>1</td><td>2</td></tr></table></div>'
+                b'<div class="page"><table><tr><td>3</td><td>4</td></tr></table></div>')
+        r = extract(html)
+        tables = [b for page in r.pages for b in page if b.type == TABLE]
+        assert len(tables) == 1 and len(tables[0].kids) == 3
+        assert tables[0].kids[2].row == 2  # renumbered continuation row
+        assert r.text == "A | B\n1 | 2\n3 | 4"
+
+    def test_ordered_list_renumbers(self):
+        html = (b'<div class="page"><ol><li>a</li><li>b</li></ol></div>'
+                b'<div class="page"><ol><li>c</li></ol></div>')
+        assert extract_text(html) == "1. a\n2. b\n3. c"
+
+    def test_mismatched_columns_not_merged(self):
+        html = (b'<div class="page"><table><tr><td>1</td><td>2</td></tr></table></div>'
+                b'<div class="page"><table><tr><td>x</td><td>y</td><td>z</td></tr></table></div>')
+        assert extract_text(html) == "1 | 2\n\nx | y | z"
+
+    def test_flag_disables(self):
+        html = (b'<div class="page"><ol><li>a</li></ol></div>'
+                b'<div class="page"><ol><li>b</li></ol></div>')
+        text = extract_text(html, CFG.with_(merge_across_pages=False))
+        assert text == "1. a\n\n1. b"
