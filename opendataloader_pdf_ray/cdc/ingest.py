@@ -163,13 +163,31 @@ class ApplyPartitionBacklog:
         part = int(group["part"][0].as_py())
         out_rows: List[Lineage] = []
         merged = lake.read_partition(part, as_of=self.epochs[0] - 1)
+        # Epochs committed before this run (e.g. a prior out-of-order
+        # ingest_epoch call left "holes" in the pending range). Their events
+        # are filtered out upstream, so their effects live only in their
+        # committed snapshots — LWW-merge those snapshots into the fold before
+        # passing them, or this run's later commits would silently revert them.
+        # LWW is idempotent, so unioning a snapshot that overlaps the fold is
+        # always safe.
+        pre_committed = sorted(set(lake.committed_epochs(part)))
+        prev_epoch = self.epochs[0] - 1
         epoch_arr = group["epoch"].to_numpy(zero_copy_only=False)
         for epoch in self.epochs:
+            if any(prev_epoch < c < epoch for c in pre_committed):
+                hole_snap = lake.read_partition(part, as_of=epoch - 1)
+                if hole_snap is not None:
+                    merged = merge_base_with_updates(merged, hole_snap)
+            prev_epoch = epoch
             sub = group.filter(pa.array(epoch_arr == epoch))
             if sub.num_rows == 0:
                 continue
             if lake.is_committed(part, epoch):
-                merged = lake.read_partition(part, as_of=epoch)
+                # merge (not replace): the crashed-run snapshot may predate
+                # epochs this fold already incorporated; LWW union covers both
+                snap = lake.read_partition(part, as_of=epoch)
+                if snap is not None:
+                    merged = merge_base_with_updates(merged, snap)
                 prior = lake.read_lineage(part, epoch)
                 prior.skipped = True
                 out_rows.append(prior)
@@ -229,7 +247,11 @@ class ApplyPartitionFinal:
                 [c for c in _HELPER_COLS + ["epoch"] if c in group.column_names])
             winners = latest_per_key(updates)
             rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
-            base = lake.read_partition(part, as_of=self.epochs[0] - 1)
+            # as_of=last (not epochs[0]-1): a previously committed "hole" epoch
+            # inside the pending range lives only in its snapshot — the newest
+            # committed snapshot ≤ last is cumulative and captures it (LWW
+            # idempotence makes any overlap with the updates harmless)
+            base = lake.read_partition(part, as_of=last)
             merged = merge_base_with_updates(base, winners)
             lineage = Lineage(part=part, epoch=last,
                               events_consumed=events_consumed,

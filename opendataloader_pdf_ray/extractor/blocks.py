@@ -43,6 +43,8 @@ class Block:
     col_span: int = 1
     is_header: bool = False
     label: str = ""                     # list item label ("1.", "a.", "•")
+    list_style: str = ""                # LIST numbering style from the source
+                                        # <ol type>/list-style (not serialized)
     decoration: str = ""                # "underline" / "line-through" / ""
     hidden: bool = False
     kids: List["Block"] = field(default_factory=list)

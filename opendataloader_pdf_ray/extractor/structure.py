@@ -235,7 +235,8 @@ def _build_list(node: Node, cfg: ExtractorConfig, stats: DocStats, page: int,
                  "upper-alpha": "upperalpha", "lower-roman": "lowerroman",
                  "upper-roman": "upperroman", "disc": "bullet",
                  "circle": "bullet", "square": "bullet"}.get(lst, style)
-    block = Block(type=LIST, page=page, level=depth, bbox=node.bbox())
+    block = Block(type=LIST, page=page, level=depth, bbox=node.bbox(),
+                  list_style=style)
     idx = 0
     for child in node.children:
         if child.is_text() or child.tag != "li" or _skip(child, cfg):
@@ -533,58 +534,94 @@ def _table_ncols(table: Block) -> int:
 
 
 def _list_label_style(block: Block) -> str:
-    for item in block.kids:
-        if item.type == LIST_ITEM:
-            label = item.label
-            if label == "•":
-                return "bullet"
-            if re.fullmatch(r"\d+\.", label):
-                return "arabic"
-            if re.fullmatch(r"[a-z]\.", label):
-                return "loweralpha"
-            if re.fullmatch(r"[A-Z]\.", label):
-                return "upperalpha"
-            if re.fullmatch(r"[ivxl]+\.", label):
-                return "lowerroman"
-            if re.fullmatch(r"[IVXL]+\.", label):
-                return "upperroman"
+    """Numbering style of a LIST block. The source-derived style recorded at
+    build time wins (``<ol type>`` / ``list-style-type`` — ADVICE r1: label
+    text alone is ambiguous, e.g. a lowerroman list starting at 'i.').
+    Fallback label parsing checks multi-char roman sequences across ALL items
+    before the single-char alpha classification."""
+    if block.list_style:
+        return block.list_style
+    labels = [it.label for it in block.kids if it.type == LIST_ITEM and it.label]
+    if not labels:
+        return "unknown"
+    if labels[0] == "•":
+        return "bullet"
+    if any(re.fullmatch(r"[ivxl]{2,}\.", lb) for lb in labels):
+        return "lowerroman"
+    if any(re.fullmatch(r"[IVXL]{2,}\.", lb) for lb in labels):
+        return "upperroman"
+    first = labels[0]
+    if re.fullmatch(r"\d+\.", first):
+        return "arabic"
+    if re.fullmatch(r"[a-z]\.", first):
+        return "loweralpha"
+    if re.fullmatch(r"[A-Z]\.", first):
+        return "upperalpha"
     return "unknown"
 
 
+def _table_widths_close(a: Block, b: Block) -> bool:
+    """NEIGHBOUR_TABLE_EPSILON analog (``TableBorderProcessor.java:228-236``):
+    fragments of one table have (nearly) equal width. HTML tables usually
+    carry no bbox, in which case column count alone decides (DOM layout gives
+    no width signal)."""
+    if a.bbox is None or b.bbox is None:
+        return True
+    wa, wb = a.bbox[2] - a.bbox[0], b.bbox[2] - b.bbox[0]
+    return abs(wa - wb) <= max(2.0, 0.05 * max(wa, wb))
+
+
 def merge_neighbor_structures(pages: List[List[Block]], cfg: ExtractorConfig) -> None:
-    """Merge a table/list that continues across a page break
+    """Merge a table/list that continues across page breaks
     (``TableBorderProcessor.checkNeighborTables`` /
-    ``ListProcessor.checkNeighborLists``, ``DocumentProcessor.java:417-423``):
-    a table ending page p merges with a same-column-count table starting
-    page p+1; a list continues when the label style matches, renumbering
-    ordered labels."""
-    for p in range(len(pages) - 1):
-        cur_vis = [b for b in pages[p] if b.type != HEADER_FOOTER]
-        nxt_vis = [b for b in pages[p + 1] if b.type != HEADER_FOOTER]
-        if not cur_vis or not nxt_vis:
-            continue
-        last, first = cur_vis[-1], nxt_vis[0]
-        if (cfg.detect_tables and last.type == TABLE and first.type == TABLE
-                and _table_ncols(last) == _table_ncols(first) > 0):
-            base_rows = len(last.kids)
-            for i, row in enumerate(first.kids):
-                row.row = base_rows + i
-                for cell in row.kids:
-                    cell.row = row.row
-                last.kids.append(row)
-            pages[p + 1].remove(first)
-        elif (cfg.detect_lists and last.type == LIST and first.type == LIST
-              and last.level == first.level
-              and _list_label_style(last) == _list_label_style(first) != "unknown"):
-            style = _list_label_style(last)
-            offset = sum(1 for it in last.kids if it.type == LIST_ITEM)
-            idx = offset
-            for item in first.kids:
-                if item.type == LIST_ITEM and style != "bullet":
-                    item.label = _list_label(style, idx)
-                    idx += 1
-                last.kids.append(item)
-            pages[p + 1].remove(first)
+    ``ListProcessor.checkNeighborLists``, ``DocumentProcessor.java:417-423``).
+
+    Reference style: ONE surviving table/list is tracked across the whole
+    document and every consecutive fragment merges into it (so 3+-page
+    structures chain); any intervening real content resets the chain.
+    Deviation from the PDF reference: fragments must sit on *different* pages
+    — in HTML, adjacent ``<table>`` elements on one page are explicit,
+    intentional boundaries, unlike detected PDF table regions."""
+    tracked: Optional[Block] = None
+    for page_blocks in pages:
+        merged_away: List[Block] = []
+        for b in page_blocks:
+            if b.type == HEADER_FOOTER:
+                continue  # boilerplate never breaks a continuation
+            if b.type == TABLE and cfg.detect_tables:
+                if (tracked is not None and tracked.type == TABLE
+                        and b.page != tracked.page
+                        and _table_ncols(tracked) == _table_ncols(b) > 0
+                        and _table_widths_close(tracked, b)):
+                    base_rows = len(tracked.kids)
+                    for i, row in enumerate(b.kids):
+                        row.row = base_rows + i
+                        for cell in row.kids:
+                            cell.row = row.row
+                        tracked.kids.append(row)
+                    merged_away.append(b)  # tracked keeps carrying to p+2…
+                else:
+                    tracked = b
+            elif b.type == LIST and cfg.detect_lists:
+                if (tracked is not None and tracked.type == LIST
+                        and b.page != tracked.page
+                        and tracked.level == b.level
+                        and _list_label_style(tracked) == _list_label_style(b)
+                        != "unknown"):
+                    style = _list_label_style(tracked)
+                    idx = sum(1 for it in tracked.kids if it.type == LIST_ITEM)
+                    for item in b.kids:
+                        if item.type == LIST_ITEM and style != "bullet":
+                            item.label = _list_label(style, idx)
+                            idx += 1
+                        tracked.kids.append(item)
+                    merged_away.append(b)
+                else:
+                    tracked = b
+            else:
+                tracked = None  # real content between fragments breaks the chain
+        for b in merged_away:
+            page_blocks.remove(b)
 
 
 def _normalize_page_number(text: str) -> str:

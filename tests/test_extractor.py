@@ -214,3 +214,48 @@ class TestCrossPageContinuation:
                 b'<div class="page"><ol><li>b</li></ol></div>')
         text = extract_text(html, CFG.with_(merge_across_pages=False))
         assert text == "1. a\n\n1. b"
+
+    def test_table_chains_across_three_pages(self):
+        """ADVICE r1: continuation must chain past the emptied middle page
+        (reference tracks previousTable across ALL pages)."""
+        html = (b'<div class="page"><table><tr><td>1</td><td>2</td></tr></table></div>'
+                b'<div class="page"><table><tr><td>3</td><td>4</td></tr></table></div>'
+                b'<div class="page"><table><tr><td>5</td><td>6</td></tr></table></div>')
+        assert extract_text(html) == "1 | 2\n3 | 4\n5 | 6"
+
+    def test_lowerroman_list_continuation(self):
+        """ADVICE r1: <ol type="i"> starts at 'i.' — source style (not label
+        re-parsing) must classify it lowerroman so the continuation renumbers
+        'iii.' instead of 'c.'."""
+        html = (b'<div class="page"><ol type="i"><li>a</li><li>b</li></ol></div>'
+                b'<div class="page"><ol type="i"><li>c</li></ol></div>')
+        assert extract_text(html) == "i. a\nii. b\niii. c"
+
+    def test_roman_continuation_from_iv(self):
+        html = (b'<div class="page"><ol type="i"><li>a</li><li>b</li><li>c</li>'
+                b'<li>d</li></ol></div>'
+                b'<div class="page"><ol type="i"><li>e</li></ol></div>')
+        assert extract_text(html) == "i. a\nii. b\niii. c\niv. d\nv. e"
+
+    def test_list_chains_across_three_pages(self):
+        html = (b'<div class="page"><ol><li>a</li></ol></div>'
+                b'<div class="page"><ol><li>b</li></ol></div>'
+                b'<div class="page"><ol><li>c</li></ol></div>')
+        assert extract_text(html) == "1. a\n2. b\n3. c"
+
+    def test_intervening_content_breaks_chain(self):
+        html = (b'<div class="page"><table><tr><td>1</td><td>2</td></tr></table>'
+                b'<p>between</p></div>'
+                b'<div class="page"><table><tr><td>3</td><td>4</td></tr></table></div>')
+        assert extract_text(html) == "1 | 2\nbetween\n\n3 | 4"
+
+    def test_width_mismatch_not_merged(self):
+        """ADVICE r1: same column count but very different widths (when bboxes
+        exist) → two unrelated tables, not one continuation."""
+        html = (b'<div class="page"><div style="position:absolute;left:0;top:0;'
+                b'width:600px;height:50px"><table><tr><td>1</td><td>2</td></tr>'
+                b'</table></div></div>'
+                b'<div class="page"><div style="position:absolute;left:0;top:0;'
+                b'width:100px;height:50px"><table><tr><td>3</td><td>4</td></tr>'
+                b'</table></div></div>')
+        assert extract_text(html) == "1 | 2\n\n3 | 4"

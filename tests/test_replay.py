@@ -161,6 +161,28 @@ class TestReplay:
         lin2 = replay(events_path, b.root, final_cfg)
         assert lin2 == []  # done markers short-circuit the whole range
 
+    def test_epoch_hole_backlog_replay(self, events_path, tmp_path):
+        """A hole (epoch committed earlier, out of order) inside the pending
+        range: later commits must incorporate the hole epoch's committed
+        snapshot instead of silently reverting its upserts (ADVICE r1)."""
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch, ingest_epochs
+
+        lake = Lake(str(tmp_path / "holes"), CFG.num_partitions)
+        ingest_epoch(events_path, lake, 1, CFG)
+        ingest_epochs(events_path, lake, [0, 2], CFG)
+        assert_state_matches_oracle(lake, pq.read_table(events_path))
+
+    def test_epoch_hole_final_mode(self, events_path, tmp_path):
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch, ingest_epochs
+
+        cfg = CDCConfig(num_partitions=CFG.num_partitions, epoch_size=CFG.epoch_size,
+                        backlog_snapshots="final", extract_batch_size=16,
+                        extract_concurrency=2)
+        lake = Lake(str(tmp_path / "holes_fin"), cfg.num_partitions)
+        ingest_epoch(events_path, lake, 1, cfg)
+        ingest_epochs(events_path, lake, [0, 2], cfg)
+        assert_state_matches_oracle(lake, pq.read_table(events_path))
+
     def test_unsalted_equals_salted(self, events_path, tmp_path):
         salted_cfg = CDCConfig(num_partitions=CFG.num_partitions, num_salts=4,
                                epoch_size=CFG.epoch_size, salted_merge=True,
