@@ -48,6 +48,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(EMB_QUERIES)
     except ImportError:
         pass
+    try:
+        from opendataloader_pdf_ray.pipelines.hybrid_queries import HYBRID_QUERIES
+
+        out.update(HYBRID_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.multimodal_queries import MM_QUERIES
+
+        out.update(MM_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -70,6 +82,18 @@ def oracle_sql() -> dict[str, str]:
         from opendataloader_pdf_ray.pipelines.embeddings import EMB_ORACLE_SQL
 
         out.update(EMB_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.hybrid_queries import HYBRID_ORACLE_SQL
+
+        out.update(HYBRID_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.multimodal_queries import MM_ORACLE_SQL
+
+        out.update(MM_ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -4,24 +4,34 @@ Layout (resumable-output rule: one directory per partition, never one giant
 file):
 
     <root>/part=<k>/epoch=<e>.parquet      full partition state after epoch e
-    <root>/_commits/part-<k>-epoch-<e>.json   atomic commit record + lineage
+    <root>/_commits/part-<k>-epoch-<e>.json   commit record + lineage
     <root>/_commits/epoch-<e>.done            whole-epoch completion marker
 
-Exactly-once: a partition task stages its parquet under a temp name, renames
-it into place (atomic on POSIX), then renames the commit record into place.
-A retried task first checks the commit record and becomes a no-op
-(SURVEY.md §2.9/§7.4). The commit record doubles as the lineage record
-(event seq range consumed, rows upserted/deleted, epoch).
+Storage is abstracted over **fsspec** (round-2): ``root`` may be a plain
+POSIX path, ``file:///…`` or ``memory://…`` (object-store-shaped). The commit
+protocol is rename-free by design — atomic rename does not exist on object
+stores — so the COMMIT POINT is "the commit record exists", checked before
+write and trusted by every reader:
+
+- the data file is written under its final deterministic name; a retried task
+  rewrites byte-identical content (extraction/merge are deterministic), so a
+  concurrent double-PUT is harmless,
+- the tiny commit record is then written in one call (single PUT — atomic on
+  object stores); on local filesystems it is staged + renamed for the same
+  no-partial-read guarantee,
+- a retried task first checks the commit record and becomes a no-op
+  (SURVEY.md §2.9/§7.4). The commit record doubles as the lineage record.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import uuid
 from dataclasses import asdict, dataclass
 from typing import Dict, List, Optional
 
+import fsspec
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -44,45 +54,59 @@ class Lake:
     def __init__(self, root: str, num_partitions: int):
         self.root = root
         self.num_partitions = num_partitions
-        os.makedirs(self._commits_dir(), exist_ok=True)
+        self.fs, self._base = fsspec.core.url_to_fs(root)
+        self._is_local = "file" in (self.fs.protocol if isinstance(self.fs.protocol, (list, tuple))
+                                    else (self.fs.protocol,))
+        self.fs.makedirs(self._commits_dir(), exist_ok=True)
 
     # ------------------------------------------------------------------- paths
     def _part_dir(self, part: int) -> str:
-        return os.path.join(self.root, f"part={part:04d}")
+        return posixpath.join(self._base, f"part={part:04d}")
 
     def _commits_dir(self) -> str:
-        return os.path.join(self.root, "_commits")
+        return posixpath.join(self._base, "_commits")
 
     def _commit_path(self, part: int, epoch: int) -> str:
-        return os.path.join(self._commits_dir(), f"part-{part:04d}-epoch-{epoch:06d}.json")
+        return posixpath.join(self._commits_dir(), f"part-{part:04d}-epoch-{epoch:06d}.json")
 
     def _data_path(self, part: int, epoch: int) -> str:
-        return os.path.join(self._part_dir(part), f"epoch={epoch:06d}.parquet")
+        return posixpath.join(self._part_dir(part), f"epoch={epoch:06d}.parquet")
 
     def epoch_done_path(self, epoch: int) -> str:
-        return os.path.join(self._commits_dir(), f"epoch-{epoch:06d}.done")
+        return posixpath.join(self._commits_dir(), f"epoch-{epoch:06d}.done")
+
+    # ------------------------------------------------------------- atomic write
+    def _write_small_atomic(self, path: str, data: bytes) -> None:
+        """Single-call write for tiny records: one PUT on object stores; on
+        local filesystems staged + renamed so readers never see partial
+        content."""
+        if self._is_local:
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with self.fs.open(tmp, "wb") as f:
+                f.write(data)
+            self.fs.mv(tmp, path)
+        else:
+            self.fs.pipe_file(path, data)
 
     # ------------------------------------------------------------------ status
     def is_committed(self, part: int, epoch: int) -> bool:
-        return os.path.exists(self._commit_path(part, epoch))
+        return self.fs.exists(self._commit_path(part, epoch))
 
     def is_epoch_done(self, epoch: int) -> bool:
-        return os.path.exists(self.epoch_done_path(epoch))
+        return self.fs.exists(self.epoch_done_path(epoch))
 
     def mark_epoch_done(self, epoch: int) -> None:
-        tmp = self.epoch_done_path(epoch) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write("done")
-        os.rename(tmp, self.epoch_done_path(epoch))
+        self._write_small_atomic(self.epoch_done_path(epoch), b"done")
 
     def committed_epochs(self, part: int) -> List[int]:
         prefix = f"part-{part:04d}-epoch-"
         out = []
         try:
-            names = os.listdir(self._commits_dir())
+            names = self.fs.ls(self._commits_dir(), detail=False)
         except FileNotFoundError:
             return []
-        for name in names:
+        for full in names:
+            name = posixpath.basename(full)
             if name.startswith(prefix) and name.endswith(".json"):
                 out.append(int(name[len(prefix):-5]))
         return sorted(out)
@@ -102,13 +126,14 @@ class Lake:
         # reclaimed older ones; commit records are kept for lineage)
         for epoch in reversed(epochs):
             path = self._data_path(part, epoch)
-            if os.path.exists(path):
-                return pq.read_table(path)
+            if self.fs.exists(path):
+                return pq.read_table(path, filesystem=self.fs)
         return None
 
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
         """Latest committed (and still-present) file per partition — the input
-        list for a ``ray.data.read_parquet`` over current state."""
+        list for a ``ray.data.read_parquet`` over current state (pass
+        ``filesystem=lake.fs`` for non-local roots)."""
         files = []
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
@@ -116,7 +141,7 @@ class Lake:
                 epochs = [e for e in epochs if e <= as_of]
             for epoch in reversed(epochs):
                 path = self._data_path(part, epoch)
-                if os.path.exists(path):
+                if self.fs.exists(path):
                     files.append(path)
                     break
         return files
@@ -142,36 +167,31 @@ class Lake:
     # ------------------------------------------------------------------ commit
     def commit_partition(self, part: int, epoch: int, table: pa.Table,
                          lineage: Lineage) -> Lineage:
-        """Write-then-atomic-rename; no-op if (part, epoch) already committed."""
+        """Write data, then publish the commit record; no-op if (part, epoch)
+        already committed. The commit-record existence check is the commit
+        point (object-store safe; no rename required)."""
         if self.is_committed(part, epoch):
             prior = self.read_lineage(part, epoch)
             prior.skipped = True
             return prior
-        os.makedirs(self._part_dir(part), exist_ok=True)
-        data_path = self._data_path(part, epoch)
-        tmp = data_path + f".tmp-{uuid.uuid4().hex}"
+        self.fs.makedirs(self._part_dir(part), exist_ok=True)
         # zstd: ~3× smaller snapshots; the (de)compression cpu is spent inside
         # the parallel partition tasks, where it scales with the cluster,
-        # unlike raw disk bandwidth
-        pq.write_table(table, tmp, compression="zstd")
-        os.rename(tmp, data_path)
-        commit_path = self._commit_path(part, epoch)
-        ctmp = commit_path + f".tmp-{uuid.uuid4().hex}"
-        with open(ctmp, "w") as f:
-            json.dump(asdict(lineage), f)
-        # the rename is the commit point; if we crash before it, the data file
-        # is orphaned and the retry rewrites + recommits it (idempotent)
-        if self.is_committed(part, epoch):
-            os.remove(ctmp)
+        # unlike raw disk bandwidth. Deterministic content → concurrent
+        # retried writers produce byte-identical files.
+        pq.write_table(table, self._data_path(part, epoch), compression="zstd",
+                       filesystem=self.fs)
+        if self.is_committed(part, epoch):  # lost the publish race to a retry
             prior = self.read_lineage(part, epoch)
             prior.skipped = True
             return prior
-        os.rename(ctmp, commit_path)
+        self._write_small_atomic(self._commit_path(part, epoch),
+                                 json.dumps(asdict(lineage)).encode())
         return lineage
 
     def read_lineage(self, part: int, epoch: int) -> Lineage:
-        with open(self._commit_path(part, epoch)) as f:
-            return Lineage(**json.load(f))
+        with self.fs.open(self._commit_path(part, epoch), "rb") as f:
+            return Lineage(**json.loads(f.read().decode()))
 
     def vacuum(self, keep_snapshots: int = 1) -> int:
         """Remove superseded CoW snapshot files, keeping the latest
@@ -185,15 +205,20 @@ class Lake:
             epochs = self.committed_epochs(part)
             for epoch in epochs[:-keep_snapshots] if keep_snapshots else epochs:
                 path = self._data_path(part, epoch)
-                if os.path.exists(path):
-                    os.remove(path)
+                if self.fs.exists(path):
+                    self.fs.rm_file(path)
                     removed += 1
         return removed
 
     def all_lineage(self) -> List[Dict]:
         out = []
-        for name in sorted(os.listdir(self._commits_dir())):
+        try:
+            names = sorted(self.fs.ls(self._commits_dir(), detail=False))
+        except FileNotFoundError:
+            return []
+        for full in names:
+            name = posixpath.basename(full)
             if name.startswith("part-") and name.endswith(".json"):
-                with open(os.path.join(self._commits_dir(), name)) as f:
-                    out.append(json.load(f))
+                with self.fs.open(full, "rb") as f:
+                    out.append(json.loads(f.read().decode()))
         return out

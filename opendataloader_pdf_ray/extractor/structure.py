@@ -628,36 +628,126 @@ def _normalize_page_number(text: str) -> str:
     return _DIGIT_RE.sub("#", text)
 
 
+_ROMAN_TOKEN_RE = re.compile(r"\b([ivxlcdm]{1,7}|[IVXLCDM]{1,7})\b")
+_ROMAN_VAL = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+
+
+def _roman_to_int(tok: str) -> Optional[int]:
+    total, prev = 0, 0
+    for ch in reversed(tok.lower()):
+        v = _ROMAN_VAL.get(ch)
+        if v is None:
+            return None
+        if v < prev:
+            total -= v
+        else:
+            total += v
+            prev = v
+    return total if total > 0 else None
+
+
+def _hf_numbers(text: str) -> Tuple[str, List[int]]:
+    """Normalize page-number-like tokens to '#' and return their values —
+    arabic digits always; standalone roman numerals only in short texts (the
+    RomanNumbers label algorithm applies to footer-length lines)."""
+    nums: List[int] = []
+
+    def sub_digit(m: "re.Match") -> str:
+        nums.append(int(m.group(0)))
+        return "#"
+
+    norm = _DIGIT_RE.sub(sub_digit, text)
+    if len(text) <= 30:
+        def sub_roman(m: "re.Match") -> str:
+            val = _roman_to_int(m.group(0))
+            if val is None:
+                return m.group(0)
+            nums.append(val)
+            return "#"
+
+        norm = _ROMAN_TOKEN_RE.sub(sub_roman, norm)
+    return norm, nums
+
+
+def _hf_match(a: Block, b: Block, dist: int) -> bool:
+    """``arePossibleHeadersOrFooters`` analog (HeaderFooterProcessor.java:
+    276-310): equal font size, equal text — or a label sequence: identical
+    normalized shape whose numeric groups are equal or exactly one advances by
+    the page distance (the Arabic/Roman label-detection algorithms with
+    ``increment``)."""
+    if a.font_size and b.font_size and a.font_size != b.font_size:
+        return False
+    if a.text == b.text:
+        return True
+    norm_a, nums_a = _hf_numbers(a.text)
+    norm_b, nums_b = _hf_numbers(b.text)
+    if norm_a != norm_b or len(nums_a) != len(nums_b) or not nums_a:
+        return False
+    diffs = [y - x for x, y in zip(nums_a, nums_b)]
+    changing = [d for d in diffs if d != 0]
+    if not changing:
+        return True  # same shape, same numbers (e.g. a date line)
+    return len(changing) == 1 and changing[0] == dist
+
+
 def detect_header_footer(pages: List[List[Block]], cfg: ExtractorConfig) -> None:
-    """Cross-page repetition vote (``HeaderFooterProcessor.java:117-220``): the
-    first (last) block of a page whose digit-normalized text recurs as the
-    first (last) block of ≥1 other page becomes header (footer) boilerplate.
-    Page-number-only variation is absorbed by digit normalization (the
-    reference's label-sequence detection)."""
+    """Cross-page repetition vote (``HeaderFooterProcessor.java:117-220``),
+    reference-style: the header (footer) region GROWS block by block — depth d
+    is accepted on a page when its d-th block from the top (bottom) matches
+    the same-depth block on page ±1 (or ±2: two-page alternating layouts) by
+    equal text or a page-number label sequence. Matched blocks become
+    header/footer boilerplate containers."""
     if not cfg.detect_header_footer or len(pages) < 2:
         return
 
     def texty(b: Block) -> bool:
         return b.type in (PARAGRAPH, TEXT_BLOCK, HEADING)
 
-    firsts: dict = {}
-    lasts: dict = {}
-    for page_blocks in pages:
-        vis = [b for b in page_blocks if b.type != HEADER_FOOTER]
-        if vis and texty(vis[0]):
-            key = _normalize_page_number(vis[0].text)
-            firsts[key] = firsts.get(key, 0) + 1
-        if len(vis) > 1 and texty(vis[-1]):
-            key = _normalize_page_number(vis[-1].text)
-            lasts[key] = lasts.get(key, 0) + 1
-    for page_blocks in pages:
-        for pos, counts, label in ((0, firsts, "header"), (-1, lasts, "footer")):
-            vis = [b for b in page_blocks if b.type != HEADER_FOOTER]
-            if not vis or (pos == -1 and len(vis) < 2):
-                continue
-            b = vis[pos]
-            if texty(b) and counts.get(_normalize_page_number(b.text), 0) >= 2:
-                idx = page_blocks.index(b)
-                hf = Block(type=HEADER_FOOTER, page=b.page, label=label)
-                hf.kids.append(b)
-                page_blocks[idx] = hf
+    vis = [[b for b in p if b.type != HEADER_FOOTER] for p in pages]
+    n = len(pages)
+    n_header = [0] * n
+    n_footer = [0] * n
+    for is_header in (True, False):
+        counts = n_header if is_header else n_footer
+        other = n_footer if is_header else n_header
+        depth = 0
+        while True:
+            cands: List[Optional[Block]] = []
+            for p in range(n):
+                blocks = vis[p]
+                if counts[p] != depth:
+                    cands.append(None)
+                    continue
+                # never absorb the whole page or overlap the opposite region
+                if depth + other[p] + 1 >= len(blocks):
+                    cands.append(None)
+                    continue
+                idx = depth if is_header else len(blocks) - 1 - depth
+                b = blocks[idx]
+                cands.append(b if texty(b) else None)
+            accepted: set = set()
+            for inc in (1, 2):
+                for p in range(n - inc):
+                    if (cands[p] is not None and cands[p + inc] is not None
+                            and _hf_match(cands[p], cands[p + inc], inc)):
+                        accepted.add(p)
+                        accepted.add(p + inc)
+            if not accepted:
+                break
+            for p in accepted:
+                counts[p] += 1
+            depth += 1
+    for p in range(n):
+        blocks = vis[p]
+        for d in range(min(n_header[p], len(blocks))):
+            b = blocks[d]
+            idx = pages[p].index(b)
+            hf = Block(type=HEADER_FOOTER, page=b.page, label="header")
+            hf.kids.append(b)
+            pages[p][idx] = hf
+        for d in range(min(n_footer[p], max(0, len(blocks) - n_header[p]))):
+            b = blocks[len(blocks) - 1 - d]
+            idx = pages[p].index(b)
+            hf = Block(type=HEADER_FOOTER, page=b.page, label="footer")
+            hf.kids.append(b)
+            pages[p][idx] = hf

@@ -102,6 +102,44 @@ class ImageFeaturizer:
             "embedding", pa.array(embs, pa.list_(pa.float32())))
 
 
+class ImageAssetExtractor:
+    """map_batches(ImageAssetExtractor, batch_size=SMALL, concurrency=N):
+    (url, html) rows → one row per embedded/external ``<img>`` asset
+    (``ImagesUtils.java:66-139`` / ``Base64ImageUtils.java`` analog; parsing
+    in :mod:`..extractor.assets`). Output: url, asset_idx, mime, image
+    (binary payload or null for external refs), src_ref, n_bytes."""
+
+    def __init__(self, cfg=None, embedded_only: bool = True):
+        from ..config import ExtractorConfig
+
+        self.cfg = cfg or ExtractorConfig()
+        self.embedded_only = embedded_only
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..extractor.assets import extract_image_assets
+
+        urls, idxs, mimes, payloads, refs = [], [], [], [], []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"]):
+            payload = html.as_py()
+            if payload is None:
+                continue
+            for a in extract_image_assets(payload, self.cfg):
+                if self.embedded_only and a["data"] is None:
+                    continue
+                urls.append(url)
+                idxs.append(a["asset_idx"])
+                mimes.append(a["mime"])
+                payloads.append(a["data"])
+                refs.append(a["src_ref"])
+        n_bytes = [len(p) if p is not None else 0 for p in payloads]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "asset_idx": pa.array(idxs, pa.int32()),
+                         "mime": pa.array(mimes, pa.string()),
+                         "image": pa.array(payloads, pa.binary()),
+                         "src_ref": pa.array(refs, pa.string()),
+                         "n_bytes": pa.array(n_bytes, pa.int64())})
+
+
 class AudioFrameSampler:
     """Audio binary → deterministic frame-sample offsets (stubbed decode).
     Shows the frame-sampling plumbing: one input row → list of frame rows."""

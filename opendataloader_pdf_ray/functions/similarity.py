@@ -75,7 +75,8 @@ class HyperplaneLSH:
 
 def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
              nbits: int = 8, probe_hamming: int = 1, dim: Optional[int] = None,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> pa.Table:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_ids: Optional[set] = None) -> pa.Table:
     """Approximate top-k: score only rows whose bucket is within
     ``probe_hamming`` bits of the query's bucket."""
     q = np.asarray(query, dtype=np.float64)
@@ -100,4 +101,5 @@ def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
     candidates = bucketed.map_batches(
         lambda t: t.filter(pc.is_in(t["bucket"], value_set=probe_arr)),
         batch_format="pyarrow")
-    return brute_force_topk(candidates, query, k=k, id_col=id_col, emb_col=emb_col)
+    return brute_force_topk(candidates, query, k=k, id_col=id_col,
+                            emb_col=emb_col, exclude_ids=exclude_ids)

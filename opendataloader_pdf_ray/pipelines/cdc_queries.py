@@ -136,13 +136,18 @@ def cdc_asof_enrich(sf_dir: str):
     Key-bucketed: groupby(user_id) → pd.merge_asof per group."""
     import pandas as pd
 
+    from .common import n_buckets
+
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    buckets = n_buckets()  # scaled with cluster size (verdict item #6): each
+    # task holds ~1/buckets of the data, not a fixed 1/32
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         users = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket", pa.array((users % 32).astype(np.int32)))
+        return batch.append_column(
+            "bucket", pa.array((users % buckets).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one task per user-hash bucket; merge_asof's by= handles the keys —
@@ -176,13 +181,17 @@ def cdc_user_sessions(sf_dir: str):
     ts-sorted group."""
     import pandas as pd
 
+    from .common import n_buckets
+
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    buckets = n_buckets()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         users = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket", pa.array((users % 32).astype(np.int32)))
+        return batch.append_column(
+            "bucket", pa.array((users % buckets).astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])

@@ -65,3 +65,36 @@ def broadcast(obj) -> "ray.ObjectRef":
     """Put a small lookup structure in the object store ONCE; workers read it
     zero-copy per task instead of re-shipping per batch (SURVEY.md joins)."""
     return ray.put(obj)
+
+
+def _cluster_cpus(default: int = 4) -> int:
+    try:
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default))
+    except Exception:  # pragma: no cover
+        pass
+    return default
+
+
+def stage_concurrency(lo: int = 2, hi: int = 16) -> int:
+    """Actor-pool size scaled to the cluster instead of a hard-coded literal
+    (round-1 verdict item #8): half the CPUs, clamped to [lo, hi] so several
+    pools can coexist without any one starving the others."""
+    return max(lo, min(hi, _cluster_cpus() // 2))
+
+
+def key_partition(values, num_partitions: int) -> np.ndarray:
+    """Deterministic key→bucket hash (process-independent: pandas hash_array
+    uses a fixed key, unlike Python's salted ``hash()``)."""
+    import pandas as pd
+
+    codes = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    return (codes % np.uint64(num_partitions)).astype(np.int32)
+
+
+def n_buckets(per_core: int = 4, lo: int = 32) -> int:
+    """Group-bucket count for key-bucketed map_groups stages, scaled with the
+    cluster (SURVEY.md §4: P = O(4×cores)) — a fixed 32 caps parallelism AND
+    means each task holds 1/32 of the dataset regardless of data size
+    (round-1 verdict item #6)."""
+    return max(lo, per_core * _cluster_cpus())

@@ -1,0 +1,92 @@
+"""Hybrid two-path pipeline queries (SURVEY.md §3.2 routed extraction).
+
+Input pages are derived deterministically from the driver ``documents`` table;
+a hash-chosen subset carries table / image / replacement-char markup so the
+triage router genuinely routes both ways (the reference's signal set,
+``core/hybrid/TriageProcessor.java:648-689``)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.hybrid import hybrid_extract, triage_tally
+from .common import read_table
+from .flagship import html_from_doc
+
+
+def _doc_pages(sf_dir: str) -> "ray.data.Dataset":
+    """documents → (url, html) with deterministic triage-signal markup:
+    doc_id % 3 == 0 → embedded <table>; % 5 == 0 → <img>; % 11 == 0 →
+    replacement chars; everything else plain paragraphs (local route)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for did, text, lang in zip(batch["doc_id"].to_pylist(),
+                                   batch["text"].to_pylist(),
+                                   batch["lang"].to_pylist()):
+            html = html_from_doc(did, text, lang, 0).decode("utf-8")
+            if did % 3 == 0:
+                words = text.split()[:4] + ["", "", "", ""]
+                rows = "".join(f"<tr><td>{i}</td><td>{words[i]}</td></tr>"
+                               for i in range(4))
+                html = html.replace("</div>", f"<table>{rows}</table></div>")
+            elif did % 5 == 0:
+                html = html.replace("</div>", '<img alt="figure"/></div>')
+            elif did % 11 == 0:
+                # enough replacement chars to clear the 0.3% byte-ratio signal
+                # regardless of page size (n/(L+3n) ≥ 0.003 for n = 0.004·L)
+                import math
+
+                n_bad = max(3, math.ceil(0.004 * len(html.encode("utf-8"))))
+                html = html.replace("</div>", f"<p>bad scan {'�' * n_bad}</p></div>")
+            urls.append(f"https://docs.example/{did:06d}")
+            htmls.append(html.encode("utf-8"))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+def hybrid_routed_extract(sf_dir: str):
+    """Full two-path pipeline: triage route → local extractor on everything +
+    backend stand-in on backend-routed pages → trustStream reconcile.
+    Not SQL-expressible (extraction + similarity gate) — rows-only driver
+    check; the route/fallback/merge semantics are pytest-pinned
+    (tests/test_hybrid.py, mirroring TriageProcessorTest)."""
+    return hybrid_extract(_doc_pages(sf_dir))
+
+
+def hybrid_triage_tally(sf_dir: str):
+    """Triage routing tally (HybridDocumentProcessor.java:1489). The markup
+    that triggers each signal is a pure function of doc_id, so the tally IS
+    SQL-expressible — a real correctness gate on the router."""
+    return triage_tally(_doc_pages(sf_dir))
+
+
+# the markup is a pure function of doc_id and each signal is guaranteed to
+# fire (the %11 docs carry enough � to clear the 0.3% byte ratio at any page
+# size), so the router's tally reduces to doc_id arithmetic
+HYBRID_TRIAGE_TALLY_SQL = """
+SELECT route, count(*) AS n FROM (
+    SELECT CASE
+        WHEN doc_id % 3 = 0 THEN 'backend'          -- <table> signal (0.9)
+        WHEN doc_id % 5 = 0 THEN 'backend'          -- <img> signal (0.85)
+        WHEN doc_id % 11 = 0 THEN 'backend'         -- replacement-char (1.0)
+        ELSE 'local'
+    END AS route FROM documents
+) GROUP BY route
+"""
+
+
+HYBRID_QUERIES = {
+    "hybrid_routed_extract": hybrid_routed_extract,
+    "hybrid_triage_tally": hybrid_triage_tally,
+}
+
+HYBRID_ORACLE_SQL = {
+    "hybrid_triage_tally": HYBRID_TRIAGE_TALLY_SQL,
+    # hybrid_routed_extract: extraction — rows-only
+}

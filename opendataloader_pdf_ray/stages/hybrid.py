@@ -1,0 +1,179 @@
+"""Two-path routed extraction — the hybrid-pipeline analog (SURVEY.md §3.2).
+
+Mirrors ``core/processors/HybridDocumentProcessor.java:229-340`` end to end:
+
+1. Phase 0 — backend health check with Java-fallback
+   (``HybridDocumentProcessor.java:256-268``, ``core/hybrid/HybridClient.java``):
+   an unhealthy backend either fails fast or routes everything down the
+   deterministic local path.
+2. Phase 1/2 — triage routing per record from cheap byte-level signals
+   (``core/hybrid/TriageProcessor.java:648-689`` → ``stages/triage.py``).
+3. Phase 3/4 — split: the LOCAL extractor (actor pool) runs on everything
+   (the reference extracts its Java stream text for backend pages too, as
+   enrichment input); the BACKEND stand-in actor runs on backend-routed
+   records only.
+4. Merge — per-key trustStream reconcile
+   (``HybridDocumentProcessor.java:1417-1463`` +
+   ``core/hybrid/TextSimilarity.java:46-50`` → ``functions/reconcile.py``):
+   similar → trust the deterministic local text, dissimilar → backend wins.
+
+The backend is a STAND-IN: this environment has no model runtime, so
+``BackendStub`` deterministically simulates a model server (per-actor "model"
+state, enrichment metadata, OCR-style degradation on a hash-selected subset so
+the reconcile gate exercises both branches). The Ray plumbing — routing,
+two actor pools, reconcile shuffle — is the real, tested surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import ExtractorConfig
+from ..extractor import ContentSanitizer, extract
+from ..functions.reconcile import reconcile_variants
+from ..pipelines.common import stage_concurrency
+from .extract_stage import HtmlExtractor
+from .triage import ROUTE_BACKEND, TriageRouter
+
+
+def _stable_h(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+class BackendStub:
+    """Model-backend client stand-in (``core/hybrid/DoclingFastServerClient``
+    analog): per-actor state built once (__init__ = the singleton model load
+    the reference measured 3.3× faster than per-request), per-batch inference
+    in __call__. Output mirrors the backend surface: text + ``ai_score`` +
+    ``source_label`` enrichment (``core/hybrid/ElementMetadata.java``).
+
+    Deterministic degradation: records whose url-hash % ``degrade_every`` == 0
+    get word-scrambled text (the OCR-noise case) so trustStream's
+    dissimilar→backend branch is exercised; everything else matches the local
+    stream closely (similar→local branch)."""
+
+    def __init__(self, cfg: Optional[ExtractorConfig] = None,
+                 degrade_every: int = 7):
+        self.cfg = cfg or ExtractorConfig()
+        self.sanitizer = ContentSanitizer(self.cfg.sanitization_rules)
+        self.degrade_every = degrade_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts: List[Optional[str]] = []
+        scores: List[float] = []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"]):
+            payload = html.as_py()
+            if payload is None:
+                texts.append(None)
+                scores.append(0.0)
+                continue
+            r = extract(payload, self.cfg, sanitizer=self.sanitizer)
+            text = r.text
+            h = _stable_h(url)
+            if self.degrade_every and h % self.degrade_every == 0:
+                text = " ".join(reversed(text.split()))  # OCR-ish scramble
+            texts.append(text)
+            scores.append(round(0.85 + (h % 10) / 100.0, 2))
+        return pa.table({
+            "url": batch["url"],
+            "text": pa.array(texts, pa.string()),
+            "ai_score": pa.array(scores, pa.float64()),
+            "source_label": pa.array(["backend"] * batch.num_rows, pa.string()),
+        })
+
+
+class RouteAndExtract:
+    """Triage + local extraction fused into ONE actor-pool pass (the local
+    extractor runs on every record anyway — the reference extracts its Java
+    stream text for backend pages too, as enrichment input). The wide ``html``
+    payload survives only on backend-routed rows (their only consumer), so the
+    materialized intermediate and every downstream shuffle stay slim."""
+
+    def __init__(self, cfg: Optional[ExtractorConfig] = None):
+        self.cfg = cfg or ExtractorConfig()
+        self.router = TriageRouter(self.cfg)
+        self.extractor = HtmlExtractor(self.cfg, include_blocks=False,
+                                       drop_html=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        routed = self.router(batch)
+        extracted = self.extractor(routed)
+        is_backend = pc.equal(extracted["route"], pa.scalar(ROUTE_BACKEND))
+        html = pc.if_else(is_backend, extracted["html"],
+                          pa.scalar(None, pa.binary()))
+        return pa.table({"url": extracted["url"],
+                         "route": extracted["route"],
+                         "text": extracted["text"],
+                         "html": html})
+
+
+def hybrid_extract(ds: "ray.data.Dataset",
+                   cfg: Optional[ExtractorConfig] = None,
+                   backend_healthy: bool = True,
+                   fallback: bool = True,
+                   trust_threshold: float = 0.5,
+                   degrade_every: int = 7,
+                   concurrency: Optional[int] = None) -> "ray.data.Dataset":
+    """Route → two-path extract → trustStream reconcile over a dataset with
+    (url: string, html: binary) columns. Returns (url, text, source, sim).
+
+    ``backend_healthy=False`` simulates a failed health check: with
+    ``fallback`` the whole stream takes the local path (reference
+    ``--hybrid-fallback``); without it the pipeline fails fast.
+
+    Topology notes (single-node honesty, same pathology as ingest.py): the
+    fused route+extract pool runs at fractional num_cpus and the intermediate
+    is materialized — the result is consumed by BOTH the local side and the
+    backend filter, and tearing the pool down before the reconcile shuffle
+    avoids the pool+AllToAll CPU-reservation deadlock."""
+    cfg = cfg or ExtractorConfig()
+    conc = concurrency or stage_concurrency()
+
+    if not backend_healthy and not fallback:
+        raise RuntimeError(
+            "hybrid backend unavailable and fallback disabled "
+            "(HybridDocumentProcessor.java:256-268 fail-fast)")
+
+    combined = ds.map_batches(
+        RouteAndExtract, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
+    ).materialize()
+
+    local_all = combined.map_batches(lambda t: t.select(["url", "text"]),
+                                     batch_format="pyarrow")
+
+    if not backend_healthy:  # Java-fallback: local path only
+        return local_all.map_batches(
+            lambda t: t.append_column("source", pa.array(["local"] * t.num_rows))
+                       .append_column("sim", pa.array([1.0] * t.num_rows)),
+            batch_format="pyarrow")
+
+    backend_in = combined.map_batches(
+        lambda t: t.filter(pc.equal(t["route"], pa.scalar(ROUTE_BACKEND))),
+        batch_format="pyarrow")
+    backend_out = backend_in.map_batches(
+        BackendStub,
+        fn_constructor_kwargs={"cfg": cfg, "degrade_every": degrade_every},
+        batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
+    ).map_batches(lambda t: t.select(["url", "text"]),
+                  batch_format="pyarrow").materialize()
+
+    return reconcile_variants(local_all, backend_out, key="url",
+                              trust_threshold=trust_threshold)
+
+
+def triage_tally(ds: "ray.data.Dataset",
+                 cfg: Optional[ExtractorConfig] = None) -> "ray.data.Dataset":
+    """Routing summary counts (``HybridDocumentProcessor.java:1489`` tally)."""
+    from ray.data.aggregate import Count
+
+    routed = ds.map_batches(TriageRouter, fn_constructor_kwargs={"cfg": cfg},
+                            batch_format="pyarrow",
+                            concurrency=stage_concurrency(), num_cpus=0.5)
+    return routed.groupby("route").aggregate(Count(alias_name="n"))

@@ -126,6 +126,42 @@ class TestHeaderFooter:
     def test_single_page_untouched(self):
         assert extract_text(b'<div class="page"><p>solo</p></div>') == "solo"
 
+    def test_multi_block_footer_grows(self):
+        """Reference-style region growth: consecutive repeated trailing blocks
+        are ALL footer (getNumberOfHeaderOrFooterContentsForEachPage loop)."""
+        html = (b'<div class="page"><p>body one</p><p>Confidential</p><p>Page 1</p></div>'
+                b'<div class="page"><p>body two</p><p>Confidential</p><p>Page 2</p></div>')
+        assert extract_text(html) == "body one\n\nbody two"
+
+    def test_roman_page_numbers(self):
+        """RomanNumbers label algorithm: 'Page iv' / 'Page v' form a sequence."""
+        html = (b'<div class="page"><p>alpha</p><p>Page iv</p></div>'
+                b'<div class="page"><p>beta</p><p>Page v</p></div>')
+        assert extract_text(html) == "alpha\n\nbeta"
+
+    def test_two_page_alternating_style(self):
+        """2-page increment: odd/even pages carry different running headers
+        (HeaderFooterProcessor.java increment=2 pass)."""
+        html = (b'<div class="page"><p>Chapter One</p><p>a</p></div>'
+                b'<div class="page"><p>ACME Corp</p><p>b</p></div>'
+                b'<div class="page"><p>Chapter One</p><p>c</p></div>'
+                b'<div class="page"><p>ACME Corp</p><p>d</p></div>')
+        assert extract_text(html) == "a\n\nb\n\nc\n\nd"
+
+    def test_non_sequence_numbers_not_footer(self):
+        """Numbers that do not increment with the page distance are body text
+        (the reference's label algorithms verify the arithmetic sequence)."""
+        html = (b'<div class="page"><p>one</p><p>total 17 units</p></div>'
+                b'<div class="page"><p>two</p><p>total 52 units</p></div>')
+        assert extract_text(html) == "one\ntotal 17 units\n\ntwo\ntotal 52 units"
+
+    def test_whole_page_never_absorbed(self):
+        """A page that is ONLY a repeated line keeps its content (the region
+        may not swallow the entire page)."""
+        html = (b'<div class="page"><p>Notice</p></div>'
+                b'<div class="page"><p>Notice</p></div>')
+        assert extract_text(html) == "Notice\n\nNotice"
+
 
 class TestReadingOrder:
     def test_two_columns_column_major(self):
@@ -137,6 +173,34 @@ class TestReadingOrder:
 
     def test_flow_order_preserved(self):
         assert extract_text(b"<p>a</p><p>b</p><p>c</p>") == "a\nb\nc"
+
+    def test_narrow_outlier_retry(self):
+        """XYCutPlusPlusSorter.java:400-444: narrow elements (< 10% region
+        width) bridging the column gap are ignored when re-detecting the
+        vertical cut, so the columns still split column-major."""
+        def div(x0, y0, x1, y1, label):
+            return (f'<div style="position:absolute;left:{x0}px;top:{y0}px;'
+                    f'width:{x1-x0}px;height:{y1-y0}px"><p>{label}</p></div>')
+
+        html = (div(20, 10, 320, 200, "L1") + div(420, 10, 720, 200, "R1")
+                + div(315, 150, 375, 230, "m1") + div(370, 240, 430, 300, "m2")
+                + div(20, 220, 320, 500, "L2") + div(420, 220, 720, 500, "R2")
+                ).encode()
+        assert extract_text(html) == "L1\nm1\nL2\nR1\nR2\nm2"
+
+    def test_cross_layout_banner_masked(self):
+        """A full-width banner (≥ 2× median width, overlapping ≥2 elements)
+        bridging the row gap is pre-masked so the rows still segment, then
+        Y-merged back by position (XYCutPlusPlusSorter phases 1 & 4)."""
+        def div(x0, y0, x1, y1, label):
+            return (f'<div style="position:absolute;left:{x0}px;top:{y0}px;'
+                    f'width:{x1-x0}px;height:{y1-y0}px"><p>{label}</p></div>')
+
+        html = (div(20, 10, 320, 300, "L1") + div(420, 10, 720, 300, "R1")
+                + div(20, 250, 720, 380, "banner")
+                + div(20, 420, 320, 700, "L2") + div(420, 420, 720, 700, "R2")
+                ).encode()
+        assert extract_text(html) == "L1\nR1\nbanner\nL2\nR2"
 
 
 class TestSanitizer:

@@ -1,0 +1,136 @@
+"""Hybrid two-path pipeline tests — route priorities mirror
+``coretest/hybrid/TriageProcessorTest.java``; fallback mirrors
+``HybridDocumentProcessor.java:256-268``; the merge gate mirrors
+``TextSimilarityTest`` trustStream semantics."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from opendataloader_pdf_ray.stages.hybrid import BackendStub, hybrid_extract
+from opendataloader_pdf_ray.stages.triage import (
+    ROUTE_BACKEND,
+    ROUTE_LOCAL,
+    TriageRouter,
+)
+
+
+class TestTriagePriorities:
+    def setup_method(self):
+        self.router = TriageRouter()
+
+    def test_replacement_ratio_wins(self):
+        # high replacement ratio outranks table signal (priority 1.0)
+        payload = ("<table><tr><td>x</td></tr></table>" + "�" * 20).encode()
+        assert self.router.route_one(payload) == (ROUTE_BACKEND, 1.0)
+
+    def test_table_signal(self):
+        assert self.router.route_one(b"<p>a</p><table><tr></tr></table>") == \
+            (ROUTE_BACKEND, 0.9)
+
+    def test_text_table_pattern(self):
+        assert self.router.route_one(b"<p>1  alpha  2\n3  beta  4</p>") == \
+            (ROUTE_BACKEND, 0.9)
+
+    def test_image_signal(self):
+        assert self.router.route_one(b'<p>x</p><img alt="f"/>') == \
+            (ROUTE_BACKEND, 0.85)
+
+    def test_plain_text_local(self):
+        assert self.router.route_one(b"<p>plain paragraph text</p>") == \
+            (ROUTE_LOCAL, 0.9)
+
+    def test_null_payload_local(self):
+        assert self.router.route_one(None) == (ROUTE_LOCAL, 1.0)
+
+
+def _pages(rows):
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+    }))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHybridExtract:
+    def test_two_path_merge(self):
+        rows = [
+            (f"https://h.example/{i}",
+             (f"<p>plain body {i} words here</p>" if i % 2 else
+              f"<table><tr><td>k{i}</td><td>v{i}</td></tr></table>").encode())
+            for i in range(12)
+        ]
+        out = {r["url"]: r for r in
+               hybrid_extract(_pages(rows), degrade_every=0).take_all()}
+        assert len(out) == 12
+        # local-routed rows pass through as local with sim 1.0
+        for i in range(1, 12, 2):
+            r = out[f"https://h.example/{i}"]
+            assert r["source"] == "local" and r["sim"] == 1.0
+        # backend-routed rows with an undegraded backend agree with the local
+        # stream → trustStream picks local
+        for i in range(0, 12, 2):
+            r = out[f"https://h.example/{i}"]
+            assert r["source"] == "local" and r["sim"] >= 0.5
+            assert f"k{i} | v{i}" == r["text"]
+
+    def test_degraded_backend_wins_when_dissimilar(self):
+        # degrade_every=1: every backend-routed doc is scrambled → dissimilar
+        # (long tables give similarity < 0.5) → backend text wins
+        rows = [("https://h.example/t",
+                 ("<table>" + "".join(
+                     f"<tr><td>alpha{i}</td><td>beta{i} gamma{i}</td></tr>"
+                     for i in range(12)) + "</table>").encode())]
+        out = hybrid_extract(_pages(rows), degrade_every=1).take_all()
+        assert len(out) == 1
+        assert out[0]["source"] == "backend"
+        assert out[0]["sim"] < 0.5
+
+    def test_fallback_when_backend_down(self):
+        rows = [("https://h.example/a", b"<table><tr><td>x</td></tr></table>"),
+                ("https://h.example/b", b"<p>plain</p>")]
+        out = hybrid_extract(_pages(rows), backend_healthy=False,
+                             fallback=True).take_all()
+        assert len(out) == 2
+        assert all(r["source"] == "local" and r["sim"] == 1.0 for r in out)
+
+    def test_fail_fast_without_fallback(self):
+        with pytest.raises(RuntimeError, match="fallback disabled"):
+            hybrid_extract(_pages([("u", b"<p>x</p>")]),
+                           backend_healthy=False, fallback=False)
+
+    def test_backend_stub_deterministic(self):
+        stub = BackendStub(degrade_every=7)
+        batch = pa.table({"url": pa.array(["https://h.example/a"]),
+                          "html": pa.array([b"<p>one two three</p>"], pa.binary())})
+        a = stub(batch).to_pylist()
+        b = stub(batch).to_pylist()
+        assert a == b
+        assert a[0]["source_label"] == "backend"
+        assert 0.84 < a[0]["ai_score"] < 0.95
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHybridQueries:
+    def test_routed_extract_rows(self):
+        from opendataloader_pdf_ray.pipelines.hybrid_queries import (
+            hybrid_routed_extract,
+        )
+
+        out = hybrid_routed_extract("/root/testdata/sf0.001").take_all()
+        assert len(out) == 500
+        assert {"url", "text", "source", "sim"} <= set(out[0].keys())
+        assert {r["source"] for r in out} == {"local", "backend"}
+
+    def test_triage_tally_matches_arithmetic(self):
+        from opendataloader_pdf_ray.pipelines.hybrid_queries import (
+            hybrid_triage_tally,
+        )
+
+        got = {r["route"]: r["n"] for r in
+               hybrid_triage_tally("/root/testdata/sf0.001").take_all()}
+        expect_backend = sum(1 for d in range(500)
+                             if d % 3 == 0 or d % 5 == 0 or d % 11 == 0)
+        assert got[ROUTE_BACKEND] == expect_backend
+        assert got[ROUTE_LOCAL] == 500 - expect_backend
