@@ -34,19 +34,59 @@ def _iter_html_files(paths):
             print(f"warning: {p} not found, skipping", file=sys.stderr)
 
 
-def cmd_convert(args) -> int:
-    from .api import convert
+def _config_from_args(args):
     from .config import ExtractorConfig
 
-    cfg = ExtractorConfig(sanitize=args.sanitize,
-                          include_header_footer=args.include_header_footer)
+    cfg = ExtractorConfig(
+        sanitize=args.sanitize,
+        include_header_footer=args.include_header_footer,
+        pages=args.pages,
+        table_method=args.table_method,
+        trust_semantic_tags=args.use_semantic_tags,
+        keep_line_breaks=not args.collapse_line_breaks,
+        detect_strikethrough=args.detect_strikethrough,
+        markdown_with_html=args.markdown_with_html,
+        text_page_separator=args.text_page_separator,
+        markdown_page_separator=args.markdown_page_separator,
+        reading_order=args.reading_order != "off",
+    )
+    if args.content_safety_off:
+        cfg = cfg.with_safety_off(args.content_safety_off)
+    if args.replace_invalid_chars is not None:
+        cfg = cfg.with_(replacement_text=args.replace_invalid_chars)
+    return cfg
+
+
+def _write_image_assets(html: bytes, cfg, path: Path, args) -> int:
+    """--image-output external: decode embedded images to files (ImagesUtils
+    external-file mode); embedded mode keeps them in the html/json payload."""
+    from .extractor.assets import extract_image_assets
+
+    assets = [a for a in extract_image_assets(html, cfg) if a["data"] is not None]
+    if not assets:
+        return 0
+    img_dir = Path(args.image_dir or args.output_dir or ".") / f"{path.stem}_images"
+    os.makedirs(img_dir, exist_ok=True)
+    for a in assets:
+        suffix = {"image/png": ".png", "image/jpeg": ".jpg"}.get(a["mime"], ".bin")
+        (img_dir / f"asset-{a['asset_idx']:03d}{suffix}").write_bytes(a["data"])
+    return len(assets)
+
+
+def cmd_convert(args) -> int:
+    from .api import convert
+
+    cfg = _config_from_args(args)
     ext = {"text": ".txt", "markdown": ".md", "json": ".json", "html": ".out.html"}
-    n_ok = n_fail = 0
+    n_ok = n_fail = n_images = 0
     files = list(_iter_html_files(args.paths))
     for path in files:
         try:
-            out = convert(path.read_bytes(), cfg, output_formats=args.format,
+            payload_bytes = path.read_bytes()
+            out = convert(payload_bytes, cfg, output_formats=args.format,
                           file_name=path.name)
+            if args.image_output == "external":
+                n_images += _write_image_assets(payload_bytes, cfg, path, args)
         except Exception as exc:  # skip-and-continue (CLIMain.java:221-253)
             print(f"error: {path}: {exc}", file=sys.stderr)
             n_fail += 1
@@ -66,7 +106,11 @@ def cmd_convert(args) -> int:
                 if fmt == "json":
                     payload = json.dumps(payload, ensure_ascii=False, indent=1)
                 print(payload)
-    print(f"processed {n_ok} file(s), {n_fail} failed", file=sys.stderr)
+    if not args.quiet:
+        summary = f"processed {n_ok} file(s), {n_fail} failed"
+        if args.image_output == "external":
+            summary += f", {n_images} image asset(s) extracted"
+        print(summary, file=sys.stderr)
     return 0 if n_fail == 0 else 1
 
 
@@ -107,6 +151,36 @@ def main(argv=None) -> int:
     conv.add_argument("--output-dir", default=None)
     conv.add_argument("--sanitize", action="store_true")
     conv.add_argument("--include-header-footer", action="store_true")
+    # option-breadth parity with the reference options.json (round-2)
+    conv.add_argument("--pages", default=None,
+                      help='page selection, e.g. "1,3,5-7" (default: all)')
+    conv.add_argument("--content-safety-off", default=None, metavar="WHICH",
+                      help="disable safety filters: all | hidden-text | "
+                           "out-of-page | tiny-text (comma-separated)")
+    conv.add_argument("--replace-invalid-chars", default=None, metavar="STR",
+                      help="replacement for invalid/control characters")
+    conv.add_argument("--table-method", default="default",
+                      choices=["default", "cluster", "off"])
+    conv.add_argument("--reading-order", default="xycut",
+                      choices=["xycut", "off"])
+    conv.add_argument("--use-semantic-tags", action="store_true",
+                      help="trust author markup; skip heuristic refinements "
+                           "(--use-struct-tree analog)")
+    conv.add_argument("--collapse-line-breaks", action="store_true",
+                      help="treat source newlines as plain whitespace")
+    conv.add_argument("--detect-strikethrough", action="store_true",
+                      help="wrap struck text with ~~ in Markdown")
+    conv.add_argument("--markdown-with-html", action="store_true",
+                      help="emit HTML tables in Markdown when spans require it")
+    conv.add_argument("--text-page-separator", default=None, metavar="SEP",
+                      help="separator between pages in text output "
+                           "(%%page-number%% expands)")
+    conv.add_argument("--markdown-page-separator", default=None, metavar="SEP")
+    conv.add_argument("--image-output", default="off",
+                      choices=["off", "embedded", "external"],
+                      help="external writes embedded images as files")
+    conv.add_argument("--image-dir", default=None)
+    conv.add_argument("--quiet", action="store_true")
     conv.set_defaults(fn=cmd_convert)
 
     ing = sub.add_parser("ingest", help="replay a change-event log into a lake")

@@ -68,14 +68,81 @@ class ExtractorConfig:
     detect_special_tables: bool = True       # Korean 수신/경유/제목 restructure
     reading_order: bool = True               # XY-cut++ for absolutely positioned content
     merge_across_pages: bool = True          # table/list continuation over page breaks
+    # reference --table-method: "default" (border/tag-based), "cluster"
+    # (whitespace-aligned clustering only), "off" (no table detection);
+    # "default" leaves the two detect_* flags in charge
+    table_method: str = "default"
+    # reference --use-struct-tree (TaggedDocumentProcessor.java:32-66 analog):
+    # trust the author's semantic markup outright — skip the heuristic
+    # refinement passes (style-heading promotion, boilerplate vote, special
+    # tables, caption adjacency); tag-derived structure + reading order +
+    # sanitize still run. The "trust upstream metadata vs recompute" path.
+    trust_semantic_tags: bool = False
+
+    # --- page selection (reference --pages "1,3,5-7", Config.java:659-764) ---
+    pages: Optional[str] = None              # 1-based list/ranges; None = all
+
+    # --- line breaks (reference --keep-line-breaks) ---
+    # True preserves source newlines inside text nodes as line breaks (this
+    # engine's historical behavior, pinned by the replay goldens); False
+    # collapses them to spaces (HTML whitespace semantics)
+    keep_line_breaks: bool = True
 
     # --- output (TextGenerator / MarkdownGenerator analogs) ---
     include_header_footer: bool = False      # JsonWriter.java:92-94 default: exclude
     page_separator: str = ""                 # emitted between pages; "" = blank line only
+    # per-format overrides (reference --text/markdown/html-page-separator;
+    # "%page-number%" / "%page%" expand to the 1-based page ordinal)
+    text_page_separator: Optional[str] = None
+    markdown_page_separator: Optional[str] = None
+    html_page_separator: Optional[str] = None
     indent: str = "  "                       # per nesting level in text output
+    # reference --detect-strikethrough: wrap struck text in ~~ in Markdown
+    detect_strikethrough: bool = False
+    # reference --markdown-with-html: tables with row/col spans emit real
+    # HTML inside the Markdown (pipe tables cannot express spans)
+    markdown_with_html: bool = False
 
     def with_(self, **kw) -> "ExtractorConfig":
         return replace(self, **kw)
+
+    def normalized(self) -> "ExtractorConfig":
+        """Resolve option interactions (reference ``Config.normalize()``,
+        ``core/api/Config.java:912-920``)."""
+        cfg = self
+        if cfg.table_method == "off":
+            cfg = cfg.with_(detect_tables=False, detect_aligned_columns=False)
+        elif cfg.table_method == "cluster":
+            cfg = cfg.with_(detect_tables=False, detect_aligned_columns=True)
+        return cfg
+
+    def with_safety_off(self, which: str = "all") -> "ExtractorConfig":
+        """Reference --content-safety-off: all | hidden-text | out-of-page |
+        tiny-text (comma-separated)."""
+        cfg = self
+        parts = {p.strip() for p in which.split(",")}
+        if "all" in parts or "hidden-text" in parts:
+            cfg = cfg.with_(filter_hidden_text=False)
+        if "all" in parts or "out-of-page" in parts:
+            cfg = cfg.with_(filter_out_of_page=False)
+        if "all" in parts or "tiny-text" in parts:
+            cfg = cfg.with_(filter_tiny_text=False)
+        return cfg
+
+    def page_numbers(self, n_pages: int):
+        """Parse the --pages selection into 0-based indexes (Config.java
+        parsePages analog). Out-of-range entries are ignored."""
+        if not self.pages:
+            return list(range(n_pages))
+        out = []
+        for part in self.pages.split(","):
+            part = part.strip()
+            if "-" in part:
+                lo, hi = part.split("-", 1)
+                out.extend(range(int(lo) - 1, min(int(hi), n_pages)))
+            elif part:
+                out.append(int(part) - 1)
+        return sorted({p for p in out if 0 <= p < n_pages})
 
 
 @dataclass(frozen=True)

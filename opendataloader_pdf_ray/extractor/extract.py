@@ -65,22 +65,29 @@ def _sanitize_blocks(pages: List[List[Block]], sanitizer: ContentSanitizer) -> N
 def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
             sanitizer: Optional[ContentSanitizer] = None) -> ExtractResult:
     """Single-document extraction. Deterministic: equal input ⇒ byte-equal text."""
+    cfg = cfg.normalized()
     stats = DocStats()
     root = parse_html(html)
 
-    # per-page loop 1+2 analog: filter + structure detection (DOM order)
+    # per-page loop 1+2 analog: filter + structure detection (DOM order);
+    # --pages selection applied before any work (DocumentProcessor.java:220-253)
     page_nodes = split_pages(root)
-    pages = [build_page_blocks(node, cfg, stats, idx)
-             for idx, node in enumerate(page_nodes)]
+    selected = cfg.page_numbers(len(page_nodes))
+    pages = [build_page_blocks(page_nodes[idx], cfg, stats, pos)
+             for pos, idx in enumerate(selected)]
 
-    # sequential cross-page passes (DocumentProcessor.java:369-423 analog)
-    detect_special_tables(pages, cfg)
-    detect_style_headings(pages, stats, cfg)
-    assign_heading_levels(pages)
-    detect_text_captions(pages, cfg)
-    detect_header_footer(pages, cfg)
-    if cfg.merge_across_pages:
-        merge_neighbor_structures(pages, cfg)
+    # sequential cross-page passes (DocumentProcessor.java:369-423 analog).
+    # trust_semantic_tags = the tagged/struct-tree fast path
+    # (TaggedDocumentProcessor.java:32-66): author markup is authoritative —
+    # no heuristic restructuring, only reading order + sanitize below.
+    if not cfg.trust_semantic_tags:
+        detect_special_tables(pages, cfg)
+        detect_style_headings(pages, stats, cfg)
+        assign_heading_levels(pages)
+        detect_text_captions(pages, cfg)
+        detect_header_footer(pages, cfg)
+        if cfg.merge_across_pages:
+            merge_neighbor_structures(pages, cfg)
 
     # reading order (XY-Cut++ analog, per page)
     if cfg.reading_order:

@@ -72,14 +72,21 @@ def _block_lines(b: Block, cfg: ExtractorConfig, level: int) -> List[str]:
     return _indent_lines(b.text, cfg.indent, level) if b.text else []
 
 
+def _expand_sep(sep: str, page_idx: int) -> str:
+    """Page-separator templates: %page-number% (reference) / %page%."""
+    return sep.replace("%page-number%", str(page_idx + 1)) \
+              .replace("%page%", str(page_idx + 1))
+
+
 def to_text(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
     """Deterministic linearization — THE byte-identical invariant surface."""
+    separator = (cfg.text_page_separator if cfg.text_page_separator is not None
+                 else cfg.page_separator)
     page_texts: List[str] = []
     for page_idx, blocks in enumerate(pages):
         lines: List[str] = []
-        if cfg.page_separator:
-            sep = cfg.page_separator.replace("%page%", str(page_idx + 1))
-            lines.append(sep)
+        if separator:
+            lines.append(_expand_sep(separator, page_idx))
         for b in blocks:
             lines.extend(_block_lines(b, cfg, 0))
         if lines:  # pages emptied by boilerplate removal / cross-page merges
@@ -102,6 +109,9 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
         level = min(max(b.level, 1), 6)
         return ["#" * level + " " + b.text.replace("\n", " ")]
     if b.type in (PARAGRAPH, TEXT_BLOCK):
+        # reference --detect-strikethrough: struck text → ~~text~~
+        if cfg.detect_strikethrough and b.decoration == "line-through":
+            return ["~~" + b.text + "~~"]
         return [b.text]
     if b.type == CAPTION:
         return ["*" + b.text.replace("\n", " ") + "*"]
@@ -120,6 +130,25 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
             out.extend(_md_block(sub, cfg, depth + 1))
         return out
     if b.type == TABLE:
+        # reference --markdown-with-html: pipe tables cannot express spans —
+        # emit real HTML for spanned tables (MarkdownGenerator complex path)
+        has_spans = any(c.row_span > 1 or c.col_span > 1
+                        for row in b.kids for c in row.kids)
+        if cfg.markdown_with_html and has_spans:
+            out = ["<table>"]
+            for row in b.kids:
+                cells = []
+                for c in row.kids:
+                    tag = "th" if c.is_header else "td"
+                    attrs = ""
+                    if c.col_span > 1:
+                        attrs += f' colspan="{c.col_span}"'
+                    if c.row_span > 1:
+                        attrs += f' rowspan="{c.row_span}"'
+                    cells.append(f"<{tag}{attrs}>{c.text}</{tag}>")
+                out.append("<tr>" + "".join(cells) + "</tr>")
+            out.append("</table>")
+            return out
         out = []
         for i, row in enumerate(b.kids):
             cells = [c.text.replace("\n", " ").replace("|", "\\|") for c in row.kids]
@@ -132,7 +161,9 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
 
 def to_markdown(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
     parts: List[str] = []
-    for blocks in pages:
+    for page_idx, blocks in enumerate(pages):
+        if cfg.markdown_page_separator:
+            parts.append(_expand_sep(cfg.markdown_page_separator, page_idx))
         for b in blocks:
             md = _md_block(b, cfg, 0)
             if md:

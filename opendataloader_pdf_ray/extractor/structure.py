@@ -178,6 +178,15 @@ def _decoration(node: Node) -> str:
         if anc.tag in ("u", "ins"):
             return "underline"
         anc = anc.parent
+    # a block whose ENTIRE content is one struck/underlined wrapper
+    # (<p><s>…</s></p>) carries the wrapper's decoration
+    kids = [c for c in node.children
+            if not (c.is_text() and not c.text.strip())]
+    if len(kids) == 1 and not kids[0].is_text():
+        if kids[0].tag in ("s", "strike", "del"):
+            return "line-through"
+        if kids[0].tag in ("u", "ins"):
+            return "underline"
     return ""
 
 
@@ -187,7 +196,10 @@ def _inline_text(node: Node, cfg: ExtractorConfig, stats: DocStats) -> str:
 
     def visit(n: Node) -> None:
         if n.is_text():
-            parts.append(n.text)
+            # --keep-line-breaks=False: source newlines are plain whitespace
+            # (HTML semantics); True preserves them as line breaks
+            parts.append(n.text if cfg.keep_line_breaks
+                         else n.text.replace("\n", " "))
             return
         if _skip(n, cfg):
             return
