@@ -320,16 +320,43 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", threshold: float = 0.7,
 
 
 class SimHasher:
-    """64-bit SimHash signatures from word features (stateful: the word-hash
-    cache amortizes across batches). Fully vectorized: gram hashes via the
-    same rolling polynomial as MinHasher, bit counting via one 64×n matrix."""
+    """64-bit SimHash signatures from word n-gram features (stateful: the
+    gram-hash cache amortizes across batches, bounded). Bit counting is one
+    64×n matrix op per doc.
+
+    The gram hash is md5 (low 8 digest bytes, little-endian) — exactly
+    DuckDB's ``md5_number_lower`` — so a SQL oracle can recompute the
+    signatures bit-for-bit (``DEDUP_SIMHASH_SQL``). This trades the rolling
+    polynomial's pure-numpy speed for a *provable* end-to-end correctness
+    gate; MinHasher keeps the fast polynomial (its oracle verifies exact
+    Jaccard, which is hash-agnostic)."""
+
+    _CACHE_MAX = 4_000_000  # grams; bounds per-actor memory on huge corpora
 
     def __init__(self, ngram: int = 2):
-        self._inner = MinHasher(num_hashes=1, ngram=ngram)
+        self.ngram = ngram
+        self._cache: dict = {}
         self._shifts = np.arange(64, dtype=np.uint64)
 
+    def _gram_hashes(self, text: str) -> np.ndarray:
+        grams = word_ngrams(text, self.ngram)
+        if not grams:
+            return np.zeros(0, dtype=np.uint64)
+        cache = self._cache
+        if len(cache) > self._CACHE_MAX:
+            cache.clear()
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, gm in enumerate(grams):
+            h = cache.get(gm)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(gm.encode("utf-8")).digest()[8:], "little")
+                cache[gm] = h
+            out[i] = h
+        return out
+
     def sig(self, text: str) -> int:
-        grams = self._inner._gram_hashes(text)
+        grams = self._gram_hashes(text)
         if grams.size == 0:
             return 0
         bits = ((grams[:, None] >> self._shifts[None, :]) & np.uint64(1))
@@ -345,9 +372,17 @@ class SimHasher:
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                   id_col: str = "doc_id",
                   max_bucket: int = 4096) -> "ray.data.Dataset":
-    """Banded blocking on 4×16-bit chunks (any pair within Hamming ≤ 3 shares
-    at least one exact 16-bit band), then exact Hamming verify per bucket.
-    Oversized buckets are capped with a logged warning."""
+    """Banded blocking on ``max_hamming + 1`` bit-chunks of the 64-bit
+    signature (pigeonhole: a pair within Hamming ≤ h differs in ≤ h bands, so
+    with h+1 bands at least one band matches exactly — recall is provably 1),
+    then exact Hamming verify per bucket. Oversized buckets are capped with a
+    logged warning."""
+    nbands = max(2, max_hamming + 1)  # ≥2 keeps band widths ≤ 32 bits
+    base, rem = divmod(64, nbands)
+    widths = np.array([base + 1] * rem + [base] * (nbands - rem), dtype=np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = ((np.uint64(1) << widths) - np.uint64(1))
+
     sigs = ds.select_columns([id_col, "text"]).map_batches(
         SimHasher, batch_format="pyarrow", concurrency=_stage_concurrency())
 
@@ -356,18 +391,18 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "band": pa.array([], pa.int32()),
-                             "key": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
                              "sig": pa.array([], pa.uint64())})
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_ids = np.repeat(ids, 4)
-        bands = np.tile(np.arange(4, dtype=np.int32), n)
-        keys = ((s[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :])
-                & np.uint64(0xFFFF)).astype(np.int32).reshape(-1)
+        out_ids = np.repeat(ids, nbands)
+        bands = np.tile(np.arange(nbands, dtype=np.int32), n)
+        keys = ((s[:, None] >> offsets[None, :]) & masks[None, :]) \
+            .astype(np.int64).reshape(-1)
         return pa.table({id_col: pa.array(out_ids, pa.int64()),
                          "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int32()),
-                         "sig": pa.array(np.repeat(s, 4), pa.uint64())})
+                         "key": pa.array(keys, pa.int64()),
+                         "sig": pa.array(np.repeat(s, nbands), pa.uint64())})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(set(zip(group[id_col].to_pylist(), group["sig"].to_pylist())))

@@ -182,9 +182,44 @@ WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash banded near-dup pairs (rows-only)."""
+    """SimHash banded near-dup pairs, now with a full SQL oracle: the gram
+    hash is DuckDB's ``md5_number_lower``, so the oracle recomputes every
+    64-bit signature bit-for-bit and enumerates all pairs with Hamming ≤ 3.
+    Banding recall is provably 1 (pigeonhole over max_hamming+1 bands), so
+    the distributed pipeline and the O(N²) SQL agree exactly — no corpus
+    assumptions needed."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.simhash_pairs(ds, max_hamming=3)
+
+
+# bit-exact SimHash recomputation: grams mirror word_ngrams(n=2) (lowercase
+# \w+ words, space-joined bigrams; a one-word doc contributes the word itself),
+# gram hash = md5_number_lower = SimHasher's md5-low-8-bytes-little-endian,
+# per-bit majority vote over grams WITH multiplicity, Hamming via per-bit join
+DEDUP_SIMHASH_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+           FROM documents),
+gl AS (SELECT doc_id,
+              CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS gs
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT doc_id, unnest(gs) AS gm FROM gl),
+h AS (SELECT doc_id, md5_number_lower(gm) AS hv FROM g),
+acc AS (SELECT doc_id, b,
+               sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS a
+        FROM h, range(64) t(b) GROUP BY doc_id, b),
+sigbits AS (SELECT d.doc_id, t.b, COALESCE(acc.a, 0) > 0 AS s
+            FROM documents d CROSS JOIN range(64) t(b)
+            LEFT JOIN acc ON acc.doc_id = d.doc_id AND acc.b = t.b),
+ham AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               sum(CASE WHEN x.s <> y.s THEN 1 ELSE 0 END) AS hamming
+        FROM sigbits x JOIN sigbits y
+          ON x.b = y.b AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3
+"""
 
 
 def doc_adjacent_levenshtein(sf_dir: str):
@@ -290,8 +325,7 @@ DOC_ORACLE_SQL = {
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
-    # dedup_simhash: the rolling-hash simhash signature has no SQL equivalent
-    # — rows-only driver check, pytest-pinned planted pairs
 }

@@ -11,7 +11,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..stages.hybrid import hybrid_extract, triage_tally
+from ..stages.hybrid import enriched_entities, hybrid_extract, triage_tally
 from .common import read_table
 from .flagship import html_from_doc
 
@@ -32,7 +32,13 @@ def _doc_pages(sf_dir: str) -> "ray.data.Dataset":
                 words = text.split()[:4] + ["", "", "", ""]
                 rows = "".join(f"<tr><td>{i}</td><td>{words[i]}</td></tr>"
                                for i in range(4))
-                html = html.replace("</div>", f"<table>{rows}</table></div>")
+                # entity-bearing page: table (triage signal) + a LaTeX formula
+                # and a footnote for the enrichment stand-in to read
+                k = did % 7 + 1
+                extra = (f"<p>see $$\\frac{{{did}}}{{{k}}}$$</p>"
+                         f'<p class="footnote">[1] note {did}</p>')
+                html = html.replace("</div>",
+                                    f"<table>{rows}</table>{extra}</div>")
             elif did % 5 == 0:
                 html = html.replace("</div>", '<img alt="figure"/></div>')
             elif did % 11 == 0:
@@ -66,6 +72,40 @@ def hybrid_triage_tally(sf_dir: str):
     return triage_tally(_doc_pages(sf_dir))
 
 
+def hybrid_enriched_entities(sf_dir: str):
+    """Backend enrichment entities per routed page (SemanticFormula /
+    SemanticPicture / SemanticFootnote analog, ``core/entities/`` +
+    ``HybridDocumentProcessor.java:888-1010``). The planted markup is a pure
+    function of doc_id, so the whole entity table is SQL-expressible — a full
+    correctness gate on routing + entity extraction."""
+    return enriched_entities(_doc_pages(sf_dir))
+
+
+# routing and the planted entities are both pure doc_id arithmetic (elif
+# order in _doc_pages mirrors the CASE order here); the %11 scan pages route
+# backend but carry no entities
+HYBRID_ENRICHED_ENTITIES_SQL = """
+WITH routed AS (
+    SELECT doc_id,
+           'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+           CASE WHEN doc_id % 3 = 0 THEN 'entity'
+                WHEN doc_id % 5 = 0 THEN 'img'
+                WHEN doc_id % 11 = 0 THEN 'scan'
+                ELSE 'local' END AS cls
+    FROM documents)
+SELECT url,
+    CAST(CASE WHEN cls = 'entity' THEN 1 ELSE 0 END AS BIGINT) AS n_formulas,
+    CASE WHEN cls = 'entity'
+         THEN '\\frac{' || doc_id || '}{' || (doc_id % 7 + 1) || '}'
+         ELSE '' END AS formula_latex,
+    CAST(CASE WHEN cls = 'img' THEN 1 ELSE 0 END AS BIGINT) AS n_pictures,
+    CASE WHEN cls = 'img' THEN 'figure[0]: figure' ELSE '' END AS picture_desc,
+    CAST(CASE WHEN cls = 'entity' THEN 1 ELSE 0 END AS BIGINT) AS n_footnotes,
+    CASE WHEN cls = 'entity' THEN '[1] note ' || doc_id ELSE '' END AS footnote_text
+FROM routed WHERE cls <> 'local'
+"""
+
+
 # the markup is a pure function of doc_id and each signal is guaranteed to
 # fire (the %11 docs carry enough � to clear the 0.3% byte ratio at any page
 # size), so the router's tally reduces to doc_id arithmetic
@@ -84,9 +124,11 @@ SELECT route, count(*) AS n FROM (
 HYBRID_QUERIES = {
     "hybrid_routed_extract": hybrid_routed_extract,
     "hybrid_triage_tally": hybrid_triage_tally,
+    "hybrid_enriched_entities": hybrid_enriched_entities,
 }
 
 HYBRID_ORACLE_SQL = {
     "hybrid_triage_tally": HYBRID_TRIAGE_TALLY_SQL,
+    "hybrid_enriched_entities": HYBRID_ENRICHED_ENTITIES_SQL,
     # hybrid_routed_extract: extraction — rows-only
 }

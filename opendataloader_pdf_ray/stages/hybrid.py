@@ -27,6 +27,7 @@ two actor pools, reconcile shuffle — is the real, tested surface.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import List, Optional
 
 import pyarrow as pa
@@ -46,6 +47,12 @@ def _stable_h(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
 
 
+# enrichment-entity extraction patterns (model stand-in reads the raw page)
+_FORMULA_RE = re.compile(r"\$\$(.+?)\$\$", re.S)
+_IMG_ALT_RE = re.compile(r'<img[^>]*\balt="([^"]*)"')
+_FOOTNOTE_RE = re.compile(r'<p class="footnote">(.*?)</p>', re.S)
+
+
 class BackendStub:
     """Model-backend client stand-in (``core/hybrid/DoclingFastServerClient``
     analog): per-actor state built once (__init__ = the singleton model load
@@ -59,19 +66,23 @@ class BackendStub:
     stream closely (similar→local branch)."""
 
     def __init__(self, cfg: Optional[ExtractorConfig] = None,
-                 degrade_every: int = 7):
+                 degrade_every: int = 7, enrich: bool = False):
         self.cfg = cfg or ExtractorConfig()
         self.sanitizer = ContentSanitizer(self.cfg.sanitization_rules)
         self.degrade_every = degrade_every
+        self.enrich = enrich
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts: List[Optional[str]] = []
         scores: List[float] = []
+        ents: List[dict] = []
         for url, html in zip(batch["url"].to_pylist(), batch["html"]):
             payload = html.as_py()
             if payload is None:
                 texts.append(None)
                 scores.append(0.0)
+                if self.enrich:
+                    ents.append({"formulas": [], "pictures": [], "footnotes": []})
                 continue
             r = extract(payload, self.cfg, sanitizer=self.sanitizer)
             text = r.text
@@ -80,12 +91,34 @@ class BackendStub:
                 text = " ".join(reversed(text.split()))  # OCR-ish scramble
             texts.append(text)
             scores.append(round(0.85 + (h % 10) / 100.0, 2))
-        return pa.table({
+            if self.enrich:
+                page = payload.decode("utf-8", errors="replace")
+                ents.append({
+                    # SemanticFormula.getLatex() analog — LaTeX spans the
+                    # "model" reads off the page
+                    "formulas": _FORMULA_RE.findall(page),
+                    # SemanticPicture index + description (alt-text-derived
+                    # stand-in for the vision model's caption)
+                    "pictures": [f"figure[{i}]: {alt}" for i, alt in
+                                 enumerate(_IMG_ALT_RE.findall(page))],
+                    # SemanticFootnote (FENote) paragraphs
+                    "footnotes": _FOOTNOTE_RE.findall(page),
+                })
+        out = pa.table({
             "url": batch["url"],
             "text": pa.array(texts, pa.string()),
             "ai_score": pa.array(scores, pa.float64()),
             "source_label": pa.array(["backend"] * batch.num_rows, pa.string()),
         })
+        if self.enrich:
+            for col, key in (("formula_latex", "formulas"),
+                             ("picture_desc", "pictures"),
+                             ("footnote_text", "footnotes")):
+                out = out.append_column(
+                    "n_" + key, pa.array([len(e[key]) for e in ents], pa.int64()))
+                out = out.append_column(
+                    col, pa.array(["|".join(e[key]) for e in ents], pa.string()))
+        return out
 
 
 class RouteAndExtract:
@@ -166,6 +199,36 @@ def hybrid_extract(ds: "ray.data.Dataset",
 
     return reconcile_variants(local_all, backend_out, key="url",
                               trust_threshold=trust_threshold)
+
+
+def enriched_entities(ds: "ray.data.Dataset",
+                      cfg: Optional[ExtractorConfig] = None,
+                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+    """Per-page enrichment-entity table from the backend path: formulas
+    (LaTeX), picture descriptions, footnotes — the ``core/entities/``
+    SemanticFormula / SemanticPicture / SemanticFootnote analog keyed by url
+    (``enrichBackendResults``, ``HybridDocumentProcessor.java:888-1010``,
+    swaps these into the doc structure; here the entity payload is its own
+    slim table a consumer joins by url).
+
+    Only backend-routed pages reach the model stand-in (the reference never
+    asks the backend about local-routed pages)."""
+    cfg = cfg or ExtractorConfig()
+    conc = concurrency or stage_concurrency()
+    routed = ds.map_batches(TriageRouter, fn_constructor_kwargs={"cfg": cfg},
+                            batch_format="pyarrow", concurrency=conc,
+                            num_cpus=0.5)
+    backend_in = routed.map_batches(
+        lambda t: t.filter(pc.equal(t["route"], pa.scalar(ROUTE_BACKEND))),
+        batch_format="pyarrow")
+    return backend_in.map_batches(
+        BackendStub, fn_constructor_kwargs={"cfg": cfg, "enrich": True},
+        batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
+    ).map_batches(
+        lambda t: t.select(["url", "n_formulas", "formula_latex",
+                            "n_pictures", "picture_desc",
+                            "n_footnotes", "footnote_text"]),
+        batch_format="pyarrow")
 
 
 def triage_tally(ds: "ray.data.Dataset",

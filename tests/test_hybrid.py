@@ -134,3 +134,35 @@ class TestHybridQueries:
                              if d % 3 == 0 or d % 5 == 0 or d % 11 == 0)
         assert got[ROUTE_BACKEND] == expect_backend
         assert got[ROUTE_LOCAL] == 500 - expect_backend
+
+@pytest.mark.usefixtures("ray_session")
+class TestEnrichedEntities:
+    def test_entities_match_planted_markup(self):
+        from opendataloader_pdf_ray.pipelines.hybrid_queries import (
+            hybrid_enriched_entities,
+        )
+
+        rows = {r["url"]: r for r in
+                hybrid_enriched_entities("/root/testdata/sf0.001").take_all()}
+        expect = {f"https://docs.example/{d:06d}" for d in range(500)
+                  if d % 3 == 0 or d % 5 == 0 or d % 11 == 0}
+        assert set(rows) == expect
+        for d in range(500):
+            url = f"https://docs.example/{d:06d}"
+            if d % 3 == 0:  # entity page: one formula + one footnote
+                r = rows[url]
+                assert r["n_formulas"] == 1
+                assert r["formula_latex"] == (
+                    "\\frac{%d}{%d}" % (d, d % 7 + 1))
+                assert r["n_footnotes"] == 1
+                assert r["footnote_text"] == f"[1] note {d}"
+                assert r["n_pictures"] == 0
+            elif d % 5 == 0:  # img page: one described picture
+                r = rows[url]
+                assert r["n_pictures"] == 1
+                assert r["picture_desc"] == "figure[0]: figure"
+                assert r["n_formulas"] == 0
+            elif d % 11 == 0:  # scan page routes backend, carries no entities
+                r = rows[url]
+                assert (r["n_formulas"], r["n_pictures"], r["n_footnotes"]) \
+                    == (0, 0, 0)
