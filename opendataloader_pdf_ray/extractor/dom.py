@@ -12,6 +12,7 @@ import re
 from dataclasses import dataclass, field
 from html import unescape
 from html.parser import HTMLParser
+from types import MappingProxyType
 from typing import Dict, List, Optional
 
 VOID_TAGS = frozenset(
@@ -34,16 +35,26 @@ def style_px(value: Optional[str]) -> Optional[float]:
     return float(m.group(1)) if m else None
 
 
-@dataclass
+# shared empty mapping for attr-less / style-less nodes (most of any page):
+# read-only by construction — nothing mutates attrs/style after parse, and a
+# proxy fails loud if that ever changes. Cuts two dict allocations per node,
+# which is most of the DOM's DRAM traffic on parse-heavy workloads.
+_EMPTY_MAP: Dict[str, str] = MappingProxyType({})  # type: ignore[assignment]
+_NO_CHILDREN: List["Node"] = ()  # type: ignore[assignment]  # text leaves
+_UNSET = object()  # font-size memo sentinel
+
+
+@dataclass(slots=True)
 class Node:
     """One element or text run. ``tag == '#text'`` for text leaves."""
 
     tag: str
-    attrs: Dict[str, str] = field(default_factory=dict)
-    style: Dict[str, str] = field(default_factory=dict)
+    attrs: Dict[str, str] = field(default_factory=lambda: _EMPTY_MAP)
+    style: Dict[str, str] = field(default_factory=lambda: _EMPTY_MAP)
     children: List["Node"] = field(default_factory=list)
     text: str = ""
     parent: Optional["Node"] = None
+    _fs: object = _UNSET  # memoized inherited font-size
 
     # ------------------------------------------------------------------ helpers
     def attr(self, name: str, default: str = "") -> str:
@@ -72,7 +83,20 @@ class Node:
         return None
 
     def font_size(self) -> Optional[float]:
-        return style_px(self.eff_style("font-size"))
+        # nearest set font-size, parsed once per node (styles are immutable
+        # after parse); inheriting the parent's memo makes the whole-tree
+        # cost O(nodes) instead of O(nodes × depth × queries)
+        v = self._fs
+        if v is _UNSET:
+            s = self.style.get("font-size")
+            if s is not None:
+                v = style_px(s)
+            elif self.parent is not None:
+                v = self.parent.font_size()
+            else:
+                v = None
+            self._fs = v
+        return v
 
     def is_bold(self) -> bool:
         w = self.eff_style("font-weight")
@@ -119,8 +143,10 @@ class _TreeBuilder(HTMLParser):
         if tag in SKIP_TAGS:
             self.skip_depth = 1
             return
-        attrd = {k: (v or "") for k, v in attrs}
-        node = Node(tag=tag, attrs=attrd, style=parse_style(attrd.get("style", "")),
+        attrd = {k: (v or "") for k, v in attrs} if attrs else _EMPTY_MAP
+        st = attrd.get("style")
+        node = Node(tag=tag, attrs=attrd,
+                    style=parse_style(st) if st else _EMPTY_MAP,
                     parent=self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
@@ -129,8 +155,10 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if self.skip_depth:
             return
-        attrd = {k: (v or "") for k, v in attrs}
-        node = Node(tag=tag, attrs=attrd, style=parse_style(attrd.get("style", "")),
+        attrd = {k: (v or "") for k, v in attrs} if attrs else _EMPTY_MAP
+        st = attrd.get("style")
+        node = Node(tag=tag, attrs=attrd,
+                    style=parse_style(st) if st else _EMPTY_MAP,
                     parent=self.stack[-1])
         self.stack[-1].children.append(node)
 
@@ -148,7 +176,8 @@ class _TreeBuilder(HTMLParser):
         if self.skip_depth or not data:
             return
         parent = self.stack[-1]
-        parent.children.append(Node(tag="#text", text=data, parent=parent))
+        parent.children.append(Node(tag="#text", text=data, parent=parent,
+                                    children=_NO_CHILDREN))
 
 
 def parse_html(html: str | bytes) -> Node:

@@ -103,3 +103,53 @@ def lsh_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
         batch_format="pyarrow")
     return brute_force_topk(candidates, query, k=k, id_col=id_col,
                             emb_col=emb_col, exclude_ids=exclude_ids)
+
+
+class IVFAssigner:
+    """IVF coarse quantizer: fixed-seed spherical centroids (identical on
+    every actor — no training pass, so assignment is a pure function of the
+    vector). Adds a ``centroid`` column: nearest centroid by cosine,
+    lowest index on exact ties."""
+
+    def __init__(self, dim: int, n_centroids: int = 16, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.centroids = _normalize(rng.normal(size=(n_centroids, dim)))
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(mat) @ self.centroids.T, axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        return batch.append_column("centroid", pa.array(self.assign(mat)))
+
+
+def ivf_topk(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+             n_centroids: int = 16, probe: int = 4, dim: Optional[int] = None,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_ids: Optional[set] = None) -> pa.Table:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid, then
+    brute-force only the ``probe`` centroid lists nearest the query.
+    ``probe == n_centroids`` scans every list — exactly brute force (the
+    configuration the SQL oracle pins, a hash-exact gate on the
+    assign→filter→merge machinery); smaller ``probe`` is the scale path whose
+    recall the tests measure. At cluster scale the lists are the natural
+    partitioning key: vectors co-locate by centroid and a query touches only
+    ``probe``/``n_centroids`` of the data."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    dim = dim or len(q)
+    assigner = IVFAssigner(dim, n_centroids=n_centroids)
+    nearest = np.argsort(-(assigner.centroids @ q), kind="stable")[:probe]
+    probe_arr = pa.array(sorted(int(c) for c in nearest), pa.int64())
+
+    assigned = ds.map_batches(
+        IVFAssigner, fn_constructor_kwargs={"dim": dim,
+                                            "n_centroids": n_centroids},
+        batch_format="pyarrow", concurrency=2)
+    candidates = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["centroid"], value_set=probe_arr)),
+        batch_format="pyarrow")
+    return brute_force_topk(candidates, query, k=k, id_col=id_col,
+                            emb_col=emb_col, exclude_ids=exclude_ids)

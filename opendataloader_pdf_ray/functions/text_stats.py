@@ -122,3 +122,75 @@ def rolling_fingerprint(text: str, window: int = 16,
         if h < best:
             best = h
     return best
+
+
+class WinnowFingerprinter:
+    """Full winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    word n-gram hashes → per window of ``w`` consecutive hashes select the
+    RIGHTMOST minimum → the deduped (position, hash) set is the document's
+    fingerprint. Guarantees every match of length ≥ w+n-1 words shares a
+    fingerprint between documents.
+
+    The gram hash is md5 low-8-bytes little-endian — DuckDB's
+    ``md5_number_lower`` — so the SQL oracle recomputes every selected
+    fingerprint exactly (same design as SimHasher). Stateful: the gram-hash
+    cache amortizes across batches per actor."""
+
+    def __init__(self, ngram: int = 3, window: int = 4,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        from .dedup import word_ngrams
+
+        self._word_ngrams = word_ngrams
+        self.ngram = ngram
+        self.window = window
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache: Dict[str, int] = {}
+
+    def _hashes(self, text: str) -> np.ndarray:
+        grams = self._word_ngrams(text, self.ngram)
+        if not grams:
+            return np.zeros(0, dtype=np.uint64)
+        cache = self._cache
+        if len(cache) > 4_000_000:
+            cache.clear()
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, gm in enumerate(grams):
+            h = cache.get(gm)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(gm.encode("utf-8")).digest()[8:], "little")
+                cache[gm] = h
+            out[i] = h
+        return out
+
+    def select(self, text: str) -> tuple:
+        """(positions, hashes) of the winnowed fingerprints, position-sorted."""
+        h = self._hashes(text)
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        w = min(self.window, n)
+        # rightmost-min per window: argmin over the reversed window
+        view = np.lib.stride_tricks.sliding_window_view(h, w)[:, ::-1]
+        right_arg = (w - 1) - view.argmin(axis=1)
+        pos = np.arange(len(view), dtype=np.int64) + right_arg
+        keep = np.unique(pos)
+        return keep, h[keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: List[int] = []
+        pos_out: List[np.ndarray] = []
+        fp_out: List[np.ndarray] = []
+        ids = batch[self.id_col].to_pylist()
+        for did, text in zip(ids, batch[self.text_col].to_pylist()):
+            pos, fps = self.select(text)
+            ids_out.extend([did] * len(pos))
+            pos_out.append(pos)
+            fp_out.append(fps)
+        pos_all = np.concatenate(pos_out) if pos_out else np.zeros(0, np.int64)
+        fp_all = np.concatenate(fp_out) if fp_out else np.zeros(0, np.uint64)
+        return pa.table({self.id_col: pa.array(ids_out, pa.int64()),
+                         "pos": pa.array(pos_all, pa.int64()),
+                         "fp": pa.array(fp_all, pa.uint64())})

@@ -181,6 +181,49 @@ WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
 """
 
 
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (SIGMOD 2003): per-doc (pos, hash)
+    fingerprint set from rightmost-min selection over windows of 4 consecutive
+    3-gram md5 hashes. Gram hash = DuckDB ``md5_number_lower``, so the SQL
+    oracle recomputes every selected fingerprint exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ts.WinnowFingerprinter, batch_format="pyarrow",
+                          concurrency=stage_concurrency())
+
+
+# winnowing in SQL: gram hashes with positions (0-based), window starts
+# s ∈ [0, max(n-4, 0)], per window min hash with RIGHTMOST tie position
+DOC_WINNOW_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+           FROM documents),
+gl AS (SELECT doc_id,
+              CASE WHEN len(ws) >= 3
+                   THEN list_transform(range(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS gs
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT doc_id, CAST(u['i'] - 1 AS BIGINT) AS pos,
+             md5_number_lower(u['gm']) AS hv
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(gs) + 1),
+                                         i -> {'i': i, 'gm': gs[i]})) AS u
+            FROM gl)),
+n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+s AS (SELECT doc_id,
+             CAST(unnest(range(0, greatest(n - 4, 0) + 1)) AS BIGINT) AS s
+      FROM n),
+win AS (SELECT s.doc_id, s.s, min(g.hv) AS mh
+        FROM s JOIN g ON g.doc_id = s.doc_id AND g.pos BETWEEN s.s AND s.s + 3
+        GROUP BY s.doc_id, s.s),
+sel AS (SELECT win.doc_id, max(g.pos) AS pos, win.mh AS fp
+        FROM win JOIN g ON g.doc_id = win.doc_id
+                       AND g.pos BETWEEN win.s AND win.s + 3
+                       AND g.hv = win.mh
+        GROUP BY win.doc_id, win.s, win.mh)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash banded near-dup pairs, now with a full SQL oracle: the gram
     hash is DuckDB's ``md5_number_lower``, so the oracle recomputes every
@@ -315,6 +358,7 @@ DOC_QUERIES = {
     "lang_id_accuracy": lang_id_accuracy,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
 }
 
 DOC_ORACLE_SQL = {
@@ -326,6 +370,7 @@ DOC_ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
 }

@@ -12,7 +12,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from ..functions import dedup as dd
-from ..functions.similarity import brute_force_topk, lsh_topk
+from ..functions.similarity import brute_force_topk, ivf_topk, lsh_topk
 from .common import read_table, round_cols
 
 
@@ -30,6 +30,17 @@ def knn_bruteforce(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
     return brute_force_topk(ds, q, k=10, exclude_ids={0})
+
+
+def knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN at probe == n_centroids (every list scanned):
+    result is provably the exact top-10, so KNN_SQL is a hash-exact gate on
+    the assign -> list-filter -> local-topk -> merge machinery. The pruned
+    probe=4/16 scale path (4x less data scanned) is recall-tested in
+    tests/test_functions.py."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vector(sf_dir)
+    return ivf_topk(ds, q, k=10, n_centroids=16, probe=16, exclude_ids={0})
 
 
 KNN_SQL = """
@@ -178,6 +189,7 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
 EMB_QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_label_stats": embedding_label_stats,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
@@ -185,6 +197,7 @@ EMB_QUERIES = {
 
 EMB_ORACLE_SQL = {
     "knn_bruteforce": KNN_SQL,
+    "knn_ivf": KNN_SQL,
     "embedding_label_stats": EMB_LABEL_STATS_SQL,
     "embedding_dup_pairs": EMB_DUP_SQL,
     "embedding_dup_pairs_lsh": EMB_DUP_LSH_SQL,

@@ -1,0 +1,161 @@
+"""MCP-style stdio server — the reference's MCP wrapper surface re-expressed
+(``python/opendataloader-pdf-mcp/src/opendataloader_pdf_mcp/server.py:14-15``
+``convert_pdf`` tool; Node wrapper ``convert()``).
+
+A dependency-free subset of the Model Context Protocol: JSON-RPC 2.0 over
+stdio (one JSON object per line), handling ``initialize``, ``tools/list`` and
+``tools/call``. The one tool, ``convert_html``, maps the reference tool's
+option surface onto :class:`ExtractorConfig` and runs the in-process
+:func:`opendataloader_pdf_ray.api.convert` — no Ray session is started (a
+protocol server must not own the cluster; distributed work goes through
+``process_dataset`` / the CLI ``ingest`` path instead).
+
+Run: ``python -m opendataloader_pdf_ray.server`` and speak JSON-RPC on stdin.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from .api import FORMATS, convert
+from .config import ExtractorConfig
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_INFO = {"name": "opendataloader-pdf-ray", "version": "0.2.0"}
+
+_TOOL_SCHEMA = {
+    "name": "convert_html",
+    "description": "Convert an HTML document to text, markdown, json or html "
+                   "using the deterministic local extraction pipeline.",
+    "inputSchema": {
+        "type": "object",
+        "properties": {
+            "input_path": {"type": "string",
+                           "description": "Path to the input HTML file."},
+            "html": {"type": "string",
+                     "description": "Inline HTML source (alternative to "
+                                    "input_path)."},
+            "format": {"type": "string", "enum": list(FORMATS),
+                       "default": "markdown"},
+            "pages": {"type": "string",
+                      "description": "Pages to extract, e.g. '1,3,5-7'."},
+            "keep_line_breaks": {"type": "boolean", "default": True},
+            "sanitize": {"type": "boolean", "default": False},
+            "content_safety_off": {
+                "type": "string",
+                "description": "all | hidden-text | out-of-page | tiny-text "
+                               "(comma-separated)."},
+            "replace_invalid_chars": {"type": "string"},
+            "use_semantic_tags": {"type": "boolean", "default": False},
+            "table_method": {"type": "string",
+                             "enum": ["default", "cluster", "off"]},
+            "reading_order": {"type": "string", "enum": ["xycut", "off"]},
+            "text_page_separator": {"type": "string"},
+            "markdown_page_separator": {"type": "string"},
+            "include_header_footer": {"type": "boolean", "default": False},
+            "detect_strikethrough": {"type": "boolean", "default": False},
+        },
+    },
+}
+
+
+def _config_from_tool_args(a: Dict[str, Any]) -> ExtractorConfig:
+    cfg = ExtractorConfig(
+        sanitize=bool(a.get("sanitize", False)),
+        include_header_footer=bool(a.get("include_header_footer", False)),
+        pages=a.get("pages"),
+        table_method=a.get("table_method", "default"),
+        trust_semantic_tags=bool(a.get("use_semantic_tags", False)),
+        keep_line_breaks=bool(a.get("keep_line_breaks", True)),
+        detect_strikethrough=bool(a.get("detect_strikethrough", False)),
+        text_page_separator=a.get("text_page_separator"),
+        markdown_page_separator=a.get("markdown_page_separator"),
+        reading_order=a.get("reading_order", "xycut") != "off",
+    )
+    if a.get("content_safety_off"):
+        cfg = cfg.with_safety_off(a["content_safety_off"])
+    if a.get("replace_invalid_chars") is not None:
+        cfg = cfg.with_(replacement_text=a["replace_invalid_chars"])
+    return cfg
+
+
+def _call_convert_html(a: Dict[str, Any]) -> str:
+    fmt = a.get("format", "markdown")
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
+    if "html" in a:
+        payload: bytes | str = a["html"]
+        name = a.get("input_path", "")
+    elif "input_path" in a:
+        payload = Path(a["input_path"]).read_bytes()
+        name = a["input_path"]
+    else:
+        raise ValueError("one of 'input_path' or 'html' is required")
+    out = convert(payload, _config_from_tool_args(a), output_formats=[fmt],
+                  file_name=name)
+    result = out[fmt]
+    return json.dumps(result, ensure_ascii=False) if fmt == "json" else str(result)
+
+
+def handle_request(req: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """One JSON-RPC request → response dict (None for notifications)."""
+    method = req.get("method", "")
+    rid = req.get("id")
+    if method.startswith("notifications/"):
+        return None
+
+    def ok(result: Any) -> Dict[str, Any]:
+        return {"jsonrpc": "2.0", "id": rid, "result": result}
+
+    def err(code: int, message: str) -> Dict[str, Any]:
+        return {"jsonrpc": "2.0", "id": rid,
+                "error": {"code": code, "message": message}}
+
+    if method == "initialize":
+        return ok({"protocolVersion": PROTOCOL_VERSION,
+                   "capabilities": {"tools": {}},
+                   "serverInfo": SERVER_INFO})
+    if method == "tools/list":
+        return ok({"tools": [_TOOL_SCHEMA]})
+    if method == "tools/call":
+        params = req.get("params") or {}
+        if params.get("name") != "convert_html":
+            return err(-32602, f"unknown tool {params.get('name')!r}")
+        try:
+            text = _call_convert_html(params.get("arguments") or {})
+            return ok({"content": [{"type": "text", "text": text}],
+                       "isError": False})
+        except Exception as e:  # tool errors are results, not protocol errors
+            return ok({"content": [{"type": "text", "text": f"{e}"}],
+                       "isError": True})
+    if method == "ping":
+        return ok({})
+    return err(-32601, f"method not found: {method}")
+
+
+def serve(stdin=None, stdout=None) -> None:
+    """Line-delimited JSON-RPC loop. Malformed lines get a -32700 response."""
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError:
+            resp: Optional[Dict[str, Any]] = {
+                "jsonrpc": "2.0", "id": None,
+                "error": {"code": -32700, "message": "parse error"}}
+        else:
+            resp = handle_request(req)
+        if resp is not None:
+            stdout.write(json.dumps(resp, ensure_ascii=False) + "\n")
+            stdout.flush()
+
+
+if __name__ == "__main__":
+    serve()

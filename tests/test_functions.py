@@ -142,3 +142,51 @@ class TestGenericLWW:
         ds = ray.data.from_arrow(t)
         out = latest_state(ds, "k", ["v"]).to_pandas().set_index("k")["p"]
         assert out.loc["a"] == "r49" and out.loc["b"] == "r99"
+
+
+class TestWinnowing:
+    def test_shared_run_shares_fingerprint(self):
+        # winnowing guarantee: any shared word run of >= window+ngram-1 = 6
+        # words yields at least one common (hash) fingerprint
+        w = ts.WinnowFingerprinter()
+        shared = "alpha beta gamma delta epsilon zeta"
+        _, fa = w.select("intro words here " + shared + " tail one")
+        _, fb = w.select("completely different prefix " + shared)
+        assert set(fa.tolist()) & set(fb.tolist())
+
+    def test_rightmost_min_tie(self):
+        # identical hashes inside one window: the rightmost position wins
+        w = ts.WinnowFingerprinter()
+        text = "x y z x y z x y z x y z"  # repeating grams -> repeated hashes
+        pos, fps = w.select(text)
+        assert len(pos) == len(set(pos.tolist()))
+        assert (np.diff(pos) > 0).all()
+
+    def test_determinism_and_empty(self):
+        w1, w2 = ts.WinnowFingerprinter(), ts.WinnowFingerprinter()
+        t = "some document text for fingerprinting determinism checks today"
+        a, b = w1.select(t), w2.select(t)
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+        p, f = w1.select("")
+        assert len(p) == 0 and len(f) == 0
+
+
+class TestIVF:
+    def test_full_probe_equals_bruteforce(self, ray_session):
+        from opendataloader_pdf_ray.functions.similarity import ivf_topk
+        rng = np.random.RandomState(7)
+        mat = rng.normal(size=(300, 16))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }))
+        q = mat[0]
+        exact = brute_force_topk(ds, q, k=5, exclude_ids={0})
+        full = ivf_topk(ds, q, k=5, n_centroids=8, probe=8, exclude_ids={0})
+        assert exact["vec_id"].to_pylist() == full["vec_id"].to_pylist()
+        assert exact["cosine"].to_pylist() == full["cosine"].to_pylist()
+        # pruned probe scans half the lists; recall floor on random data
+        pruned = ivf_topk(ds, q, k=5, n_centroids=8, probe=4, exclude_ids={0})
+        got = set(pruned["vec_id"].to_pylist())
+        want = set(exact["vec_id"].to_pylist())
+        assert len(got & want) / len(want) >= 0.4
