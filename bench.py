@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     "cdc_latest_state", "cdc_epoch_windows", "cdc_asof_enrich",
     "cdc_user_sessions", "doc_token_stats", "doc_word_jaccard_adjacent",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "knn_bruteforce",
-    "knn_lsh", "embedding_dup_pairs",
+    "knn_lsh", "knn_ivf", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
+    "doc_winnow_fingerprints", "hybrid_routed_extract",
+    "hybrid_enriched_entities",
 ]
 
 
