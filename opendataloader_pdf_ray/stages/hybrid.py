@@ -173,6 +173,18 @@ def hybrid_extract(ds: "ray.data.Dataset",
             "hybrid backend unavailable and fallback disabled "
             "(HybridDocumentProcessor.java:256-268 fail-fast)")
 
+    # struct-tree precedence (StructTreeHybridPrecedenceTest analog): when the
+    # author's semantic markup is trusted outright, the model backend has
+    # nothing to add — suppress the backend path and say so, exactly once
+    if cfg.trust_semantic_tags:
+        if backend_healthy:
+            import sys as _sys
+
+            print("[hybrid] trust_semantic_tags suppresses the backend path: "
+                  "author markup is authoritative, model enrichment skipped",
+                  file=_sys.stderr)
+        backend_healthy = False
+
     combined = ds.map_batches(
         RouteAndExtract, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow", concurrency=conc, num_cpus=0.5,

@@ -166,3 +166,26 @@ class TestEnrichedEntities:
                 r = rows[url]
                 assert (r["n_formulas"], r["n_pictures"], r["n_footnotes"]) \
                     == (0, 0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStructTreePrecedence:
+    """StructTreeHybridPrecedenceTest analog: trusted semantic markup
+    suppresses the hybrid backend (with a warning); without trust the
+    two-path split proceeds normally."""
+
+    def test_trust_suppresses_backend_and_warns(self, capfd):
+        from opendataloader_pdf_ray.config import ExtractorConfig
+
+        pages = _pages([("https://h.example/t1", b"<table><tr><td>1</td></tr></table>"),
+                        ("https://h.example/t2", b"<p>plain</p>")])
+        out = hybrid_extract(pages,
+                             cfg=ExtractorConfig(trust_semantic_tags=True),
+                             backend_healthy=True).take_all()
+        assert {r["source"] for r in out} == {"local"}
+        assert "suppresses the backend" in capfd.readouterr().err
+
+    def test_no_warning_without_trust(self, capfd):
+        pages = _pages([("https://h.example/t3", b"<p>plain only</p>")])
+        hybrid_extract(pages, backend_healthy=True).take_all()
+        assert "suppresses the backend" not in capfd.readouterr().err
