@@ -60,6 +60,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(MM_QUERIES)
     except ImportError:
         pass
+    try:
+        from opendataloader_pdf_ray.pipelines.warc_queries import WARC_QUERIES
+
+        out.update(WARC_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -94,6 +100,12 @@ def oracle_sql() -> dict[str, str]:
         from opendataloader_pdf_ray.pipelines.multimodal_queries import MM_ORACLE_SQL
 
         out.update(MM_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.warc_queries import WARC_ORACLE_SQL
+
+        out.update(WARC_ORACLE_SQL)
     except ImportError:
         pass
     return out

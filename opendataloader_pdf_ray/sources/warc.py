@@ -1,0 +1,137 @@
+"""WARC source — the web-archive input format for webtext-scale crawls.
+
+Implements the public WARC/1.0 record layout (ISO 28500): each record is a
+``WARC/1.0`` header block (CRLF-terminated ``Name: value`` lines), a blank
+line, ``Content-Length`` bytes of payload, and a trailing ``\\r\\n\\r\\n``.
+``response`` records carry an HTTP response whose body is the page.
+
+Scale shape: ``read_warc`` fans file paths out with
+``ray.data.read_binary_files`` (one task per file — WARC segments are the
+crawl's natural partition, ~1 GB each in Common-Crawl-style layouts) and
+parses records inside ``map_batches``; nothing touches the driver. The writer
+exists for deterministic fixtures and round-trip tests.
+
+No gzip support here on purpose: .warc.gz members are per-record gzip streams
+whose offsets come from a CDX index — out of scope until a CDX reader exists;
+plain .warc segments parse byte-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+import ray.data
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+WARC_COLUMNS = ["url", "warc_ts", "record_type", "content_type", "html",
+                "segment"]
+
+
+def _parse_headers(block: bytes) -> Dict[str, str]:
+    headers: Dict[str, str] = {}
+    for line in block.split(_CRLF)[1:]:  # [0] is the WARC/1.0 version line
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip().lower()] = \
+                v.decode("utf-8", "replace").strip()
+    return headers
+
+
+def parse_warc_bytes(data: bytes, segment: str = "") -> List[dict]:
+    """All records of one WARC segment → list of row dicts. ``response``
+    records get their HTTP body extracted into ``html``; other record types
+    (warcinfo, request, metadata) keep ``html=None`` so callers can filter by
+    ``record_type`` without a second file pass."""
+    rows: List[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(b"WARC/", pos):
+            nxt = data.find(b"WARC/", pos)
+            if nxt < 0:
+                break
+            pos = nxt
+        hdr_end = data.find(_SEP, pos)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body = data[hdr_end + len(_SEP): hdr_end + len(_SEP) + length]
+        pos = hdr_end + len(_SEP) + length
+        while data.startswith(_CRLF, pos):  # record terminator CRLFs
+            pos += len(_CRLF)
+        rtype = headers.get("warc-type", "")
+        html: Optional[bytes] = None
+        ctype = headers.get("content-type", "")
+        if rtype == "response":
+            http_end = body.find(_SEP)
+            html = body[http_end + len(_SEP):] if http_end >= 0 else body
+        rows.append({
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": headers.get("warc-date", ""),
+            "record_type": rtype,
+            "content_type": ctype,
+            "html": html,
+            "segment": segment,
+        })
+    return rows
+
+
+def _rows_table(rows: List[dict]) -> pa.Table:
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.string()),
+        "record_type": pa.array([r["record_type"] for r in rows], pa.string()),
+        "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+        "html": pa.array([r["html"] for r in rows], pa.binary()),
+        "segment": pa.array([r["segment"] for r in rows], pa.string()),
+    })
+
+
+def read_warc(paths, responses_only: bool = True) -> "ray.data.Dataset":
+    """WARC segment file(s)/dir → Dataset(url, warc_ts, record_type,
+    content_type, html, segment). One read task per segment; records parse
+    inside the batch transform."""
+    import os
+
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: List[dict] = []
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            recs = parse_warc_bytes(data, segment=os.path.basename(path))
+            if responses_only:
+                recs = [r for r in recs if r["record_type"] == "response"]
+            rows.extend(recs)
+        return _rows_table(rows)
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def write_warc(path: str, records: List[Tuple[str, str, bytes]]) -> None:
+    """Write a plain WARC/1.0 segment: one ``response`` record per
+    (url, iso_ts, html) tuple. Deterministic (no uuids/wall-clock — record id
+    derives from the url) — fixture + round-trip-test writer."""
+    import hashlib
+
+    with open(path, "wb") as f:
+        for url, ts, html in records:
+            rid = hashlib.md5(url.encode()).hexdigest()
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html)
+            hdr = (f"WARC/1.0\r\n"
+                   f"WARC-Type: response\r\n"
+                   f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"WARC-Date: {ts}\r\n"
+                   f"Content-Type: application/http;msgtype=response\r\n"
+                   f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
+            f.write(hdr + http + _SEP)

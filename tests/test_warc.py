@@ -1,0 +1,73 @@
+"""WARC source tests: parser edge cases + distributed read round trip."""
+
+import os
+
+import pytest
+
+from opendataloader_pdf_ray.sources.warc import (
+    parse_warc_bytes, read_warc, write_warc,
+)
+
+
+def _record(rtype, url, body, extra=""):
+    payload = body if rtype != "response" else (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+    hdr = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: 2026-01-01T00:00:00Z\r\n{extra}"
+           f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+class TestParser:
+    def test_mixed_record_types(self):
+        data = (_record("warcinfo", "", b"robots: classic")
+                + _record("request", "https://x.example/a", b"GET /a HTTP/1.1")
+                + _record("response", "https://x.example/a", b"<p>hi</p>"))
+        rows = parse_warc_bytes(data)
+        assert [r["record_type"] for r in rows] == \
+            ["warcinfo", "request", "response"]
+        assert rows[2]["html"] == b"<p>hi</p>"
+        assert rows[0]["html"] is None and rows[1]["html"] is None
+
+    def test_binary_safe_payload(self):
+        # bodies containing CRLF-CRLF and WARC/ must not confuse the scanner
+        tricky = b"<p>a\r\n\r\nWARC/1.0 fake</p>"
+        data = _record("response", "https://x.example/t", tricky) \
+            + _record("response", "https://x.example/u", b"<p>next</p>")
+        rows = parse_warc_bytes(data)
+        assert len(rows) == 2
+        assert rows[0]["html"] == tricky
+        assert rows[1]["url"] == "https://x.example/u"
+
+    def test_truncated_tail_is_dropped_not_fatal(self):
+        good = _record("response", "https://x.example/ok", b"<p>ok</p>")
+        rows = parse_warc_bytes(good + b"WARC/1.0\r\nWARC-Type: resp")
+        assert len(rows) == 1 and rows[0]["url"] == "https://x.example/ok"
+
+    def test_garbage_prefix_skipped(self):
+        good = _record("response", "https://x.example/ok", b"<p>ok</p>")
+        rows = parse_warc_bytes(b"not a warc header\r\n" + good)
+        assert len(rows) == 1
+
+
+class TestRoundTrip:
+    def test_write_read_dataset(self, ray_session, tmp_path):
+        seg = tmp_path / "seg-0000.warc"
+        recs = [(f"https://x.example/{i:03d}", "2026-01-01T00:00:00Z",
+                 f"<html><body><p>doc {i} body</p></body></html>".encode())
+                for i in range(25)]
+        write_warc(str(seg), recs)
+        out = read_warc(str(seg)).take_all()
+        assert len(out) == 25
+        assert sorted(r["url"] for r in out) == [r[0] for r in recs]
+        by_url = {r["url"]: r for r in out}
+        assert by_url["https://x.example/007"]["html"] == recs[7][2]
+        assert all(r["segment"] == "seg-0000.warc" for r in out)
+
+    def test_writer_deterministic(self, tmp_path):
+        a, b = tmp_path / "a.warc", tmp_path / "b.warc"
+        recs = [("https://x.example/d", "2026-01-01T00:00:00Z", b"<p>x</p>")]
+        write_warc(str(a), recs)
+        write_warc(str(b), recs)
+        assert a.read_bytes() == b.read_bytes()
