@@ -181,6 +181,48 @@ WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
 """
 
 
+def corpus_clean_en(sf_dir: str):
+    """The C4-style corpus-cleaning composite, end to end: language-ID →
+    quality floor (length + stopword ratio) → exact dedup, keeping one doc
+    per distinct surviving text. Every stage is the already-SQL-mirrored
+    operator, so the WHOLE recipe is a hash-exact gate — the marquee
+    training-data-prep pipeline composed from first-class parts."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(ts.LangId, batch_format="pyarrow",
+                        concurrency=stage_concurrency())
+    ds = ds.map_batches(ts.quality_score, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch["text"], pattern=r"\S+")
+        mask = pc.and_(
+            pc.and_(pc.equal(batch["pred_lang"], pa.scalar("en")),
+                    pc.greater_equal(toks, pa.scalar(20))),
+            pc.greater_equal(batch["stopword_ratio"], pa.scalar(0.05)))
+        return batch.filter(mask).select(["doc_id", "text"])
+
+    return dd.exact_dedup_keys(ds.map_batches(keep, batch_format="pyarrow"))
+
+
+# the composite mirrors: lang classifier (_MARKER_SQL) + token count +
+# stopword ratio (same \S+ tokens, same en marker set, same IEEE division of
+# the same integers) + md5-groupby dedup keeping min(doc_id)
+CORPUS_CLEAN_EN_SQL = "WITH " + _MARKER_SQL + """,
+scored2 AS (SELECT doc_id, text, pred_lang,
+                   regexp_extract_all(text, '\\S+') AS toks
+            FROM pred),
+filtered AS (
+    SELECT doc_id, text FROM scored2
+    WHERE pred_lang = 'en' AND len(toks) >= 20
+      AND CAST(len(list_filter(toks, t -> list_contains(
+            ['the','and','of','to','in','is','that','for','with','as','on','at','by','from','this'],
+            lower(t)))) AS DOUBLE) / len(toks) >= 0.05)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM filtered GROUP BY text
+"""
+
+
 def doc_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (SIGMOD 2003): per-doc (pos, hash)
     fingerprint set from rightmost-min selection over windows of 4 consecutive
@@ -352,6 +394,43 @@ FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
 """
 
 
+def url_canonical_dedup(sf_dir: str):
+    """URL canonicalization as a crawl-alias dedup gate. Messy raw urls are
+    synthesized per doc_id (host case, query order, utm_* noise, default
+    port, fragment all vary with doc_id arithmetic; two doc_ids map to each
+    page), normalized with ``functions.urls.normalize_url``, and grouped.
+    The oracle constructs the EXPECTED canonical url directly from doc_id —
+    a ground-truth check on the normalizer, not a mirrored reimplementation."""
+    from ..functions.urls import normalize_urls
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            host = "Docs.Example" if d % 2 else "docs.example"
+            port = ":443" if d % 11 == 0 else ""
+            q = "b=2&a=1" if d % 3 == 0 else "a=1&b=2"
+            if d % 5 == 0:
+                q += "&utm_source=feed"
+            frag = "#sec" if d % 7 == 0 else ""
+            urls.append(f"https://{host}{port}/{d % 250:06d}?{q}{frag}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = ds.map_batches(messy, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_urls, batch_format="pyarrow")
+    return (ds.groupby("norm_url")
+              .aggregate(Count(alias_name="n_raw")))
+
+
+URL_CANONICAL_SQL = """
+SELECT 'https://docs.example/' || lpad(CAST(doc_id % 250 AS VARCHAR), 6, '0')
+         || '?a=1&b=2' AS norm_url,
+       count(*) AS n_raw
+FROM documents GROUP BY doc_id % 250
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -364,6 +443,8 @@ DOC_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "corpus_clean_en": corpus_clean_en,
+    "url_canonical_dedup": url_canonical_dedup,
 }
 
 DOC_ORACLE_SQL = {
@@ -376,6 +457,8 @@ DOC_ORACLE_SQL = {
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
+    "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
+    "url_canonical_dedup": URL_CANONICAL_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
 }

@@ -190,3 +190,21 @@ class TestIVF:
         got = set(pruned["vec_id"].to_pylist())
         want = set(exact["vec_id"].to_pylist())
         assert len(got & want) / len(want) >= 0.4
+
+
+class TestUrlNormalize:
+    def test_rules(self):
+        from opendataloader_pdf_ray.functions.urls import normalize_url as n
+        assert n("HTTPS://Docs.Example:443/p?b=2&a=1#x") == \
+            "https://docs.example/p?a=1&b=2"
+        assert n("http://host:80") == "http://host/"
+        assert n("http://host:8080/p") == "http://host:8080/p"  # non-default kept
+        assert n("https://h/p?utm_source=x&utm_medium=y") == "https://h/p"
+        assert n("https://h/p?") == "https://h/p"
+        assert n("not a url") == "not a url"
+        assert n("mailto:a@b") == "mailto:a@b"  # no ://, untouched
+
+    def test_idempotent(self):
+        from opendataloader_pdf_ray.functions.urls import normalize_url as n
+        u = "https://Docs.Example:443/p?z=1&a=2&utm_x=3#frag"
+        assert n(n(u)) == n(u)
