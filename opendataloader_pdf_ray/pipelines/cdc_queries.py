@@ -130,6 +130,74 @@ def cdc_epoch_windows(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_sliding_window(sf_dir: str):
+    """SLIDING-window aggregate (the tumbling ``cdc_epoch_windows`` sibling):
+    per event_type per day, event count plus the 3-day moving count/sum
+    (current + 2 preceding days). Shape: batch-local partials → tiny
+    (type, day) groupby → per-type map_groups computes the window over its
+    few-dozen day rows — the raw stream is never re-shuffled for the window,
+    only the aggregated frame is."""
+    import numpy as np
+
+    from .common import round_half_away, to_scaled_int64
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000).astype(np.int64)
+        vals = to_scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
+        t = pa.table({"event_type": batch["event_type"],
+                      "epoch_day": pa.array(day, pa.int64()),
+                      "n": pa.array(np.ones(len(day), np.int64)),
+                      "v_i": pa.array(vals)})
+        return t.group_by(["event_type", "epoch_day"]).aggregate(
+            [("n", "sum"), ("v_i", "sum")]).rename_columns(
+            ["event_type", "epoch_day", "n", "v_i"])
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["event_type", "epoch_day"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("v_i", alias_name="v_i")))
+
+    def window(group: pa.Table) -> pa.Table:
+        idx = np.argsort(group["epoch_day"].to_numpy(zero_copy_only=False),
+                         kind="stable")
+        n = group["n"].to_numpy(zero_copy_only=False)[idx]
+        v = group["v_i"].to_numpy(zero_copy_only=False)[idx]
+        cn = np.concatenate([[0], np.cumsum(n)])
+        cv = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(np.arange(len(n)) - 2, 0)
+        mov_n = cn[1 + np.arange(len(n))] - cn[lo]
+        mov_v = (cv[1 + np.arange(len(n))] - cv[lo]) / 100.0
+        return pa.table({
+            "event_type": group["event_type"].take(pa.array(idx)),
+            "epoch_day": group["epoch_day"].take(pa.array(idx)),
+            "n": pa.array(n),
+            "mov_n": pa.array(mov_n, pa.int64()),
+            "mov_sum_value": pa.array(round_half_away(mov_v, 2)),
+        })
+
+    return daily.groupby("event_type").map_groups(window,
+                                                  batch_format="pyarrow")
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS epoch_day,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS v_i
+    FROM events GROUP BY event_type, epoch_day)
+SELECT event_type, epoch_day, n,
+       sum(n) OVER w AS mov_n,
+       round(sum(v_i) OVER w / 100.0, 2) AS mov_sum_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def cdc_asof_enrich(sf_dir: str):
     """As-of join (SURVEY.md §2.4 caption-adjacency analog, guide pattern):
     each non-purchase event joined to the user's most recent prior purchase.
@@ -224,6 +292,7 @@ CDC_QUERIES = {
     "cdc_first_seen": cdc_first_seen,
     "cdc_op_stats": cdc_op_stats,
     "cdc_epoch_windows": cdc_epoch_windows,
+    "events_sliding_window": events_sliding_window,
 }
 
 CDC_ORACLE_SQL = {
@@ -262,6 +331,7 @@ CDC_ORACLE_SQL = {
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_value
         FROM events GROUP BY event_type
     """,
+    "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
