@@ -198,6 +198,36 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
 """
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured payload extraction (§2.8): the ``props`` JSON column
+    parsed per batch (stdlib json, no driver involvement), the extracted
+    field bucketed and aggregated. Mirrors DuckDB ``json_extract``."""
+    import json
+
+    import numpy as np
+
+    ds = _events(sf_dir, columns=["event_type", "props"])
+
+    def extract_k(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (json.loads(p).get("k", -1) for p in batch["props"].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return pa.table({"event_type": batch["event_type"],
+                         "k_decile": pa.array(ks // 10, pa.int64())})
+
+    return (ds.map_batches(extract_k, batch_format="pyarrow")
+              .groupby(["event_type", "k_decile"])
+              .aggregate(Count(alias_name="n")))
+
+
+EVENTS_PROPS_STATS_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       count(*) AS n
+FROM events GROUP BY event_type, k_decile
+"""
+
+
 def cdc_asof_enrich(sf_dir: str):
     """As-of join (SURVEY.md §2.4 caption-adjacency analog, guide pattern):
     each non-purchase event joined to the user's most recent prior purchase.
@@ -293,6 +323,7 @@ CDC_QUERIES = {
     "cdc_op_stats": cdc_op_stats,
     "cdc_epoch_windows": cdc_epoch_windows,
     "events_sliding_window": events_sliding_window,
+    "events_props_stats": events_props_stats,
 }
 
 CDC_ORACLE_SQL = {
@@ -332,6 +363,7 @@ CDC_ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
+    "events_props_stats": EVENTS_PROPS_STATS_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
