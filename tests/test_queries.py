@@ -15,7 +15,11 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "cdc_latest_state", "cdc_asof_enrich", "cdc_user_sessions",
           "customers_without_orders", "union_key_counts", "dedup_exact",
           "doc_token_stats", "doc_word_jaccard_adjacent",
-          "knn_bruteforce", "embedding_label_stats"]
+          "knn_bruteforce", "embedding_label_stats",
+          "events_sliding_window", "events_props_stats",
+          "doc_winnow_fingerprints", "corpus_clean_en",
+          "url_canonical_dedup", "knn_ivf", "warc_roundtrip_stats",
+          "hybrid_enriched_entities"]
 
 
 @pytest.fixture(scope="module")

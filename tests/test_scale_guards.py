@@ -32,6 +32,14 @@ GUARDED_QUERIES = [
     "knn_lsh",
     "top_customers",
     "lang_quality",
+    "doc_winnow_fingerprints",
+    "corpus_clean_en",
+    "url_canonical_dedup",
+    "events_sliding_window",
+    "events_props_stats",
+    "knn_ivf",
+    "warc_roundtrip_stats",
+    "hybrid_enriched_entities",
 ]
 
 SF = "/root/testdata/sf0.001"
