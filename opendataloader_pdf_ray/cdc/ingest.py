@@ -97,10 +97,12 @@ class ApplyPartition:
 
     __name__ = "ApplyPartition"  # map_groups wraps plain callables by name
 
-    def __init__(self, lake_root: str, num_partitions: int, epoch: int):
+    def __init__(self, lake_root: str, num_partitions: int, epoch: int,
+                 commit_mode: str = "snapshot"):
         self.lake_root = lake_root
         self.num_partitions = num_partitions
         self.epoch = epoch
+        self.commit_mode = commit_mode  # "snapshot" (CoW) | "delta" (winners only)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lake = Lake(self.lake_root, self.num_partitions)
@@ -123,6 +125,12 @@ class ApplyPartition:
         if lake.is_committed(part, self.epoch):
             out = lake.read_lineage(part, self.epoch)
             out.skipped = True
+        elif self.commit_mode == "delta":
+            # no read-modify-write: the winner set (tombstones included) is
+            # the commit; readers fold it merge-on-read (lake.read_partition)
+            out = lake.commit_delta(part, self.epoch,
+                                    winners.sort_by([("url", "ascending")]),
+                                    lineage)
         else:
             base = lake.read_partition(part, as_of=self.epoch - 1)
             merged = merge_base_with_updates(base, winners)
@@ -313,7 +321,8 @@ def ingest_epoch(events_path: str, lake: Lake, epoch: int, cfg: CDCConfig,
         ds = ds.repartition(cfg.local_merge_blocks).map_batches(
             _combine, batch_format="pyarrow")
     lineage_ds = ds.groupby("part").map_groups(
-        ApplyPartition(lake.root, cfg.num_partitions, epoch), batch_format="pyarrow"
+        ApplyPartition(lake.root, cfg.num_partitions, epoch,
+                       commit_mode=cfg.epoch_commits), batch_format="pyarrow"
     )
     return lineage_ds.take_all()  # ≤ P tiny rows
 

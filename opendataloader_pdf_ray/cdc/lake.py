@@ -4,8 +4,19 @@ Layout (resumable-output rule: one directory per partition, never one giant
 file):
 
     <root>/part=<k>/epoch=<e>.parquet      full partition state after epoch e
+    <root>/part=<k>/delta=<e>.parquet      epoch e's winner set only (delta mode)
     <root>/_commits/part-<k>-epoch-<e>.json   commit record + lineage
     <root>/_commits/epoch-<e>.done            whole-epoch completion marker
+
+Delta commits (round-2, the write-amplification fix for streaming tails):
+``commit_delta`` writes only the epoch's LWW winner set — no read-modify-
+write of the partition. Reads reconstruct state merge-on-read style: newest
+epoch whose SNAPSHOT file exists is the base, later committed delta files
+fold on top in epoch order (the LWW fold is associative, so this equals the
+eager CoW result — property-tested). ``compact()`` materializes the folded
+state as a snapshot file at the newest committed epoch — no new commit
+record needed, because a snapshot file is just a cached view of the already-
+committed history; ``vacuum`` then reclaims superseded deltas/snapshots.
 
 Storage is abstracted over **fsspec** (round-2): ``root`` may be a plain
 POSIX path, ``file:///…`` or ``memory://…`` (object-store-shaped). The commit
@@ -35,7 +46,7 @@ import fsspec
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .merge import live_view, unified_schema, unify_to_schema
+from .merge import live_view, merge_base_with_updates, unified_schema, unify_to_schema
 
 
 @dataclass
@@ -48,6 +59,7 @@ class Lineage:
     seq_min: int
     seq_max: int
     skipped: bool = False  # True when the commit already existed (idempotent replay)
+    kind: str = "snapshot"  # "snapshot" (full partition state) | "delta" (winner set)
 
 
 class Lake:
@@ -71,6 +83,9 @@ class Lake:
 
     def _data_path(self, part: int, epoch: int) -> str:
         return posixpath.join(self._part_dir(part), f"epoch={epoch:06d}.parquet")
+
+    def _delta_path(self, part: int, epoch: int) -> str:
+        return posixpath.join(self._part_dir(part), f"delta={epoch:06d}.parquet")
 
     def epoch_done_path(self, epoch: int) -> str:
         return posixpath.join(self._commits_dir(), f"epoch-{epoch:06d}.done")
@@ -119,31 +134,58 @@ class Lake:
 
     # -------------------------------------------------------------------- read
     def read_partition(self, part: int, as_of: Optional[int] = None) -> Optional[pa.Table]:
+        """Merge-on-read: newest epoch ≤ as_of whose SNAPSHOT file exists is
+        the base; committed delta files after it fold on top in epoch order
+        (associative LWW, so this equals the eager CoW state)."""
         epochs = self.committed_epochs(part)
         if as_of is not None:
             epochs = [e for e in epochs if e <= as_of]
+        base: Optional[pa.Table] = None
+        base_idx = -1
         # newest committed epoch whose snapshot still exists (vacuum may have
         # reclaimed older ones; commit records are kept for lineage)
-        for epoch in reversed(epochs):
-            path = self._data_path(part, epoch)
+        for i in range(len(epochs) - 1, -1, -1):
+            path = self._data_path(part, epochs[i])
             if self.fs.exists(path):
-                return pq.read_table(path, filesystem=self.fs)
-        return None
+                base = pq.read_table(path, filesystem=self.fs)
+                base_idx = i
+                break
+        for epoch in epochs[base_idx + 1:]:
+            dpath = self._delta_path(part, epoch)
+            if self.fs.exists(dpath):
+                delta = pq.read_table(dpath, filesystem=self.fs)
+                base = merge_base_with_updates(base, delta)
+        return base
 
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
-        """Latest committed (and still-present) file per partition — the input
-        list for a ``ray.data.read_parquet`` over current state (pass
-        ``filesystem=lake.fs`` for non-local roots)."""
+        """Latest committed (and still-present) snapshot file per partition —
+        the input list for a ``ray.data.read_parquet`` over current state
+        (pass ``filesystem=lake.fs`` for non-local roots). Raises if a
+        partition's current state lives in un-compacted deltas: a silent
+        stale read is worse than an explicit "compact() first"."""
         files = []
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
             if as_of is not None:
                 epochs = [e for e in epochs if e <= as_of]
-            for epoch in reversed(epochs):
-                path = self._data_path(part, epoch)
-                if self.fs.exists(path):
-                    files.append(path)
+            chosen = None
+            for i in range(len(epochs) - 1, -1, -1):
+                if self.fs.exists(self._data_path(part, epochs[i])):
+                    chosen = i
                     break
+            if chosen is None:
+                if any(self.fs.exists(self._delta_path(part, e)) for e in epochs):
+                    raise ValueError(
+                        f"partition {part}: state is delta-only — run "
+                        f"Lake.compact() before snapshot-file reads")
+                continue
+            if any(self.fs.exists(self._delta_path(part, e))
+                   for e in epochs[chosen + 1:]):
+                raise ValueError(
+                    f"partition {part}: deltas newer than snapshot "
+                    f"epoch={epochs[chosen]} — run Lake.compact() before "
+                    f"snapshot-file reads")
+            files.append(self._data_path(part, epochs[chosen]))
         return files
 
     def read_state(self, as_of: Optional[int] = None, include_tombstones: bool = False) -> pa.Table:
@@ -189,25 +231,80 @@ class Lake:
                                  json.dumps(asdict(lineage)).encode())
         return lineage
 
+    def commit_delta(self, part: int, epoch: int, winners: pa.Table,
+                     lineage: Lineage) -> Lineage:
+        """Delta commit: write ONLY this epoch's LWW winner set (tombstones
+        included) — no base read, no partition rewrite. Same commit protocol
+        as commit_partition; readers fold deltas onto the newest snapshot."""
+        lineage.kind = "delta"
+        if self.is_committed(part, epoch):
+            prior = self.read_lineage(part, epoch)
+            prior.skipped = True
+            return prior
+        self.fs.makedirs(self._part_dir(part), exist_ok=True)
+        pq.write_table(winners, self._delta_path(part, epoch),
+                       compression="zstd", filesystem=self.fs)
+        if self.is_committed(part, epoch):  # lost the publish race to a retry
+            prior = self.read_lineage(part, epoch)
+            prior.skipped = True
+            return prior
+        self._write_small_atomic(self._commit_path(part, epoch),
+                                 json.dumps(asdict(lineage)).encode())
+        return lineage
+
+    def compact(self, parts: Optional[List[int]] = None) -> int:
+        """Materialize merge-on-read state as a snapshot file at each
+        partition's newest committed epoch. No new commit record: a snapshot
+        file is a cached view of already-committed history, so compaction is
+        idempotent, crash-safe and safe to run concurrently with readers
+        (deterministic content → any concurrent writer produces identical
+        bytes). Returns the number of partitions compacted."""
+        done = 0
+        for part in (parts if parts is not None else range(self.num_partitions)):
+            epochs = self.committed_epochs(part)
+            if not epochs:
+                continue
+            newest = epochs[-1]
+            if self.fs.exists(self._data_path(part, newest)):
+                continue  # already a snapshot at the tip
+            state = self.read_partition(part)
+            if state is None:
+                continue
+            self.fs.makedirs(self._part_dir(part), exist_ok=True)
+            pq.write_table(state, self._data_path(part, newest),
+                           compression="zstd", filesystem=self.fs)
+            done += 1
+        return done
+
     def read_lineage(self, part: int, epoch: int) -> Lineage:
         with self.fs.open(self._commit_path(part, epoch), "rb") as f:
             return Lineage(**json.loads(f.read().decode()))
 
     def vacuum(self, keep_snapshots: int = 1) -> int:
-        """Remove superseded CoW snapshot files, keeping the latest
-        ``keep_snapshots`` per partition. Commit records (lineage) are always
-        kept — history stays auditable, only data-file storage is reclaimed.
-        The write-amplification cleanup for ``backlog_snapshots="every_epoch"``
-        lakes; safe anytime (current-state reads always resolve to the latest
-        committed snapshot). Returns number of files removed."""
+        """Remove superseded data files, keeping the latest ``keep_snapshots``
+        SNAPSHOT files per partition plus every delta newer than the newest
+        kept snapshot (those deltas ARE the current state — merge-on-read
+        needs them). Deltas at or below the newest snapshot epoch are folded
+        into it and reclaimed. Commit records (lineage) are always kept —
+        history stays auditable, only data-file storage is reclaimed. Safe
+        anytime. Returns number of files removed."""
         removed = 0
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
-            for epoch in epochs[:-keep_snapshots] if keep_snapshots else epochs:
-                path = self._data_path(part, epoch)
-                if self.fs.exists(path):
-                    self.fs.rm_file(path)
+            snap_epochs = [e for e in epochs
+                           if self.fs.exists(self._data_path(part, e))]
+            keep = snap_epochs[-keep_snapshots:] if keep_snapshots else []
+            for epoch in snap_epochs:
+                if epoch not in keep:
+                    self.fs.rm_file(self._data_path(part, epoch))
                     removed += 1
+            if keep:
+                newest_snap = keep[-1]
+                for epoch in epochs:
+                    dpath = self._delta_path(part, epoch)
+                    if epoch <= newest_snap and self.fs.exists(dpath):
+                        self.fs.rm_file(dpath)
+                        removed += 1
         return removed
 
     def all_lineage(self) -> List[Dict]:

@@ -185,6 +185,14 @@ class CDCConfig:
     #       across epochs too → ~K× less shuffle payload and ~K/2× less write
     #       I/O. Still exactly-once + resumable (partition granularity).
     backlog_snapshots: str = "every_epoch"
+    # Per-epoch (streaming-tail) commit mode:
+    #   "snapshot" (default) — CoW: read base, merge, write full partition
+    #       state (reads are one-file; K× write amplification on the tail).
+    #   "delta" — write ONLY the epoch's winner set; reads fold deltas onto
+    #       the newest snapshot merge-on-read (Lake.read_partition), and
+    #       Lake.compact() re-materializes a snapshot when the fold chain
+    #       grows. The write-amplification fix for high-frequency epochs.
+    epoch_commits: str = "snapshot"
     drop_html_after_extract: bool = True     # project before shuffle: never shuffle html
 
 

@@ -1,0 +1,117 @@
+"""Delta-commit lake tests: merge-on-read equivalence, time travel,
+compaction, vacuum safety, idempotence, mixed snapshot/delta history."""
+
+import dataclasses
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, oracle_final_state
+from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+from opendataloader_pdf_ray.config import CDCConfig
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                extract_batch_size=16, extract_concurrency=2,
+                epoch_commits="delta")
+N_EPOCHS = 3  # 180 events / 60
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("delta") / "events.parquet")
+    pq.write_table(gen_events(180, 40, seed=42), path)
+    return path
+
+
+def _events(events_path):
+    return pq.read_table(events_path)
+
+
+def _assert_oracle(lake, events):
+    oracle = oracle_final_state(events)
+    got = {r["url"]: r for r in
+           lake.read_state(include_tombstones=True).to_pylist()}
+    assert set(got) == set(oracle)
+    for url, want in oracle.items():
+        assert got[url]["deleted"] == want["deleted"], url
+        assert got[url]["text"] == want["text"], url
+        assert got[url]["seq"] == want["seq"], url
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaCommits:
+    def test_delta_replay_matches_oracle(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        # every commit after epoch 0 is a delta file, no snapshot rewrite
+        for part in range(CFG.num_partitions):
+            for e in lake.committed_epochs(part):
+                assert lake.read_lineage(part, e).kind == "delta"
+                assert lake.fs.exists(lake._delta_path(part, e))
+                assert not lake.fs.exists(lake._data_path(part, e))
+        _assert_oracle(lake, _events(events_path))
+
+    def test_time_travel_as_of(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        events = _events(events_path)
+        upto = events.filter(pa.compute.less(events["seq"],
+                                             pa.scalar(2 * CFG.epoch_size)))
+        oracle = oracle_final_state(upto)
+        got = {r["url"]: r for r in
+               lake.read_state(as_of=1, include_tombstones=True).to_pylist()}
+        assert set(got) == set(oracle)
+        for url, want in oracle.items():
+            assert got[url]["text"] == want["text"], url
+
+    def test_idempotent_recommit(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        ingest_epoch(events_path, lake, 0, CFG)
+        again = ingest_epoch(events_path, lake, 0, CFG)
+        assert all(l["skipped"] for l in again)
+        _assert_oracle(lake, _events(events_path).filter(
+            pa.compute.less(_events(events_path)["seq"],
+                            pa.scalar(CFG.epoch_size))))
+
+    def test_compact_then_vacuum_preserves_state(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        with pytest.raises(ValueError, match="compact"):
+            lake.partition_files()
+        before = lake.read_state(include_tombstones=True)
+        n = lake.compact()
+        assert n > 0
+        assert lake.compact() == 0  # idempotent
+        files = lake.partition_files()  # snapshot reads now legal
+        assert files
+        assert lake.read_state(include_tombstones=True).equals(before)
+        removed = lake.vacuum()
+        assert removed > 0  # folded deltas reclaimed
+        assert lake.read_state(include_tombstones=True).equals(before)
+        _assert_oracle(lake, _events(events_path))
+
+    def test_vacuum_never_removes_live_deltas(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        before = lake.read_state(include_tombstones=True)
+        # no snapshot exists anywhere -> vacuum must remove nothing
+        assert lake.vacuum() == 0
+        assert lake.read_state(include_tombstones=True).equals(before)
+
+    def test_mixed_snapshot_then_delta_history(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        snap_cfg = dataclasses.replace(CFG, epoch_commits="snapshot")
+        ingest_epoch(events_path, lake, 0, snap_cfg)     # CoW snapshot base
+        for e in range(1, N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)      # delta tail
+        _assert_oracle(lake, _events(events_path))
+        # compaction folds the tail onto the epoch-0 base
+        lake.compact()
+        lake.vacuum()
+        _assert_oracle(lake, _events(events_path))
