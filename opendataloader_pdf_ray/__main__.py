@@ -117,7 +117,8 @@ def cmd_convert(args) -> int:
 def cmd_ingest(args) -> int:
     import ray
 
-    if not ray.is_initialized():
+    started_ray = not ray.is_initialized()
+    if started_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -125,7 +126,13 @@ def cmd_ingest(args) -> int:
     from .cdc import Lake, replay
     from .config import CDCConfig
 
-    cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size)
+    # size the extractor pool to the session: the default pool of 8×0.8-CPU
+    # actors deadlocks a smaller cluster (all CPUs reserved, none left for
+    # the read/shuffle stages)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size,
+                    epoch_commits=args.commit_mode,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
     lineage = replay(args.events, args.lake, cfg, mode=args.mode)
     lake = Lake(args.lake, cfg.num_partitions)
     state = lake.read_state()
@@ -136,7 +143,19 @@ def cmd_ingest(args) -> int:
         "rows_deleted": sum(l["rows_deleted"] for l in lineage),
         "live_rows": state.num_rows,
     }))
-    ray.shutdown()
+    if started_ray:  # leave an externally owned session (e.g. pytest) alone
+        ray.shutdown()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    compacted = lake.compact()
+    removed = lake.vacuum(keep_snapshots=args.keep_snapshots)
+    print(json.dumps({"partitions_compacted": compacted,
+                      "files_reclaimed": removed}))
     return 0
 
 
@@ -189,7 +208,20 @@ def main(argv=None) -> int:
     ing.add_argument("--epoch-size", type=int, default=10_000)
     ing.add_argument("--partitions", type=int, default=32)
     ing.add_argument("--mode", default="backlog", choices=["backlog", "epoch"])
+    ing.add_argument("--commit-mode", default="snapshot",
+                     choices=["snapshot", "delta"],
+                     help="epoch-mode commits: full CoW snapshots or "
+                          "winner-set deltas (merge-on-read; run 'compact' "
+                          "to re-materialize snapshots)")
     ing.set_defaults(fn=cmd_ingest)
+
+    cpt = sub.add_parser("compact",
+                         help="fold delta commits into snapshot files and "
+                              "vacuum superseded data files")
+    cpt.add_argument("lake")
+    cpt.add_argument("--partitions", type=int, default=32)
+    cpt.add_argument("--keep-snapshots", type=int, default=1)
+    cpt.set_defaults(fn=cmd_compact)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -35,3 +35,34 @@ class TestConvertCLI:
         rc = main(["convert", str(tmp_path / "nope.html"), str(f)])
         assert rc == 0
         assert "not found" in capsys.readouterr().err
+
+
+class TestDeltaIngestCLI:
+    def test_epoch_delta_ingest_then_compact(self, tmp_path, capsys,
+                                             ray_session):
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = tmp_path / "events.parquet"
+        pq.write_table(gen_events(120, 30, seed=42), str(events))
+        lake_dir = tmp_path / "lake"
+        rc = main(["ingest", str(events), str(lake_dir), "--epoch-size", "60",
+                   "--partitions", "4", "--mode", "epoch",
+                   "--commit-mode", "delta"])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["events_consumed"] == 120
+        assert stats["live_rows"] > 0
+
+        rc = main(["compact", str(lake_dir), "--partitions", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["partitions_compacted"] > 0
+        assert out["files_reclaimed"] > 0
+
+        from opendataloader_pdf_ray.cdc import Lake
+
+        lake = Lake(str(lake_dir), 4)
+        assert len(lake.partition_files()) > 0  # snapshot reads legal again
+        assert lake.read_state().num_rows == stats["live_rows"]
