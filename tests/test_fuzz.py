@@ -48,3 +48,34 @@ class TestFuzz:
                       ExtractorConfig(sanitize=True),
                       output_formats=["text", "markdown", "json", "html"])
         assert isinstance(out["json"], dict)
+
+
+class TestOperatorProperties:
+    @given(st.text(max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_url_idempotent_and_total(self, s):
+        from opendataloader_pdf_ray.functions.urls import normalize_url
+        once = normalize_url(s)       # never raises on arbitrary input
+        assert normalize_url(once) == once
+
+    @given(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=60),
+           st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=12))
+    @settings(max_examples=100, deadline=None)
+    def test_winnowing_shared_run_guarantee(self, prefix, shared):
+        # any shared run of >= window+ngram-1 = 6 words must produce at
+        # least one common fingerprint hash (Schleimer et al. theorem 1)
+        from opendataloader_pdf_ray.functions.text_stats import (
+            WinnowFingerprinter,
+        )
+        w = WinnowFingerprinter()
+        a = " ".join(prefix + shared)
+        b = " ".join(shared)
+        _, fa = w.select(a)
+        _, fb = w.select(b)
+        assert set(fb.tolist()) & set(fa.tolist())
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_simhash_stable_across_instances(self, text):
+        from opendataloader_pdf_ray.functions.dedup import SimHasher
+        assert SimHasher().sig(text) == SimHasher().sig(text)
