@@ -46,6 +46,7 @@ def _config_from_args(args):
         keep_line_breaks=not args.collapse_line_breaks,
         detect_strikethrough=args.detect_strikethrough,
         markdown_with_html=args.markdown_with_html,
+        markdown_with_images=args.markdown_with_images,
         text_page_separator=args.text_page_separator,
         markdown_page_separator=args.markdown_page_separator,
         reading_order=args.reading_order != "off",
@@ -87,6 +88,27 @@ def cmd_convert(args) -> int:
                           file_name=path.name)
             if args.image_output == "external":
                 n_images += _write_image_assets(payload_bytes, cfg, path, args)
+                if cfg.markdown_with_images and "markdown" in out:
+                    # markdown-with-images + external files: rewrite each
+                    # data: URI link target to its written asset file
+                    # (ImagesUtils external-file markdown mode)
+                    from .extractor.assets import extract_image_assets
+
+                    md = out["markdown"]
+                    for a in extract_image_assets(payload_bytes, cfg):
+                        if a["data"] is None:
+                            continue
+                        suffix = {"image/png": ".png",
+                                  "image/jpeg": ".jpg"}.get(a["mime"], ".bin")
+                        name = (f"{path.stem}_images/"
+                                f"asset-{a['asset_idx']:03d}{suffix}")
+                        # replace the first link still carrying a data URI
+                        # (assets and markdown images share DOM order)
+                        i = md.find("](data:")
+                        if i >= 0:
+                            j = md.find(")", i)
+                            md = md[:i + 2] + name + md[j:]
+                    out["markdown"] = md
         except Exception as exc:  # skip-and-continue (CLIMain.java:221-253)
             print(f"error: {path}: {exc}", file=sys.stderr)
             n_fail += 1
@@ -191,6 +213,10 @@ def main(argv=None) -> int:
                       help="wrap struck text with ~~ in Markdown")
     conv.add_argument("--markdown-with-html", action="store_true",
                       help="emit HTML tables in Markdown when spans require it")
+    conv.add_argument("--markdown-with-images", action="store_true",
+                      help="image links keep their source (data: URI or URL); "
+                           "with --image-output external, data: URIs are "
+                           "rewritten to the written asset files")
     conv.add_argument("--text-page-separator", default=None, metavar="SEP",
                       help="separator between pages in text output "
                            "(%%page-number%% expands)")

@@ -102,6 +102,10 @@ class ExtractorConfig:
     # reference --markdown-with-html: tables with row/col spans emit real
     # HTML inside the Markdown (pipe tables cannot express spans)
     markdown_with_html: bool = False
+    # reference --format markdown-with-images: image blocks keep their source
+    # reference (data: URI or URL) in the markdown link target; the CLI's
+    # external image mode rewrites data: URIs to the written asset files
+    markdown_with_images: bool = False
 
     def with_(self, **kw) -> "ExtractorConfig":
         return replace(self, **kw)

@@ -45,6 +45,8 @@ class Block:
     label: str = ""                     # list item label ("1.", "a.", "•")
     list_style: str = ""                # LIST numbering style from the source
                                         # <ol type>/list-style (not serialized)
+    src: str = ""                       # IMAGE source (data: URI or URL;
+                                        # feeds markdown-with-images output)
     decoration: str = ""                # "underline" / "line-through" / ""
     hidden: bool = False
     kids: List["Block"] = field(default_factory=list)

@@ -116,7 +116,8 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
     if b.type == CAPTION:
         return ["*" + b.text.replace("\n", " ") + "*"]
     if b.type == IMAGE:
-        return [f"![{b.text}]()" if b.text else "![]()"]
+        href = b.src if cfg.markdown_with_images else ""
+        return [f"![{b.text}]({href})"]
     if b.type == LIST:
         out = []
         for item in b.kids:

@@ -402,21 +402,25 @@ def build_page_blocks(page_node: Node, cfg: ExtractorConfig, stats: DocStats,
             return
         if tag == "figure":
             img_alt = ""
+            img_src = ""
             cap_text = ""
             for c in node.children:
                 if c.is_text() or _skip(c, cfg):
                     continue
                 if c.tag == "img":
                     img_alt = clean_text(c.attr("alt"), cfg, stats)
+                    img_src = c.attr("src")
                 elif c.tag == "figcaption":
                     cap_text = _inline_text(c, cfg, stats)
-            blocks.append(Block(type=IMAGE, text=img_alt, page=page, bbox=node.bbox()))
+            blocks.append(Block(type=IMAGE, text=img_alt, page=page,
+                                bbox=node.bbox(), src=img_src))
             if cap_text and cfg.detect_captions:
                 blocks.append(Block(type=CAPTION, text=cap_text, page=page))
             return
         if tag == "img":
             blocks.append(Block(type=IMAGE, text=clean_text(node.attr("alt"), cfg, stats),
-                                page=page, bbox=node.bbox()))
+                                page=page, bbox=node.bbox(),
+                                src=node.attr("src")))
             return
         if tag in ("header", "footer"):
             inner = _inline_text(node, cfg, stats)

@@ -150,3 +150,46 @@ class TestCLIOptions:
         assert (out_dir / "doc.txt").read_text() == "p1"
         imgs = list((tmp_path / "imgs" / "doc_images").iterdir())
         assert len(imgs) == 1 and imgs[0].read_bytes() == payload
+
+PNG_1PX = ("iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+           "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+
+class TestMarkdownWithImages:
+    def _html(self):
+        return (f'<html><body><div class="page"><p>before</p>'
+                f'<img alt="dot" src="data:image/png;base64,{PNG_1PX}"/>'
+                f'<img alt="ext" src="https://cdn.example/x.png"/>'
+                f"</div></body></html>")
+
+    def test_off_by_default(self):
+        from opendataloader_pdf_ray.api import convert
+
+        md = convert(self._html().encode(), output_formats=["markdown"])["markdown"]
+        assert "![dot]()" in md and "data:" not in md
+
+    def test_embedded_sources_kept(self):
+        from opendataloader_pdf_ray.api import convert
+        from opendataloader_pdf_ray.config import ExtractorConfig
+
+        cfg = ExtractorConfig(markdown_with_images=True)
+        md = convert(self._html().encode(), cfg,
+                     output_formats=["markdown"])["markdown"]
+        assert f"![dot](data:image/png;base64,{PNG_1PX})" in md
+        assert "![ext](https://cdn.example/x.png)" in md
+
+    def test_cli_external_rewrites_to_asset_files(self, tmp_path, capsys):
+        from opendataloader_pdf_ray.__main__ import main
+
+        src = tmp_path / "doc.html"
+        src.write_text(self._html())
+        out_dir = tmp_path / "out"
+        rc = main(["convert", str(src), "--format", "markdown",
+                   "--markdown-with-images", "--image-output", "external",
+                   "--output-dir", str(out_dir), "--quiet"])
+        assert rc == 0
+        md = (out_dir / "doc.md").read_text()
+        assert "![dot](doc_images/asset-000.png)" in md
+        assert "data:" not in md
+        assert "![ext](https://cdn.example/x.png)" in md  # external untouched
+        assert (out_dir / "doc_images" / "asset-000.png").exists()
