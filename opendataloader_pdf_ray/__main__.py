@@ -49,6 +49,7 @@ def _config_from_args(args):
         markdown_with_images=args.markdown_with_images,
         text_page_separator=args.text_page_separator,
         markdown_page_separator=args.markdown_page_separator,
+        html_page_separator=args.html_page_separator,
         reading_order=args.reading_order != "off",
     )
     if args.content_safety_off:
@@ -221,6 +222,7 @@ def main(argv=None) -> int:
                       help="separator between pages in text output "
                            "(%%page-number%% expands)")
     conv.add_argument("--markdown-page-separator", default=None, metavar="SEP")
+    conv.add_argument("--html-page-separator", default=None, metavar="SEP")
     conv.add_argument("--image-output", default="off",
                       choices=["off", "embedded", "external"],
                       help="external writes embedded images as files")

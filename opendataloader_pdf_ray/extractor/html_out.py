@@ -66,8 +66,13 @@ def _render(b: Block, cfg: ExtractorConfig, out: List[str]) -> None:
 
 
 def to_html(pages: List[List[Block]], cfg: ExtractorConfig) -> str:
+    from .linearize import _expand_sep
+
     out: List[str] = ["<html><body>"]
     for idx, blocks in enumerate(pages):
+        if idx and cfg.html_page_separator:
+            # reference --html-page-separator (%page-number% templates)
+            out.append(escape(_expand_sep(cfg.html_page_separator, idx)))
         out.append(f'<div class="page" data-page="{idx + 1}">')
         for b in blocks:
             _render(b, cfg, out)

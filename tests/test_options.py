@@ -193,3 +193,17 @@ class TestMarkdownWithImages:
         assert "data:" not in md
         assert "![ext](https://cdn.example/x.png)" in md  # external untouched
         assert (out_dir / "doc_images" / "asset-000.png").exists()
+
+
+class TestHtmlPageSeparator:
+    def test_separator_with_page_number(self):
+        from opendataloader_pdf_ray.api import convert
+        from opendataloader_pdf_ray.config import ExtractorConfig
+
+        html = ('<html><body><div class="page"><p>one</p></div>'
+                '<div class="page"><p>two</p></div></body></html>')
+        cfg = ExtractorConfig(html_page_separator="=== page %page-number% ===")
+        out = convert(html.encode(), cfg, output_formats=["html"])["html"]
+        assert "=== page 2 ===" in out
+        plain = convert(html.encode(), output_formats=["html"])["html"]
+        assert "===" not in plain
