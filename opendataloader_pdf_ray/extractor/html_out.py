@@ -31,7 +31,8 @@ def _render(b: Block, cfg: ExtractorConfig, out: List[str]) -> None:
         out.append(f"<figcaption>{escape(b.text)}</figcaption>")
         return
     if b.type == IMAGE:
-        out.append(f'<img alt="{escape(b.text)}"/>')
+        src = f' src="{escape(b.src)}"' if b.src else ""
+        out.append(f'<img alt="{escape(b.text)}"{src}/>')
         return
     if b.type == LIST:
         tag = "ol" if (b.kids and b.kids[0].label not in ("•", "")) else "ul"
