@@ -191,6 +191,8 @@ def _json_block(b: Block) -> Dict:
                     "is header": b.is_header})
     if b.type == LIST_ITEM and b.label:
         out["label"] = b.label
+    if b.type == IMAGE and b.src:
+        out["image src"] = b.src
     if b.kids:
         key = ("rows" if b.type == TABLE
                else "cells" if b.type == TABLE_ROW
