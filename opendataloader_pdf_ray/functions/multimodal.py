@@ -166,3 +166,43 @@ class AudioFrameSampler:
         return pa.table({id_col: pa.array(ids),
                          "frame_offset": pa.array(offsets, pa.int64()),
                          "frame_bytes": pa.array(payloads, pa.binary())})
+
+
+class PcmFramer:
+    """REAL audio framing (no codec needed): payloads are raw PCM16 mono;
+    frames of ``frame_len`` samples at ``hop`` intervals, per-frame integer
+    energy (sum of squares — exact, no float). The genuine compute path for
+    waveform features; lossy-codec decode stays behind AudioFrameSampler's
+    disclosed stub."""
+
+    def __init__(self, frame_len: int = 1024, hop: int = 512,
+                 audio_col: str = "audio"):
+        self.frame_len = frame_len
+        self.hop = hop
+        self.audio_col = audio_col
+
+    def frames(self, payload: bytes) -> "np.ndarray":
+        samples = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
+        n = len(samples)
+        if n < self.frame_len:
+            return np.zeros((0, self.frame_len), dtype=np.int64)
+        starts = np.arange(0, n - self.frame_len + 1, self.hop)
+        idx = starts[:, None] + np.arange(self.frame_len)[None, :]
+        return samples.astype(np.int64)[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        id_col = batch.column_names[0]
+        ids, n_samples, n_frames, energy = [], [], [], []
+        for i in range(batch.num_rows):
+            payload = batch[self.audio_col][i].as_py()
+            if payload is None:
+                continue
+            fr = self.frames(payload)
+            ids.append(batch[id_col][i].as_py())
+            n_samples.append(len(payload) // 2)
+            n_frames.append(fr.shape[0])
+            energy.append(int((fr * fr).sum()) if fr.size else 0)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_samples": pa.array(n_samples, pa.int64()),
+                         "n_frames": pa.array(n_frames, pa.int64()),
+                         "energy_i": pa.array(energy, pa.int64())})

@@ -88,10 +88,50 @@ WHERE doc_id % 4 = 0
 """
 
 
+def audio_frame_stats(sf_dir: str):
+    """REAL PCM16 framing over synthesized audio clips (every 3rd doc carries
+    a clip whose byte length is a pure function of doc_id): per clip, sample
+    count and 1024/512 frame count — both recomputable from doc_id arithmetic
+    in SQL, while the Ray path does the actual frame slicing + integer energy
+    (energy is asserted in pytest; it depends on the payload bytes, which SQL
+    cannot rebuild)."""
+    from ..functions.multimodal import PcmFramer
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids, clips = [], []
+        for d in batch["doc_id"].to_pylist():
+            if d % 3 != 0:
+                continue
+            ids.append(d)
+            clips.append(_payload(d, 0, 4000 + (d % 7) * 1024))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "audio": pa.array(clips, pa.binary())})
+
+    clips = docs.map_batches(build, batch_format="pyarrow")
+    framed = clips.map_batches(PcmFramer, batch_format="pyarrow",
+                               concurrency=stage_concurrency())
+    return framed.select_columns(["doc_id", "n_samples", "n_frames"])
+
+
+# byte length 4000 + (doc_id%7)*1024 → samples = len//2,
+# frames = (samples - 1024)//512 + 1 (samples ≥ 1024 always holds here)
+AUDIO_FRAME_STATS_SQL = """
+SELECT doc_id,
+       CAST((4000 + (doc_id % 7) * 1024) // 2 AS BIGINT) AS n_samples,
+       CAST(((4000 + (doc_id % 7) * 1024) // 2 - 1024) // 512 + 1 AS BIGINT)
+           AS n_frames
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 MM_QUERIES = {
     "image_asset_stats": image_asset_stats,
+    "audio_frame_stats": audio_frame_stats,
 }
 
 MM_ORACLE_SQL = {
     "image_asset_stats": IMAGE_ASSET_STATS_SQL,
+    "audio_frame_stats": AUDIO_FRAME_STATS_SQL,
 }

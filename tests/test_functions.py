@@ -208,3 +208,21 @@ class TestUrlNormalize:
         from opendataloader_pdf_ray.functions.urls import normalize_url as n
         u = "https://Docs.Example:443/p?z=1&a=2&utm_x=3#frag"
         assert n(n(u)) == n(u)
+
+
+class TestPcmFramer:
+    def test_frame_math_and_energy(self):
+        from opendataloader_pdf_ray.functions.multimodal import PcmFramer
+        f = PcmFramer(frame_len=4, hop=2)
+        samples = np.array([1, -2, 3, -4, 5, -6, 7, -8], dtype="<i2")
+        fr = f.frames(samples.tobytes())
+        assert fr.shape == (3, 4)  # starts 0, 2, 4
+        assert (fr[0] == [1, -2, 3, -4]).all()
+        assert int((fr * fr).sum()) == sum(
+            int(x) ** 2 for x in [1, -2, 3, -4, 3, -4, 5, -6, 5, -6, 7, -8])
+
+    def test_short_and_odd_payloads(self):
+        from opendataloader_pdf_ray.functions.multimodal import PcmFramer
+        f = PcmFramer(frame_len=4, hop=2)
+        assert f.frames(b"\x01\x00\x02").shape[0] == 0  # 1.5 samples
+        assert f.frames(b"").shape[0] == 0
