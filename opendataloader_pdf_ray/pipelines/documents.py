@@ -431,6 +431,39 @@ FROM documents GROUP BY doc_id % 250
 """
 
 
+def doc_split_stats(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10 by id-hash) +
+    a 1/4 hash-sample inside each split — the no-RNG sampling/splitting
+    primitives every training-data pipeline needs, with an exact SQL oracle
+    (membership keys on md5_number_lower, recomputable in DuckDB)."""
+    from ..functions.sampling import _hash64, hash_split
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = hash_split(t, "doc_id")
+        flag = (_hash64(t["doc_id"].to_pylist()) % np.uint64(4) < 1)
+        return t.append_column("in_sample",
+                               pa.array(flag.astype(np.int64), pa.int64()))
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby(["split", "source"])
+              .aggregate(Count(alias_name="n"),
+                         Sum("in_sample", alias_name="n_sampled")))
+
+
+DOC_SPLIT_STATS_SQL = """
+WITH h AS (SELECT source, md5_number_lower(CAST(doc_id AS VARCHAR)) AS hv
+           FROM documents)
+SELECT CASE WHEN hv % 100 < 80 THEN 'train'
+            WHEN hv % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       source, count(*) AS n,
+       CAST(sum(CASE WHEN hv % 4 < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h GROUP BY split, source
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -445,6 +478,7 @@ DOC_QUERIES = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "corpus_clean_en": corpus_clean_en,
     "url_canonical_dedup": url_canonical_dedup,
+    "doc_split_stats": doc_split_stats,
 }
 
 DOC_ORACLE_SQL = {
@@ -459,6 +493,7 @@ DOC_ORACLE_SQL = {
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
+    "doc_split_stats": DOC_SPLIT_STATS_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
 }

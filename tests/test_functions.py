@@ -226,3 +226,26 @@ class TestPcmFramer:
         f = PcmFramer(frame_len=4, hop=2)
         assert f.frames(b"\x01\x00\x02").shape[0] == 0  # 1.5 samples
         assert f.frames(b"").shape[0] == 0
+
+
+class TestHashSampling:
+    def test_split_deterministic_and_partitioned(self):
+        from opendataloader_pdf_ray.functions.sampling import hash_split
+        t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+        a = hash_split(t, "doc_id")["split"].to_pylist()
+        b = hash_split(t, "doc_id")["split"].to_pylist()
+        assert a == b
+        counts = {s: a.count(s) for s in ("train", "val", "test")}
+        assert sum(counts.values()) == 1000
+        assert 700 < counts["train"] < 900  # ~80%
+
+    def test_sample_exact_fraction_semantics(self):
+        from opendataloader_pdf_ray.functions.sampling import hash_sample
+        t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+        kept = hash_sample(t, "doc_id", 1, 4).num_rows
+        assert 400 < kept < 600  # ~25%
+        # batch-boundary independence: same membership in any chunking
+        h1 = set(hash_sample(t.slice(0, 1000), "doc_id", 1, 4)["doc_id"].to_pylist())
+        h2 = set(hash_sample(t.slice(1000), "doc_id", 1, 4)["doc_id"].to_pylist())
+        whole = set(hash_sample(t, "doc_id", 1, 4)["doc_id"].to_pylist())
+        assert h1 | h2 == whole
