@@ -464,6 +464,60 @@ FROM h GROUP BY split, source
 """
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per doc: type-token ratio
+    (distinct words / words) and top-bigram fraction (most frequent word
+    bigram / total bigrams) — the repetition filters a webtext cleaning
+    pipeline thresholds on. Exact SQL mirror."""
+    from collections import Counter
+
+    from .common import round_half_away
+
+    word_re = ts._TOKEN_RE  # \S+ tokens, same as the SQL mirror
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_words, ttr, top2 = [], [], []
+        for t in batch["text"].to_pylist():
+            words = word_re.findall(t)
+            n = len(words)
+            n_words.append(n)
+            ttr.append(len(set(words)) / n if n else 0.0)
+            if n >= 2:
+                bigrams = Counter(zip(words, words[1:]))
+                top2.append(max(bigrams.values()) / (n - 1))
+            else:
+                top2.append(0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "ttr": pa.array(round_half_away(np.array(ttr), 6)),
+            "top_bigram_frac": pa.array(round_half_away(np.array(top2), 6)),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+           FROM documents),
+bg AS (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS b
+       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+topc AS (SELECT doc_id, max(c) AS top FROM
+         (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+         GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       round(CASE WHEN len(ws) > 0
+             THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+             ELSE 0 END, 6) AS ttr,
+       round(CASE WHEN len(ws) >= 2
+             THEN CAST(topc.top AS DOUBLE) / (len(ws) - 1)
+             ELSE 0 END, 6) AS top_bigram_frac
+FROM w LEFT JOIN topc ON topc.doc_id = w.doc_id
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -479,6 +533,7 @@ DOC_QUERIES = {
     "corpus_clean_en": corpus_clean_en,
     "url_canonical_dedup": url_canonical_dedup,
     "doc_split_stats": doc_split_stats,
+    "doc_repetition_stats": doc_repetition_stats,
 }
 
 DOC_ORACLE_SQL = {
@@ -494,6 +549,7 @@ DOC_ORACLE_SQL = {
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "doc_split_stats": DOC_SPLIT_STATS_SQL,
+    "doc_repetition_stats": DOC_REPETITION_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
 }
