@@ -57,17 +57,27 @@ class LangId:
         return batch.append_column("pred_lang", pa.array(preds, pa.string()))
 
 
+# BPE-style pre-tokenizer (GPT-2-shaped, lookahead-free so Python re, Arrow
+# RE2 and DuckDB RE2 all agree — parity-tested): contraction suffixes, space-
+# prefixed letter/digit/punct runs, whitespace runs
+BPE_TOKEN_PATTERN = (r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+                     r"| ?[^\sA-Za-z0-9']+|\s+")
+
+
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Vectorized token/char/punct counting via Arrow kernels (SQL-parity:
-    regexp_extract_all / regexp_replace in DuckDB)."""
+    regexp_extract_all / regexp_replace in DuckDB). ``n_bpe_tokens`` is the
+    BPE-ish pre-token count — the LLM-budget estimator the brief asks for."""
     text = batch[text_col]
     n_chars = pc.utf8_length(text)
     n_tokens = pc.count_substring_regex(text, pattern=r"\S+")
     n_punct = pc.count_substring_regex(text, pattern=_PUNCT_PATTERN)
+    n_bpe = pc.count_substring_regex(text, pattern=BPE_TOKEN_PATTERN)
     return (
         batch.append_column("n_chars_c", n_chars.cast(pa.int64()))
         .append_column("n_tokens", n_tokens.cast(pa.int64()))
         .append_column("n_punct", n_punct.cast(pa.int64()))
+        .append_column("n_bpe_tokens", n_bpe.cast(pa.int64()))
     )
 
 

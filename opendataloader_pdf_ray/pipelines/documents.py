@@ -17,13 +17,17 @@ def doc_token_stats(sf_dir: str):
     """Per-doc char/token/punct counts — Arrow kernels, SQL-parity semantics."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return (ds.map_batches(ts.token_stats, batch_format="pyarrow")
-              .select_columns(["doc_id", "n_chars_c", "n_tokens", "n_punct"]))
+              .select_columns(["doc_id", "n_chars_c", "n_tokens", "n_punct",
+                               "n_bpe_tokens"]))
 
 
 DOC_TOKEN_STATS_SQL = """
 SELECT doc_id, length(text) AS n_chars_c,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
+           AS n_bpe_tokens
 FROM documents
 """
 
