@@ -33,6 +33,7 @@ BLOCK_STRUCT = pa.struct(
         ("row_span", pa.int32()),
         ("col_span", pa.int32()),
         ("label", pa.string()),
+        ("src", pa.string()),
     ]
 )
 BLOCKS_TYPE = pa.list_(BLOCK_STRUCT)
@@ -103,6 +104,7 @@ class _BlocksBuilder:
         self.rspans: List[int] = []
         self.cspans: List[int] = []
         self.labels: List[str] = []
+        self.srcs: List[str] = []
 
     def append_null(self) -> None:
         self.offsets.append(self.offsets[-1])
@@ -122,6 +124,7 @@ class _BlocksBuilder:
             self.rspans.append(block.row_span)
             self.cspans.append(block.col_span)
             self.labels.append(block.label)
+            self.srcs.append(block.src)
             for kid in block.kids:
                 visit(kid, block.id)
 
@@ -146,6 +149,7 @@ class _BlocksBuilder:
                 pa.array(self.rspans, pa.int32()),
                 pa.array(self.cspans, pa.int32()),
                 pa.array(self.labels, pa.string()),
+                pa.array(self.srcs, pa.string()),
             ],
             fields=list(BLOCK_STRUCT),
         )
