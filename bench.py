@@ -44,7 +44,9 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash", "dedup_simhash", "knn_bruteforce",
     "knn_lsh", "knn_ivf", "embedding_dup_pairs", "embedding_dup_pairs_lsh",
     "doc_winnow_fingerprints", "hybrid_routed_extract",
-    "hybrid_enriched_entities",
+    "hybrid_enriched_entities", "corpus_clean_en", "url_canonical_dedup",
+    "events_sliding_window", "events_props_stats", "doc_split_stats",
+    "doc_repetition_stats", "warc_roundtrip_stats", "audio_frame_stats",
 ]
 
 

@@ -24,7 +24,9 @@ class TestSources:
         ]
         path.write_text("\n".join(json.dumps(r) for r in rows))
         ds = read_events(str(path))
-        out = ds.take_all()
+        # block order is not guaranteed (streaming executor may reorder read
+        # tasks); the events contract orders by seq, so sort before asserting
+        out = sorted(ds.take_all(), key=lambda r: r["seq"])
         assert out[0]["html"] == b"<p>hi</p>"
         assert out[1]["html"] is None
         assert ds.schema().names == ["seq", "op", "url", "warc_ts", "html", "lang"]
