@@ -304,6 +304,86 @@ def cdc_user_sessions(sf_dir: str):
               .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
+# Absolute epoch-day cutoffs for the time-travel diff (testdata events span
+# days 19723-19752 = 2024-01 at every sf; the generator is date-fixed).
+DIFF_D1 = 19732
+DIFF_D2 = 19742
+_DAY_US = 86_400_000_000
+
+
+def cdc_diff_epochs(sf_dir: str):
+    """Time-travel diff between two as-of states (the lake's ``as_of`` read
+    semantics expressed over the events changelog): latest event per user_id
+    as-of epoch-day D1 vs D2, classified added/changed/unchanged.
+
+    Scale shape: ONE pass over the log — each batch reduces to at most two
+    winner rows per user per side (LWW argmax is commutative/associative),
+    so the groupby shuffles pre-reduced rows only, never the raw stream.
+    """
+    import numpy as np
+
+    from ..functions.lww import argmax_per_key
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _DAY_US
+        b2 = batch.filter(pa.array(day <= DIFF_D2))
+        ts2 = b2["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b1 = b2.filter(pa.array(ts2 // _DAY_US <= DIFF_D1))
+        w2 = argmax_per_key(b2, "user_id", ["ts", "event_id"])
+        w1 = argmax_per_key(b1, "user_id", ["ts", "event_id"])
+        w2 = w2.append_column("side", pa.array(
+            np.full(w2.num_rows, 2, np.int8)))
+        w1 = w1.append_column("side", pa.array(
+            np.full(w1.num_rows, 1, np.int8)))
+        return pa.concat_tables([w1, w2])
+
+    _schema = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
+                         ("value", pa.float64()), ("status", pa.string())])
+
+    def classify(group: pa.Table) -> pa.Table:
+        g2 = group.filter(pc.equal(group["side"], 2))
+        if g2.num_rows == 0:  # user only has events past D2
+            return _schema.empty_table()
+        w2 = argmax_per_key(g2, "user_id", ["ts", "event_id"])
+        g1 = group.filter(pc.equal(group["side"], 1))
+        if g1.num_rows == 0:
+            status = "added"
+        else:
+            w1 = argmax_per_key(g1, "user_id", ["ts", "event_id"])
+            status = ("unchanged" if w1["event_id"][0] == w2["event_id"][0]
+                      else "changed")
+        return pa.table({"user_id": w2["user_id"], "event_id": w2["event_id"],
+                         "value": w2["value"],
+                         "status": pa.array([status], pa.string())})
+
+    return (ds.map_batches(combine, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(classify, batch_format="pyarrow"))
+
+
+CDC_DIFF_EPOCHS_SQL = f"""
+WITH e AS (SELECT *, epoch_us(ts) // {_DAY_US} AS day FROM events),
+s1 AS (SELECT user_id, event_id FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE day <= {DIFF_D1}) WHERE rn = 1),
+s2 AS (SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e WHERE day <= {DIFF_D2}) WHERE rn = 1)
+SELECT s2.user_id, s2.event_id, s2.value,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s1.event_id <> s2.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM s2 LEFT JOIN s1 USING (user_id)
+"""
+
+
 def cdc_replay_flagship(sf_dir: str):
     """Full CDC replay (documents-derived events → lake) — the flagship
     pipeline as a queries() entry. Not SQL-expressible (stateful exactly-once
@@ -324,6 +404,7 @@ CDC_QUERIES = {
     "cdc_epoch_windows": cdc_epoch_windows,
     "events_sliding_window": events_sliding_window,
     "events_props_stats": events_props_stats,
+    "cdc_diff_epochs": cdc_diff_epochs,
 }
 
 CDC_ORACLE_SQL = {
@@ -364,6 +445,7 @@ CDC_ORACLE_SQL = {
     """,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "events_props_stats": EVENTS_PROPS_STATS_SQL,
+    "cdc_diff_epochs": CDC_DIFF_EPOCHS_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

@@ -522,6 +522,102 @@ FROM w LEFT JOIN topc ON topc.doc_id = w.doc_id
 """
 
 
+def doc_frequent_ngrams(sf_dir: str, n: int = 5, min_docs: int = 2,
+                        top: int = 50):
+    """Frequent word-n-gram phrase mining (Dolma/Gopher-style boilerplate
+    detection): count, per n-gram, the number of DISTINCT docs containing it.
+
+    Scale shape: per-doc shingling + per-doc dedup happen inside the batch
+    (a doc never spans batches), within-batch counts pre-aggregate before the
+    gram groupby, and the min_docs floor cuts the sort input to the rare
+    frequent tail — the global sort ranks grams, not docs.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.split(" ")  # mirror DuckDB string_split(text, ' ')
+            c.update({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)})
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "nd": pa.array(list(c.values()), pa.int64())})
+
+    out = (ds.map_batches(grams, batch_format="pyarrow")
+             .groupby("gram")
+             .aggregate(Sum("nd", alias_name="n_docs")))
+
+    def floor_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n_docs"], min_docs))
+
+    return (out.map_batches(floor_filter, batch_format="pyarrow")
+               .sort(["n_docs", "gram"], descending=[True, False])
+               .limit(top))
+
+
+DOC_FREQUENT_NGRAMS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM w),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram FROM pos)
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM g GROUP BY gram HAVING count(*) >= 2
+ORDER BY n_docs DESC, gram LIMIT 50
+"""
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact corpus length percentiles via a bounded value-counts histogram:
+    token counts are small ints, so per-batch value_counts → groupby-sum
+    yields ≤ max_doc_len rows — the ONLY data the driver touches. This is the
+    scalable exact-quantile pattern for integer-valued columns (no global
+    sort, no sampling error). Lower-interpolation rank: idx = floor(q·(N-1)),
+    mirrored explicitly in the SQL (row_number = idx + 1)."""
+    import numpy as np
+
+    quantiles = (0.25, 0.5, 0.75, 0.9, 0.99)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        batch = ts.token_stats(batch)
+        arr = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"n_tokens": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow")
+              .groupby("n_tokens")
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .take_all())  # bounded: one row per distinct doc length
+    vals = np.array([r["n_tokens"] for r in hist], np.int64)
+    cnts = np.array([r["cnt"] for r in hist], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1])
+    picks = []
+    for q in quantiles:
+        rank = int(np.floor(q * (total - 1))) + 1  # 1-based
+        picks.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"quantile": pa.array(list(quantiles), pa.float64()),
+                     "n_tokens": pa.array(picks, pa.int64())})
+
+
+DOC_LENGTH_PERCENTILES_SQL = """
+WITH t AS (SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens
+           FROM documents),
+r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM t),
+n AS (SELECT count(*) AS c FROM t),
+q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS quantile)
+SELECT q.quantile, r.n_tokens
+FROM q, n, r
+WHERE r.rn = CAST(floor(q.quantile * (n.c - 1)) AS BIGINT) + 1
+ORDER BY q.quantile
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -538,6 +634,8 @@ DOC_QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
     "doc_split_stats": doc_split_stats,
     "doc_repetition_stats": doc_repetition_stats,
+    "doc_frequent_ngrams": doc_frequent_ngrams,
+    "doc_length_percentiles": doc_length_percentiles,
 }
 
 DOC_ORACLE_SQL = {
@@ -556,4 +654,6 @@ DOC_ORACLE_SQL = {
     "doc_repetition_stats": DOC_REPETITION_SQL,
     "lang_quality": LANG_QUALITY_SQL,
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
+    "doc_frequent_ngrams": DOC_FREQUENT_NGRAMS_SQL,
+    "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
 }

@@ -19,7 +19,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "events_sliding_window", "events_props_stats",
           "doc_winnow_fingerprints", "corpus_clean_en",
           "url_canonical_dedup", "knn_ivf", "warc_roundtrip_stats",
-          "hybrid_enriched_entities"]
+          "hybrid_enriched_entities", "cdc_diff_epochs",
+          "doc_frequent_ngrams", "doc_length_percentiles"]
 
 
 @pytest.fixture(scope="module")
