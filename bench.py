@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "hybrid_enriched_entities", "corpus_clean_en", "url_canonical_dedup",
     "events_sliding_window", "events_props_stats", "doc_split_stats",
     "doc_repetition_stats", "warc_roundtrip_stats", "audio_frame_stats",
+    "cdc_diff_epochs", "doc_frequent_ngrams", "doc_length_percentiles",
+    "doc_tfidf_top_terms", "embedding_kmeans_stats",
 ]
 
 

@@ -618,6 +618,98 @@ ORDER BY q.quantile
 """
 
 
+def doc_tfidf_top_terms(sf_dir: str, top_terms: int = 3,
+                        max_features: int = 1000):
+    """Per-doc top-k TF-IDF terms — the two-pass broadcast pattern: pass 1
+    computes document frequency per term (per-doc dedup inside the batch,
+    within-batch pre-aggregation, small term groupby) and caps the broadcast
+    vocabulary at max_features by (df desc, term) — CountVectorizer
+    max_features semantics, so the rare tail never ships to workers. Pass 2
+    reads the vocab via ray.put once per task and scores docs locally.
+    Smooth idf: ln((1+N)/(1+df)) + 1 (standard sklearn formula, mirrored in
+    the SQL)."""
+    import math
+
+    import ray as _ray
+
+    from .common import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, not a scan
+
+    def term_df(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set(t.split(" ")))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    vocab_rows = (ds.map_batches(term_df, batch_format="pyarrow")
+                    .groupby("term")
+                    .aggregate(Sum("df", alias_name="df"))
+                    .sort(["df", "term"], descending=[True, False])
+                    .limit(max_features)
+                    .take_all())  # bounded: ≤ max_features rows
+    vocab = {r["term"]: r["df"] for r in vocab_rows}
+    vocab_ref = _ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        v = ray.get(vocab_ref)
+        doc_ids, terms, scores, ranks = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            ws = t.split(" ")
+            counts = Counter(ws)
+            scored = []
+            for term, c in counts.items():
+                df = v.get(term)
+                if df is None:
+                    continue
+                idf = math.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+                scored.append((-(c / len(ws)) * idf, term))
+            scored.sort()
+            for rn, (neg, term) in enumerate(scored[:top_terms], 1):
+                doc_ids.append(did)
+                terms.append(term)
+                scores.append(-neg)
+                ranks.append(rn)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tfidf": pa.array(round_half_away(np.array(scores, np.float64), 6)),
+            "rn": pa.array(ranks, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+DOC_TFIDF_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS L FROM w GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM w GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents),
+vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 1000),
+scored AS (SELECT tf.doc_id, tf.term,
+                  (tf.c / lens.L) * (ln((1.0 + n.N) / (1.0 + vocab.df)) + 1.0)
+                      AS tfidf
+           FROM tf JOIN lens USING (doc_id) JOIN vocab USING (term)
+           CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+           FROM scored)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -636,6 +728,7 @@ DOC_QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_frequent_ngrams": doc_frequent_ngrams,
     "doc_length_percentiles": doc_length_percentiles,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
 }
 
 DOC_ORACLE_SQL = {
@@ -656,4 +749,5 @@ DOC_ORACLE_SQL = {
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
     "doc_frequent_ngrams": DOC_FREQUENT_NGRAMS_SQL,
     "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
 }

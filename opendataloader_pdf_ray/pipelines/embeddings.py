@@ -186,7 +186,28 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
 """
 
 
+def embedding_kmeans_stats(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means over the embedding column (iterative
+    algorithm — driver holds only k×D centroids; per-iteration the corpus
+    streams once with ≤k partial rows per batch). Exact integer-scaled sums
+    make the result bit-identical at any batch size / concurrency, pinned by
+    a sequential NumPy reference in tests/test_functions.py. Not
+    SQL-expressible (iterative) — rows-only driver check.
+
+    The slim projection is materialized once so the 5 iterations + stats
+    pass hit the object store, not 6 storage scans; at 100 TB the store
+    spills what doesn't fit."""
+    from ..functions import clustering as cl
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"]).materialize()
+    seeds = cl.seed_centroids(path, k)
+    centroids = cl.kmeans_fit(ds, seeds, iters)
+    return cl.kmeans_stats(ds, centroids)
+
+
 EMB_QUERIES = {
+    "embedding_kmeans_stats": embedding_kmeans_stats,
     "knn_bruteforce": knn_bruteforce,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

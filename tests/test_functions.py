@@ -249,3 +249,47 @@ class TestHashSampling:
         h2 = set(hash_sample(t.slice(1000), "doc_id", 1, 4)["doc_id"].to_pylist())
         whole = set(hash_sample(t, "doc_id", 1, 4)["doc_id"].to_pylist())
         assert h1 | h2 == whole
+
+
+class TestKMeans:
+    """Distributed Lloyd vs a sequential NumPy reference — bit-exact thanks
+    to the integer-scaled partial sums (order-invariant)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _reference(self, k=8, iters=5):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{self.SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+        x = np.stack([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])[order]
+        c = x[:k].copy()
+        scale = float(1 << 20)
+        xi = np.rint(x * scale).astype(np.int64)
+        for _ in range(iters):
+            d2 = (-2.0 * x @ c.T) + (c * c).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            nc = c.copy()
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    nc[j] = xi[m].sum(axis=0) / (m.sum() * scale)
+            c = nc
+        d2 = (-2.0 * x @ c.T) + (c * c).sum(axis=1)
+        a = np.argmin(d2, axis=1)
+        d2min = np.maximum(d2[np.arange(len(x)), a] + (x * x).sum(axis=1), 0.0)
+        d2i = np.rint(d2min * 1e6).astype(np.int64)
+        out = {}
+        for j in range(k):
+            m = a == j
+            if m.any():
+                out[j] = (int(m.sum()), round(d2i[m].sum() / 1e6, 6))
+        return out
+
+    def test_matches_sequential_reference(self, ray_session):
+        from opendataloader_pdf_ray.pipelines.embeddings import (
+            embedding_kmeans_stats)
+        got = {r["cluster_id"]: (r["n"], r["inertia"])
+               for r in embedding_kmeans_stats(self.SF).take_all()}
+        assert got == self._reference()

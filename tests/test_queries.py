@@ -20,7 +20,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "doc_winnow_fingerprints", "corpus_clean_en",
           "url_canonical_dedup", "knn_ivf", "warc_roundtrip_stats",
           "hybrid_enriched_entities", "cdc_diff_epochs",
-          "doc_frequent_ngrams", "doc_length_percentiles"]
+          "doc_frequent_ngrams", "doc_length_percentiles",
+          "doc_tfidf_top_terms"]
 
 
 @pytest.fixture(scope="module")
