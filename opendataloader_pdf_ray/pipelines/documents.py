@@ -710,6 +710,46 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def doc_passage_chunks(sf_dir: str, window: int = 50, stride: int = 25):
+    """Sliding-window passage chunking (the RAG/training-data fan-out op):
+    each doc flat-maps into overlapping token windows with deterministic
+    (doc_id, chunk_id) keys. Emission stops once a window reaches the doc
+    end (no duplicate tail fragments). Pure per-record fan-out — no shuffle,
+    scales linearly; downstream stages key on (doc_id, chunk_id)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids, cids, texts, ntoks = [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            ws = t.split(" ")
+            for ci, st in enumerate(range(0, len(ws), stride)):
+                piece = ws[st:st + window]
+                ids.append(did)
+                cids.append(ci)
+                texts.append(" ".join(piece))
+                ntoks.append(len(piece))
+                if st + window >= len(ws):
+                    break
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_id": pa.array(cids, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string()),
+                         "n_chunk_tokens": pa.array(ntoks, pa.int64())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_PASSAGE_CHUNKS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  len(string_split(text, ' ')) AS L FROM documents),
+pos AS (SELECT doc_id, ws, L, unnest(range(1, L + 1, 25)) AS s FROM w)
+SELECT doc_id, (s - 1) // 25 AS chunk_id,
+       array_to_string(ws[s:least(s + 49, L)], ' ') AS chunk_text,
+       least(s + 49, L) - s + 1 AS n_chunk_tokens
+FROM pos WHERE s = 1 OR s + 24 < L
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -729,6 +769,7 @@ DOC_QUERIES = {
     "doc_frequent_ngrams": doc_frequent_ngrams,
     "doc_length_percentiles": doc_length_percentiles,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_passage_chunks": doc_passage_chunks,
 }
 
 DOC_ORACLE_SQL = {
@@ -750,4 +791,5 @@ DOC_ORACLE_SQL = {
     "doc_frequent_ngrams": DOC_FREQUENT_NGRAMS_SQL,
     "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
 }
