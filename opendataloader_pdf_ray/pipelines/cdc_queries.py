@@ -318,13 +318,18 @@ def cdc_diff_epochs(sf_dir: str):
 
     Scale shape: ONE pass over the log — each batch reduces to at most two
     winner rows per user per side (LWW argmax is commutative/associative),
-    so the groupby shuffles pre-reduced rows only, never the raw stream.
+    so the shuffle moves pre-reduced rows only, never the raw stream. The
+    final reduce is bucketed (user-hash → n_buckets, the cdc_user_sessions
+    pattern): one VECTORIZED call per bucket instead of a Python call per
+    user-group.
     """
     import numpy as np
 
     from ..functions.lww import argmax_per_key
+    from .common import n_buckets
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    buckets = n_buckets()
 
     def combine(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -338,30 +343,33 @@ def cdc_diff_epochs(sf_dir: str):
             np.full(w2.num_rows, 2, np.int8)))
         w1 = w1.append_column("side", pa.array(
             np.full(w1.num_rows, 1, np.int8)))
-        return pa.concat_tables([w1, w2])
+        out = pa.concat_tables([w1, w2])
+        users = out["user_id"].to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "bucket", pa.array((users % buckets).astype(np.int32)))
 
-    _schema = pa.schema([("user_id", pa.int64()), ("event_id", pa.int64()),
-                         ("value", pa.float64()), ("status", pa.string())])
-
-    def classify(group: pa.Table) -> pa.Table:
-        g2 = group.filter(pc.equal(group["side"], 2))
-        if g2.num_rows == 0:  # user only has events past D2
-            return _schema.empty_table()
-        w2 = argmax_per_key(g2, "user_id", ["ts", "event_id"])
-        g1 = group.filter(pc.equal(group["side"], 1))
-        if g1.num_rows == 0:
-            status = "added"
-        else:
-            w1 = argmax_per_key(g1, "user_id", ["ts", "event_id"])
-            status = ("unchanged" if w1["event_id"][0] == w2["event_id"][0]
-                      else "changed")
-        return pa.table({"user_id": w2["user_id"], "event_id": w2["event_id"],
-                         "value": w2["value"],
-                         "status": pa.array([status], pa.string())})
+    def classify_bucket(group: pa.Table) -> pa.Table:
+        w2 = argmax_per_key(group.filter(pc.equal(group["side"], 2)),
+                            "user_id", ["ts", "event_id"])
+        w1 = argmax_per_key(group.filter(pc.equal(group["side"], 1)),
+                            "user_id", ["ts", "event_id"])
+        u2 = w2["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u2)
+        u2, e2 = u2[order], w2["event_id"].to_numpy(zero_copy_only=False)[order]
+        v2 = w2["value"].to_numpy(zero_copy_only=False)[order]
+        u1 = w1["user_id"].to_numpy(zero_copy_only=False)
+        e1 = w1["event_id"].to_numpy(zero_copy_only=False)
+        status = np.full(len(u2), "added", dtype=object)
+        pos = np.searchsorted(u2, u1)  # every u1 user exists in u2 (D1 ≤ D2)
+        status[pos] = np.where(e1 == e2[pos], "unchanged", "changed")
+        return pa.table({"user_id": pa.array(u2),
+                         "event_id": pa.array(e2),
+                         "value": pa.array(v2),
+                         "status": pa.array(status, pa.string())})
 
     return (ds.map_batches(combine, batch_format="pyarrow")
-              .groupby("user_id")
-              .map_groups(classify, batch_format="pyarrow"))
+              .groupby("bucket")
+              .map_groups(classify_bucket, batch_format="pyarrow"))
 
 
 CDC_DIFF_EPOCHS_SQL = f"""
