@@ -40,6 +40,12 @@ GUARDED_QUERIES = [
     "knn_ivf",
     "warc_roundtrip_stats",
     "hybrid_enriched_entities",
+    "cdc_diff_epochs",
+    "doc_frequent_ngrams",
+    "doc_length_percentiles",  # driver sees the value-counts histogram only
+    "doc_tfidf_top_terms",     # driver sees the capped (term, df) vocab only
+    "doc_passage_chunks",
+    "embedding_kmeans_stats",  # driver sees k-row partials, never vectors
 ]
 
 SF = "/root/testdata/sf0.001"
