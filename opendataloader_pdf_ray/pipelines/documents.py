@@ -750,6 +750,47 @@ FROM pos WHERE s = 1 OR s + 24 < L
 """
 
 
+def doc_source_quota_sample(sf_dir: str, quota: int = 10):
+    """Per-source quota sampling (the per-domain cap every webtext corpus
+    applies so no single domain dominates): keep the ``quota`` docs per
+    source with the smallest (md5-hash, doc_id) — deterministic,
+    batch-invariant, RNG-free. Top-N per key is ASSOCIATIVE, so each batch
+    pre-selects ≤ quota rows per source before the tiny per-source groupby —
+    the shuffle carries at most quota × n_batches × n_sources rows, never
+    the corpus."""
+    from ..functions.sampling import _hash64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def topn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = _hash64(ids.tolist())
+        _, inv = np.unique(
+            batch["source"].to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        inv_s = inv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], inv_s[1:] != inv_s[:-1])))
+        counts = np.diff(np.append(starts, len(order)))
+        rank = np.arange(len(order)) - np.repeat(starts, counts)
+        return batch.take(pa.array(np.sort(order[rank < quota])))
+
+    return (ds.map_batches(topn, batch_format="pyarrow")
+              .groupby("source")
+              .map_groups(topn, batch_format="pyarrow"))
+
+
+DOC_SOURCE_QUOTA_SQL = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents) WHERE rn <= 10
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -770,6 +811,7 @@ DOC_QUERIES = {
     "doc_length_percentiles": doc_length_percentiles,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_passage_chunks": doc_passage_chunks,
+    "doc_source_quota_sample": doc_source_quota_sample,
 }
 
 DOC_ORACLE_SQL = {
@@ -792,4 +834,5 @@ DOC_ORACLE_SQL = {
     "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
+    "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
 }

@@ -21,7 +21,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "url_canonical_dedup", "knn_ivf", "warc_roundtrip_stats",
           "hybrid_enriched_entities", "cdc_diff_epochs",
           "doc_frequent_ngrams", "doc_length_percentiles",
-          "doc_tfidf_top_terms", "doc_passage_chunks"]
+          "doc_tfidf_top_terms", "doc_passage_chunks",
+          "doc_source_quota_sample"]
 
 
 @pytest.fixture(scope="module")

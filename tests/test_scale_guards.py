@@ -46,6 +46,7 @@ GUARDED_QUERIES = [
     "doc_tfidf_top_terms",     # driver sees the capped (term, df) vocab only
     "doc_passage_chunks",
     "embedding_kmeans_stats",  # driver sees k-row partials, never vectors
+    "doc_source_quota_sample",
 ]
 
 SF = "/root/testdata/sf0.001"
