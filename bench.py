@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "events_sliding_window", "events_props_stats", "doc_split_stats",
     "doc_repetition_stats", "warc_roundtrip_stats", "audio_frame_stats",
     "cdc_diff_epochs", "doc_frequent_ngrams", "doc_length_percentiles",
-    "doc_tfidf_top_terms", "embedding_kmeans_stats",
+    "doc_tfidf_top_terms", "embedding_kmeans_stats", "doc_passage_chunks",
+    "doc_source_quota_sample",
 ]
 
 
