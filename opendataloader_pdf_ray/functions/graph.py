@@ -1,0 +1,157 @@
+"""Distributed connected components over a pair/edge Dataset.
+
+The dedup endgame: near-dup PAIRS (minhash_lsh_pairs / simhash_pairs output)
+are only half the operator a 100-TB pipeline needs — duplicates form
+transitive CLUSTERS (A~B, B~C ⇒ {A,B,C}), and the corpus keeps one
+representative per cluster. This module turns a pair Dataset into a
+(node, cluster_id) labeling with cluster_id = min node id in the component.
+
+Scale shape (no driver materialization of nodes or edges):
+
+- edges are materialized ONCE (both directions) and re-streamed per round;
+- each round is the repo's bucketed co-partition pattern (union edge rows
+  with label rows, groupby node-hash bucket, per-bucket vectorized lookup)
+  followed by a ``groupby(node).min(label)`` — two shuffles per round;
+- **pointer jumping**: each round also propagates along the *label* edges
+  (node ← label(label(node))), so convergence is O(log diameter) rounds,
+  not O(diameter) — the standard Hash-to-Min / two-phase CC trick
+  (Rastogi et al., "Finding Connected Components in Map-Reduce");
+- convergence detection is a scalar ``sum(label)`` aggregate: labels are
+  non-increasing per node, so the sum strictly decreases until fixed point —
+  an O(1)-byte driver check per round.
+
+Determinism: min-label is order-independent; bucket hashing is modular on
+the node id. Labels are exact (no approximation), so the result is
+SQL-oracle-comparable against a recursive-CTE closure over the same edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from ..pipelines.common import n_buckets as _n_buckets
+
+
+def _edge_table(t: pa.Table, id_a: str, id_b: str) -> pa.Table:
+    a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"u": pa.array(np.concatenate([a, b]), pa.int64()),
+                     "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+
+def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
+                         id_b: str = "id_b", num_buckets: int = 0,
+                         max_rounds: int = 32) -> "ray.data.Dataset":
+    """Label every node of the pair graph with the min node id reachable
+    from it. Returns a Dataset with columns (node:int64, cluster_id:int64).
+
+    ``max_rounds`` is a safety valve only — pointer jumping converges in
+    O(log diameter) rounds (a 2^32-node path would need ~32)."""
+    buckets = num_buckets or _n_buckets()
+
+    edges = pairs.map_batches(
+        lambda t: _edge_table(t, id_a, id_b), batch_format="pyarrow",
+    ).materialize()
+
+    # init: label(v) = min(v, min neighbor) — one groupby, folds round 1 in
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({
+                "node": t["u"],
+                "label": pa.array(
+                    np.minimum(t["u"].to_numpy(zero_copy_only=False),
+                               t["v"].to_numpy(zero_copy_only=False)),
+                    pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        """Edge halves keyed by source node: (key=u, dst=v, label=-1)."""
+        u = t["u"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": t["u"],
+            "dst": t["v"],
+            "label": pa.array(np.full(len(u), -1), pa.int64()),
+            "bucket": pa.array((u % buckets).astype(np.int32)),
+        })
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        """Current labels keyed by node (dst=-1 marks them as lookup rows)
+        PLUS pointer-jump edges keyed by the label itself (label(u) → u):
+        in the bucket pass u receives label(label(u))."""
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([node, lab])
+        dst = np.concatenate([np.full(len(node), -1), node])
+        val = np.concatenate([lab, np.full(len(node), -1)])
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "label": pa.array(val, pa.int64()),
+            "bucket": pa.array((key % buckets).astype(np.int32)),
+        })
+
+    def propagate(group: pa.Table) -> pa.Table:
+        """Per node-bucket: attach label(key) to every edge half, emit
+        (dst, label(key)) proposals plus the lookup rows' own labels."""
+        key = group["key"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        lookup_idx = np.flatnonzero(dst < 0)
+        # vectorized key→label map via sorted lookup (keys are unique here)
+        lk = key[lookup_idx]
+        lv = lab[lookup_idx]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        edge_idx = np.flatnonzero(dst >= 0)
+        ek = key[edge_idx]
+        out_node = dst[edge_idx]
+        if len(lk):
+            pos = np.clip(np.searchsorted(lk, ek), 0, len(lk) - 1)
+            hit = lk[pos] == ek
+            out_lab = np.where(hit, lv[pos], ek)  # no label yet → key itself
+        else:
+            out_lab = ek
+        return pa.table({
+            "node": pa.array(np.concatenate([out_node, lk]), pa.int64()),
+            "label": pa.array(np.concatenate([out_lab, lv]), pa.int64()),
+        })
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        both = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(label_rows, batch_format="pyarrow"))
+        labels = (
+            both.groupby("bucket").map_groups(propagate, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "cluster_id": t["label"]}),
+        batch_format="pyarrow")
+
+
+def cluster_sizes(labels: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Attach cluster_size to each (node, cluster_id) row — one groupby per
+    cluster; a group is one component, so task memory is bounded by the
+    largest component (cap/salt upstream if a boilerplate mega-cluster is
+    possible)."""
+    def add_size(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        return group.append_column(
+            "cluster_size", pa.array(np.full(n, n), pa.int64()))
+
+    return labels.groupby("cluster_id").map_groups(add_size,
+                                                   batch_format="pyarrow")

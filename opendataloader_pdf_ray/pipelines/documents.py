@@ -185,6 +185,51 @@ WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
 """
 
 
+def dedup_minhash_clusters(sf_dir: str):
+    """Near-dup CLUSTERS — the dedup endgame: transitive closure over the
+    verified MinHash-LSH pairs (A~B, B~C ⇒ one cluster {A,B,C}), each doc
+    labeled with the min doc_id of its component plus the component size.
+    Distributed pointer-jumping label propagation (functions/graph.py) — no
+    driver materialization; O(log diameter) bucketed rounds. A 100-TB run
+    keeps ``doc_id == cluster_id`` rows as representatives."""
+    from ..functions import graph
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
+    labels = graph.connected_components(pairs)
+    sized = graph.cluster_sizes(labels)
+    return sized.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id", "cluster_size"]),
+        batch_format="pyarrow")
+
+
+# same exact-Jaccard pair set as DEDUP_MINHASH_SQL, closed transitively with
+# a recursive CTE (min reachable id per node == the engine's min-label CC)
+DEDUP_MINHASH_CLUSTERS_SQL = """
+WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM w),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc AS (
+  SELECT u AS node, u AS lab FROM edges
+  UNION
+  SELECT e.v, c.lab FROM cc c JOIN edges e ON e.u = c.node),
+labs AS (SELECT node, min(lab) AS cluster_id FROM cc GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labs
+"""
+
+
 def corpus_clean_en(sf_dir: str):
     """The C4-style corpus-cleaning composite, end to end: language-ID →
     quality floor (length + stopword ratio) → exact dedup, keeping one doc
@@ -801,6 +846,7 @@ DOC_QUERIES = {
     "lang_quality": lang_quality,
     "lang_id_accuracy": lang_id_accuracy,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_simhash": dedup_simhash,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "corpus_clean_en": corpus_clean_en,
@@ -822,6 +868,7 @@ DOC_ORACLE_SQL = {
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,

@@ -293,3 +293,37 @@ class TestKMeans:
         got = {r["cluster_id"]: (r["n"], r["inertia"])
                for r in embedding_kmeans_stats(self.SF).take_all()}
         assert got == self._reference()
+
+
+class TestConnectedComponents:
+    def _labels(self, edges):
+        import pandas as pd
+
+        from opendataloader_pdf_ray.functions import graph
+        pairs = ray.data.from_pandas(pd.DataFrame(
+            {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]}))
+        out = graph.connected_components(pairs, num_buckets=8).to_pandas()
+        return dict(zip(out["node"], out["cluster_id"]))
+
+    def test_two_components(self, ray_session):
+        got = self._labels([(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_path_pointer_jumping(self, ray_session):
+        # a 40-node path: hop-by-hop propagation would need 40 rounds;
+        # pointer jumping converges within the default max_rounds
+        edges = [(i, i + 1) for i in range(40)]
+        got = self._labels(edges)
+        assert set(got.values()) == {0}
+        assert len(got) == 41
+
+    def test_cluster_sizes(self, ray_session):
+        import pandas as pd
+
+        from opendataloader_pdf_ray.functions import graph
+        pairs = ray.data.from_pandas(pd.DataFrame(
+            {"id_a": [5, 6, 20], "id_b": [6, 7, 21]}))
+        labels = graph.connected_components(pairs, num_buckets=8)
+        out = graph.cluster_sizes(labels).to_pandas()
+        sizes = dict(zip(out["node"], out["cluster_size"]))
+        assert sizes == {5: 3, 6: 3, 7: 3, 20: 2, 21: 2}
