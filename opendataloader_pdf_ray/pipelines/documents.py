@@ -230,6 +230,108 @@ FROM labs
 """
 
 
+def doc_passage_dedup(sf_dir: str, words_per_chunk: int = 5,
+                      num_buckets: int = 0):
+    """Span-level exact dedup across the corpus (the C4/Dolma line-dedup
+    analog, over fixed word windows since the synthetic docs are single-line):
+    chunk every doc into non-overlapping ``words_per_chunk``-word passages,
+    declare the globally-first occurrence (min (doc_id, chunk_id)) of each
+    passage the keeper, and report per-doc kept/duplicate counts.
+
+    Scale shape: occurrences explode to (hash, doc, chunk) rows in
+    map_batches; winner resolution is ONE hash-bucket groupby with a
+    vectorized first-per-hash scan that immediately reduces to per-doc
+    partial counts inside the bucket task (nothing re-shuffles at occurrence
+    granularity); a final ``groupby(doc_id).sum`` over ≤ P×docs partial rows
+    finishes. 64-bit passage hashes are collision-safe to ~2^32 distinct
+    passages — swap to 128-bit (two int64 columns) beyond that.
+    Packing bound: chunk_id < 2^20 (≈5M words/doc at the default width)."""
+    import hashlib
+
+    from .common import n_buckets as _n_buckets
+
+    buckets = num_buckets or _n_buckets()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        docs = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        hs, ds_, cs = [], [], []
+        for d, text in zip(docs, texts):
+            words = text.split(" ")
+            n = (len(words) + words_per_chunk - 1) // words_per_chunk
+            for i in range(n):
+                chunk = " ".join(words[i * words_per_chunk:
+                                       (i + 1) * words_per_chunk])
+                h = int.from_bytes(hashlib.blake2b(
+                    chunk.encode("utf-8"), digest_size=8).digest(), "big")
+                hs.append(h)
+                ds_.append(int(d))
+                cs.append(i)
+        h_arr = np.array(hs, dtype=np.uint64)
+        return pa.table({
+            "h": pa.array(h_arr.view(np.int64), pa.int64()),
+            "packed": pa.array((np.array(ds_, dtype=np.int64) << 20)
+                               | np.array(cs, dtype=np.int64), pa.int64()),
+            "bucket": pa.array((h_arr % np.uint64(buckets)).astype(np.int32)),
+        })
+
+    def resolve(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        packed = group["packed"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((packed, h))
+        h_s, p_s = h[order], packed[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        doc = p_s >> 20
+        # per-doc partials inside the bucket task
+        uniq, inv = np.unique(doc, return_inverse=True)
+        n_chunks = np.bincount(inv, minlength=len(uniq))
+        n_kept = np.bincount(inv, weights=first.astype(np.float64),
+                             minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_chunks_p": pa.array(n_chunks.astype(np.int64), pa.int64()),
+            "n_kept_p": pa.array(n_kept, pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket").map_groups(resolve, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_chunks_p", alias_name="n_chunks"),
+                   Sum("n_kept_p", alias_name="n_kept"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_dup", pa.array(
+                t["n_chunks"].to_numpy(zero_copy_only=False)
+                - t["n_kept"].to_numpy(zero_copy_only=False), pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# chunking mirrored: 1-based inclusive list slice == Python [i*5 : i*5+5];
+# winner = row_number() == 1 over (passage) ordered by (doc_id, chunk_id)
+DOC_PASSAGE_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(ws[i*5+1 : i*5+5], ' ') AS passage
+  FROM w, unnest(range(CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS t(i)),
+flag AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY passage
+                            ORDER BY doc_id, chunk_id) = 1 AS kept
+  FROM chunks)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dup
+FROM flag GROUP BY doc_id
+"""
+
+
 def corpus_clean_en(sf_dir: str):
     """The C4-style corpus-cleaning composite, end to end: language-ID →
     quality floor (length + stopword ratio) → exact dedup, keeping one doc
@@ -848,6 +950,7 @@ DOC_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_simhash": dedup_simhash,
+    "doc_passage_dedup": doc_passage_dedup,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "corpus_clean_en": corpus_clean_en,
     "url_canonical_dedup": url_canonical_dedup,
@@ -870,6 +973,7 @@ DOC_ORACLE_SQL = {
     "dedup_minhash": DEDUP_MINHASH_SQL,
     "dedup_minhash_clusters": DEDUP_MINHASH_CLUSTERS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,

@@ -22,7 +22,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "hybrid_enriched_entities", "cdc_diff_epochs",
           "doc_frequent_ngrams", "doc_length_percentiles",
           "doc_tfidf_top_terms", "doc_passage_chunks",
-          "doc_source_quota_sample"]
+          "doc_source_quota_sample", "dedup_minhash_clusters",
+          "doc_passage_dedup"]
 
 
 @pytest.fixture(scope="module")
