@@ -1,0 +1,62 @@
+"""Mergeable cardinality sketches: KMV (k minimum values) distinct count.
+
+At 100 TB, ``count(distinct x)`` per group is a full shuffle of every
+distinct value; a KMV sketch reduces each group's contribution to a k×8-byte
+bounded summary that merges associatively — per-batch partials → one
+small-group merge, the same partial-first shape as the repo's aggregates.
+(KMV / bottom-k: Bar-Yossef et al. 2002; the unbiased estimator
+(k−1)/h_(k) with hashes uniform on [0, 2^64).)
+
+Determinism + SQL parity: the value hash is DuckDB's ``md5_number_lower``
+(== ``int.from_bytes(md5(s).digest()[8:], "little")``), the estimate is
+exact integer math ``(k−1)·2^64 // h_(k)``, so a DuckDB oracle recomputes
+the sketch bit-for-bit — an *oracle-verifiable approximate operator*.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_TWO64 = 1 << 64
+
+
+def md5_number_lower(s: str) -> int:
+    """DuckDB md5_number_lower: little-endian uint64 of md5 bytes [8:16]."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
+                k: int = 64) -> pa.Table:
+    """Per-batch partial: for each key, the ≤k smallest distinct value
+    hashes, serialized as a sorted uint64 LE byte blob (bounded: k×8 bytes
+    per key per batch)."""
+    keys = batch[key_col].to_pylist()
+    vals = batch[value_col].to_pylist()
+    per_key: dict = {}
+    for key, v in zip(keys, vals):
+        per_key.setdefault(key, []).append(md5_number_lower(str(v)))
+    out_k, out_b = [], []
+    for key in sorted(per_key):
+        hs = np.unique(np.array(per_key[key], dtype=np.uint64))
+        out_k.append(key)
+        out_b.append(hs[:k].tobytes())
+    return pa.table({key_col: pa.array(out_k),
+                     "kmv": pa.array(out_b, pa.binary())})
+
+
+def kmv_merge_estimate(group: pa.Table, key_col: str,
+                       k: int = 64) -> pa.Table:
+    """Merge one key's partials and emit the distinct-count estimate:
+    exact when < k distinct hashes survive, else (k−1)·2^64 // h_(k)."""
+    blobs = group["kmv"].to_pylist()
+    hs = np.unique(np.concatenate(
+        [np.frombuffer(b, dtype=np.uint64) for b in blobs]))
+    if len(hs) < k:
+        est = len(hs)
+    else:
+        est = (k - 1) * _TWO64 // int(hs[k - 1])
+    return pa.table({key_col: group[key_col][:1],
+                     "kmv_estimate": pa.array([est], pa.int64())})

@@ -402,6 +402,68 @@ def cdc_replay_flagship(sf_dir: str):
     return run_flagship(sf_dir, work_dir="/tmp/odl_ray_flagship_q")
 
 
+def events_distinct_users_kmv(sf_dir: str, k: int = 64):
+    """Approximate distinct-count per group via a KMV (bottom-k) sketch,
+    side-by-side with the exact count (functions/sketches.py). The sketch
+    arm is the 100-TB path: per-batch partials are ≤ k×8 bytes per key, the
+    merge is one tiny groupby — no distinct-value shuffle. The exact arm
+    (two-phase distinct) is the comparison baseline. The estimator is exact
+    integer math over md5_number_lower hashes, so DuckDB recomputes the
+    sketch bit-for-bit — an oracle-verified approximate operator."""
+    from ..functions import sketches as sk
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    # exact arm: distinct (type, user) → count per type
+    exact = (
+        ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_exact": pa.array([1] * t.num_rows, pa.int64()),
+            "kmv_estimate": pa.array([0] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+    )
+
+    # sketch arm: bounded per-batch partials → one small-group merge
+    sketch = (
+        ds.map_batches(lambda t: sk.kmv_partial(t, "event_type", "user_id", k),
+                       batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(lambda g: sk.kmv_merge_estimate(g, "event_type", k),
+                    batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_exact": pa.array([0] * t.num_rows, pa.int64()),
+            "kmv_estimate": t["kmv_estimate"]}), batch_format="pyarrow")
+    )
+
+    return (exact.union(sketch)
+            .groupby("event_type")
+            .aggregate(Sum("n_exact", alias_name="n_exact"),
+                       Sum("kmv_estimate", alias_name="kmv_estimate")))
+
+
+EVENTS_DISTINCT_KMV_SQL = """
+WITH h AS (SELECT DISTINCT event_type,
+                  md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+           FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h),
+est AS (SELECT event_type,
+               CASE WHEN nd < 64 THEN CAST(nd AS HUGEINT)
+                    ELSE 63 * CAST('18446744073709551616' AS HUGEINT)
+                         // CAST(hv AS HUGEINT) END AS e
+        FROM r WHERE rk = least(nd, 64)),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY event_type)
+SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(est.e AS BIGINT) AS kmv_estimate
+FROM ex JOIN est USING (event_type)
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_asof_enrich": cdc_asof_enrich,
@@ -413,6 +475,7 @@ CDC_QUERIES = {
     "events_sliding_window": events_sliding_window,
     "events_props_stats": events_props_stats,
     "cdc_diff_epochs": cdc_diff_epochs,
+    "events_distinct_users_kmv": events_distinct_users_kmv,
 }
 
 CDC_ORACLE_SQL = {
@@ -454,6 +517,7 @@ CDC_ORACLE_SQL = {
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
     "events_props_stats": EVENTS_PROPS_STATS_SQL,
     "cdc_diff_epochs": CDC_DIFF_EPOCHS_SQL,
+    "events_distinct_users_kmv": EVENTS_DISTINCT_KMV_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

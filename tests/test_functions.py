@@ -327,3 +327,41 @@ class TestConnectedComponents:
         out = graph.cluster_sizes(labels).to_pandas()
         sizes = dict(zip(out["node"], out["cluster_size"]))
         assert sizes == {5: 3, 6: 3, 7: 3, 20: 2, 21: 2}
+
+
+class TestKMVSketch:
+    def test_matches_duckdb_and_is_accurate(self, ray_session):
+        import duckdb
+
+        from opendataloader_pdf_ray.functions import sketches as sk
+        n = 5000
+        t = pa.table({"g": pa.array(["a"] * n),
+                      "v": pa.array([f"u{i % 1000}" for i in range(n)])})
+        part = sk.kmv_partial(t, "g", "v", k=64)
+        est = sk.kmv_merge_estimate(part, "g", k=64)
+        e = est["kmv_estimate"][0].as_py()
+        # KMV std error ≈ 1/sqrt(k-1) ≈ 12.6%; assert within 3σ of 1000
+        assert abs(e - 1000) < 1000 * 0.38
+        # bit-exact vs DuckDB's md5_number_lower
+        hv = duckdb.sql("select md5_number_lower('u7')").fetchone()[0]
+        assert sk.md5_number_lower("u7") == hv
+
+    def test_partials_merge_associatively(self, ray_session):
+        from opendataloader_pdf_ray.functions import sketches as sk
+        vals = [f"x{i}" for i in range(300)]
+        whole = sk.kmv_partial(pa.table({"g": ["a"] * 300, "v": vals}),
+                               "g", "v", k=32)
+        halves = pa.concat_tables([
+            sk.kmv_partial(pa.table({"g": ["a"] * 150, "v": vals[:150]}),
+                           "g", "v", k=32),
+            sk.kmv_partial(pa.table({"g": ["a"] * 150, "v": vals[150:]}),
+                           "g", "v", k=32)])
+        e1 = sk.kmv_merge_estimate(whole, "g", k=32)["kmv_estimate"][0].as_py()
+        e2 = sk.kmv_merge_estimate(halves, "g", k=32)["kmv_estimate"][0].as_py()
+        assert e1 == e2
+
+    def test_exact_below_k(self, ray_session):
+        from opendataloader_pdf_ray.functions import sketches as sk
+        t = pa.table({"g": ["a"] * 10, "v": [str(i) for i in range(10)]})
+        part = sk.kmv_partial(t, "g", "v", k=64)
+        assert sk.kmv_merge_estimate(part, "g", k=64)["kmv_estimate"][0].as_py() == 10

@@ -23,7 +23,7 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "doc_frequent_ngrams", "doc_length_percentiles",
           "doc_tfidf_top_terms", "doc_passage_chunks",
           "doc_source_quota_sample", "dedup_minhash_clusters",
-          "doc_passage_dedup"]
+          "doc_passage_dedup", "events_distinct_users_kmv"]
 
 
 @pytest.fixture(scope="module")
