@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "doc_repetition_stats", "warc_roundtrip_stats", "audio_frame_stats",
     "cdc_diff_epochs", "doc_frequent_ngrams", "doc_length_percentiles",
     "doc_tfidf_top_terms", "embedding_kmeans_stats", "doc_passage_chunks",
-    "doc_source_quota_sample",
+    "doc_source_quota_sample", "dedup_minhash_clusters", "doc_passage_dedup",
+    "events_distinct_users_kmv",
 ]
 
 

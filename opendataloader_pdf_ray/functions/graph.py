@@ -51,11 +51,16 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
 
     ``max_rounds`` is a safety valve only — pointer jumping converges in
     O(log diameter) rounds (a 2^32-node path would need ~32)."""
-    buckets = num_buckets or _n_buckets()
-
     edges = pairs.map_batches(
         lambda t: _edge_table(t, id_a, id_b), batch_format="pyarrow",
     ).materialize()
+    n_edges = edges.count()
+    # bucket count scales with DATA (one task per ~2k edge rows), capped by
+    # the cluster-scaled ceiling — a fixed O(cores) bucket count would spawn
+    # hundreds of near-empty group tasks per round on small pair sets while
+    # still being the right ceiling for 100-TB edge lists
+    buckets = num_buckets or max(8, min(_n_buckets(), n_edges // 2000))
+    edges = edges.repartition(max(2, buckets // 4)).materialize()
 
     # init: label(v) = min(v, min neighbor) — one groupby, folds round 1 in
     labels = (
