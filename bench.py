@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "cdc_diff_epochs", "doc_frequent_ngrams", "doc_length_percentiles",
     "doc_tfidf_top_terms", "embedding_kmeans_stats", "doc_passage_chunks",
     "doc_source_quota_sample", "dedup_minhash_clusters", "doc_passage_dedup",
-    "events_distinct_users_kmv",
+    "events_distinct_users_kmv", "cdc_incremental_view",
 ]
 
 

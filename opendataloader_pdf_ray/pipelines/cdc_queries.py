@@ -402,6 +402,127 @@ def cdc_replay_flagship(sf_dir: str):
     return run_flagship(sf_dir, work_dir="/tmp/odl_ray_flagship_q")
 
 
+def cdc_incremental_view(sf_dir: str, num_epochs: int = 8):
+    """Incremental materialized-view maintenance (IVM) with retractions —
+    the CDC-engine feature a lake exists for: a per-event_type aggregate
+    (live-user count + exact-scaled value sum over the LWW latest state)
+    maintained across ``num_epochs`` changelog epochs by folding only each
+    epoch's CHANGED keys: retract the displaced old row (−1, −value), apply
+    the new winner (+1, +value). A winner that loses LWW to existing state
+    retracts and re-applies the same row, cancelling exactly — no special
+    case. The final view provably equals the batch aggregate over the final
+    state, which is the SQL oracle.
+
+    Scale shape: the view's state is user-partitioned, so epochs stream
+    through each partition independently — ONE user-bucket shuffle total
+    (not one per epoch). Map side combines to one winner per (user, epoch);
+    each bucket task then folds its epochs sequentially against local LWW
+    state, emitting only per-(epoch, event_type) delta rows. The driver
+    folds the ≤ P×E×|event_type| delta rows — constant-size, never data-
+    proportional. In a real deployment epochs arrive as separate binlog
+    segments and only the NEW segment is shuffled (see cdc/ingest.py);
+    folding all epochs in one pass here exercises identical delta math."""
+    import numpy as np
+
+    from ..functions.lww import argmax_per_key
+    from .common import n_buckets, round_half_away, to_scaled_int64
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    n = ds.count()  # parquet metadata, no scan
+    epoch_size = max(1, -(-n // num_epochs))  # event_id is dense from 0
+    buckets = n_buckets()
+
+    def combine(batch: pa.Table) -> pa.Table:
+        """Map-side: winner per (user, epoch) within the batch + bucket tag."""
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        epoch = (ids // epoch_size).astype(np.int32)
+        batch = batch.append_column("epoch", pa.array(epoch))
+        batch = batch.append_column(
+            "ckey", pa.array(users * np.int64(num_epochs) + epoch))
+        wins = argmax_per_key(batch, "ckey", ["ts", "event_id"])
+        wu = wins["user_id"].to_numpy(zero_copy_only=False)
+        wins = wins.append_column(
+            "bucket", pa.array((wu % buckets).astype(np.int32)))
+        return wins.drop_columns(["ckey"])
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        """Fold this bucket's epochs in order against local LWW state,
+        emitting retraction/application deltas per (epoch, event_type)."""
+        epochs = group["epoch"].to_numpy(zero_copy_only=False)
+        out_e, out_t, out_n, out_s = [], [], [], []
+        state = None
+
+        def agg(t: pa.Table, changed: np.ndarray, sign: int):
+            users = t["user_id"].to_numpy(zero_copy_only=False)
+            sel = t.filter(pa.array(np.isin(users, changed)))
+            types = sel["event_type"].to_numpy(zero_copy_only=False)
+            sv = to_scaled_int64(sel["value"].to_numpy(zero_copy_only=False), 2)
+            ut, inv = np.unique(types, return_inverse=True)
+            dn = np.bincount(inv, minlength=len(ut)).astype(np.int64) * sign
+            dsum = np.bincount(inv, weights=sv.astype(np.float64),
+                               minlength=len(ut)).astype(np.int64) * sign
+            return ut, dn, dsum
+
+        for e in np.unique(epochs):
+            wins = argmax_per_key(
+                group.filter(pa.array(epochs == e)), "user_id",
+                ["ts", "event_id"])
+            changed = np.unique(wins["user_id"].to_numpy(zero_copy_only=False))
+            new_state = wins if state is None else argmax_per_key(
+                pa.concat_tables([state, wins]), "user_id",
+                ["ts", "event_id"])
+            if state is not None:
+                ot, odn, odsum = agg(state, changed, -1)
+                out_e.append(np.full(len(ot), e, np.int64))
+                out_t.append(ot); out_n.append(odn); out_s.append(odsum)
+            nt, ndn, ndsum = agg(new_state, changed, +1)
+            out_e.append(np.full(len(nt), e, np.int64))
+            out_t.append(nt); out_n.append(ndn); out_s.append(ndsum)
+            state = new_state
+
+        return pa.table({
+            "epoch": pa.array(np.concatenate(out_e) if out_e else
+                              np.array([], np.int64)),
+            "event_type": pa.array(np.concatenate(out_t) if out_t else
+                                   np.array([], object), pa.string()),
+            "dn": pa.array(np.concatenate(out_n) if out_n else
+                           np.array([], np.int64)),
+            "dsum": pa.array(np.concatenate(out_s) if out_s else
+                             np.array([], np.int64)),
+        })
+
+    deltas = (ds.map_batches(combine, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(fold_bucket, batch_format="pyarrow")
+              .take_all())  # ≤ buckets × epochs × |event_type| rows
+    view: dict = {}
+    for row in sorted(deltas, key=lambda r: r["epoch"]):
+        cur = view.setdefault(row["event_type"], [0, 0])
+        cur[0] += int(row["dn"])
+        cur[1] += int(row["dsum"])
+
+    types = sorted(t for t, (cnt, _) in view.items() if cnt != 0)
+    return pa.table({
+        "event_type": pa.array(types),
+        "n_live": pa.array([view[t][0] for t in types], pa.int64()),
+        "sum_value": pa.array(round_half_away(
+            np.array([view[t][1] for t in types], np.float64) / 100.0, 2)),
+    })
+
+
+CDC_INCREMENTAL_VIEW_SQL = """
+SELECT event_type, count(*) AS n_live,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM (SELECT event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 GROUP BY event_type
+"""
+
+
 def events_distinct_users_kmv(sf_dir: str, k: int = 64):
     """Approximate distinct-count per group via a KMV (bottom-k) sketch,
     side-by-side with the exact count (functions/sketches.py). The sketch
@@ -476,6 +597,7 @@ CDC_QUERIES = {
     "events_props_stats": events_props_stats,
     "cdc_diff_epochs": cdc_diff_epochs,
     "events_distinct_users_kmv": events_distinct_users_kmv,
+    "cdc_incremental_view": cdc_incremental_view,
 }
 
 CDC_ORACLE_SQL = {
@@ -518,6 +640,7 @@ CDC_ORACLE_SQL = {
     "events_props_stats": EVENTS_PROPS_STATS_SQL,
     "cdc_diff_epochs": CDC_DIFF_EPOCHS_SQL,
     "events_distinct_users_kmv": EVENTS_DISTINCT_KMV_SQL,
+    "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

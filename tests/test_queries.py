@@ -23,7 +23,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "doc_frequent_ngrams", "doc_length_percentiles",
           "doc_tfidf_top_terms", "doc_passage_chunks",
           "doc_source_quota_sample", "dedup_minhash_clusters",
-          "doc_passage_dedup", "events_distinct_users_kmv"]
+          "doc_passage_dedup", "events_distinct_users_kmv",
+          "cdc_incremental_view"]
 
 
 @pytest.fixture(scope="module")
@@ -59,6 +60,17 @@ def test_query_matches_oracle(name, contract, oracle_con):
                                rtol=0, atol=0, equal_nan=True), c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_incremental_view_epoch_invariant(contract):
+    """IVM telescoping: the maintained view must be identical no matter how
+    the changelog is sliced into epochs (1 epoch == plain batch aggregate)."""
+    from opendataloader_pdf_ray.pipelines.cdc_queries import cdc_incremental_view
+
+    results = [cdc_incremental_view(SF, num_epochs=e).to_pandas()
+               for e in (1, 3, 8)]
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)
 
 
 def test_all_oracle_keys_exist(contract):

@@ -47,6 +47,7 @@ GUARDED_QUERIES = [
     "doc_passage_chunks",
     "embedding_kmeans_stats",  # driver sees k-row partials, never vectors
     "doc_source_quota_sample",
+    "cdc_incremental_view",   # driver sees per-(epoch,type) delta rows only
 ]
 
 SF = "/root/testdata/sf0.001"
