@@ -52,11 +52,42 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def knn_lsh_sql(nbits: int = 5, dim: int = 64, seed: int = 42) -> str:
+    """Bit-exact SQL mirror of ``knn_lsh``: the seeded hyperplanes are small
+    (nbits×dim doubles), so they embed as literals and DuckDB recomputes the
+    bucket signature with ``list_dot_product`` sign tests; probe_hamming=2
+    becomes ``bit_count(xor(bucket, q_bucket)) <= 2``. Sign tests are robust
+    to BLAS-vs-sequential summation order unless a dot product sits within
+    ~1e-12 of zero (never observed on the synthetic corpus)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(nbits, dim))
+    terms = []
+    for i in range(nbits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {bucket_expr} AS bucket
+  FROM embeddings
+),
+q AS (SELECT e AS qe, bucket AS qb FROM b ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) AS cosine
+FROM b
+WHERE vec_id <> 0 AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 2
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def knn_lsh(sf_dir: str):
     """Approximate top-10 via hyperplane-LSH bucketing. Recall vs brute force
     is asserted INSIDE the query (round-1 verdict): with neighbors at cosine
     only ~0.3-0.5 on this corpus, hyperplane LSH recall is genuinely
-    approximate — the assertion pins the floor."""
+    approximate — the assertion pins the floor. ``knn_lsh_sql`` recomputes
+    the identical bucketed search in DuckDB (hash-exact oracle)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
     # nbits=5/probe=2 probes ~half the buckets: a genuine 2× prune whose
@@ -222,5 +253,5 @@ EMB_ORACLE_SQL = {
     "embedding_label_stats": EMB_LABEL_STATS_SQL,
     "embedding_dup_pairs": EMB_DUP_SQL,
     "embedding_dup_pairs_lsh": EMB_DUP_LSH_SQL,
-    # knn_lsh: approximate search — rows-only
+    "knn_lsh": knn_lsh_sql(),
 }
