@@ -222,8 +222,9 @@ def embedding_kmeans_stats(sf_dir: str, k: int = 8, iters: int = 5):
     algorithm — driver holds only k×D centroids; per-iteration the corpus
     streams once with ≤k partial rows per batch). Exact integer-scaled sums
     make the result bit-identical at any batch size / concurrency, pinned by
-    a sequential NumPy reference in tests/test_functions.py. Not
-    SQL-expressible (iterative) — rows-only driver check.
+    a sequential NumPy reference in tests/test_functions.py AND by
+    ``kmeans_sql`` — the fixed iteration count unrolls into a chained-CTE
+    DuckDB oracle that replays every Lloyd step bit-for-bit.
 
     The slim projection is materialized once so the 5 iterations + stats
     pass hit the object store, not 6 storage scans; at 100 TB the store
@@ -235,6 +236,57 @@ def embedding_kmeans_stats(sf_dir: str, k: int = 8, iters: int = 5):
     seeds = cl.seed_centroids(path, k)
     centroids = cl.kmeans_fit(ds, seeds, iters)
     return cl.kmeans_stats(ds, centroids)
+
+
+def kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Chained-CTE DuckDB mirror of ``embedding_kmeans_stats``: the fixed
+    iteration count unrolls Lloyd's loop into ``iters`` (assign, update) CTE
+    pairs. Exactness hinges on mirroring the engine's arithmetic precisely:
+    assignment distance is the same ``-2·x·c + c·c`` expansion (ties →
+    lowest cluster via row_number), the centroid update is the identical
+    integer-scaled sum (``round_even(v·2^20)`` == ``np.rint``, half-to-even)
+    divided by ``n·2^20`` in float64, and inertia sums
+    ``round_even(d2·1e6)`` ints exactly like ``kmeans_stats``. Empty
+    clusters keep their previous centroid (UNION ALL branch). Verified
+    hash-exact at sf0.001/0.01/0.1."""
+    scale = "1048576.0"  # 2^20, matches clustering._SCALE
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT emb.vec_id, emb.e, c.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+             (-2.0 * list_dot_product(emb.e, c.c) + list_dot_product(c.c, c.c)) ASC,
+             c.cluster ASC) AS rn
+    FROM emb, c{i} c) WHERE rn = 1)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT cluster, list(s / (n * {scale}) ORDER BY d) AS c
+  FROM (SELECT cluster, d,
+               sum(CAST(round_even(v * {scale}, 0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM (SELECT cluster, unnest(e) AS v, generate_subscripts(e, 1) AS d
+              FROM a{i})
+        GROUP BY cluster, d)
+  GROUP BY cluster
+  UNION ALL
+  SELECT cluster, c FROM c{i}
+  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM a{i}))""")
+    parts.append(f"""fin AS (
+  SELECT vec_id, cluster, greatest(d2 + x2, 0.0) AS d2f FROM (
+    SELECT emb.vec_id, c.cluster,
+           (-2.0 * list_dot_product(emb.e, c.c) + list_dot_product(c.c, c.c)) AS d2,
+           list_dot_product(emb.e, emb.e) AS x2,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+             (-2.0 * list_dot_product(emb.e, c.c) + list_dot_product(c.c, c.c)) ASC,
+             c.cluster ASC) AS rn
+    FROM emb, c{iters} c) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT cluster AS cluster_id, count(*) AS n,
+       sum(CAST(round_even(d2f * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS inertia
+FROM fin GROUP BY cluster ORDER BY cluster""")
 
 
 EMB_QUERIES = {
@@ -254,4 +306,5 @@ EMB_ORACLE_SQL = {
     "embedding_dup_pairs": EMB_DUP_SQL,
     "embedding_dup_pairs_lsh": EMB_DUP_LSH_SQL,
     "knn_lsh": knn_lsh_sql(),
+    "embedding_kmeans_stats": kmeans_sql(),
 }
