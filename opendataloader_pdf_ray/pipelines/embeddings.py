@@ -217,6 +217,56 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
 """
 
 
+def semantic_dup_cross_source(sf_dir: str):
+    """Cross-source semantic-duplicate attribution — the report a webtext
+    pipeline runs after near-dup detection: which domains duplicate each
+    other. Near-dup pairs (cosine ≥ 0.4 over embeddings; vec_id == doc_id
+    in the testdata) are enriched with each side's ``documents.source`` via
+    the bucketed pair-merge (``functions/pairjoin.enrich_pairs`` — two
+    sort-shuffles, no Dataset.join, no driver collect), then aggregated per
+    unordered source pair. ``least/greatest`` canonicalization makes the
+    pair undirected exactly as the SQL mirror does."""
+    from ..functions.pairjoin import enrich_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = dd.embedding_dup_pairs(emb, threshold=0.4)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    enriched = enrich_pairs(pairs, docs, key_col="doc_id", val_col="source",
+                            payload_cols=("cosine",))
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["val_a"].to_pylist(), dtype=object)
+        b = np.asarray(t["val_b"].to_pylist(), dtype=object)
+        lo = np.where(a <= b, a, b)
+        hi = np.where(a <= b, b, a)
+        return pa.table({"source_lo": pa.array(list(lo), pa.string()),
+                         "source_hi": pa.array(list(hi), pa.string()),
+                         "cosine": t["cosine"]})
+
+    from ray.data.aggregate import Max
+
+    return (enriched.map_batches(canon, batch_format="pyarrow")
+            .groupby(["source_lo", "source_hi"])
+            .aggregate(Count(alias_name="n_pairs"),
+                       Max("cosine", alias_name="max_cosine")))
+
+
+SEMANTIC_CROSS_SOURCE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*) AS n_pairs, max(cosine) AS max_cosine
+FROM p JOIN documents da ON p.id_a = da.doc_id
+       JOIN documents db ON p.id_b = db.doc_id
+GROUP BY source_lo, source_hi
+"""
+
+
 def embedding_kmeans_stats(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed Lloyd k-means over the embedding column (iterative
     algorithm — driver holds only k×D centroids; per-iteration the corpus
@@ -297,6 +347,7 @@ EMB_QUERIES = {
     "embedding_label_stats": embedding_label_stats,
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+    "semantic_dup_cross_source": semantic_dup_cross_source,
 }
 
 EMB_ORACLE_SQL = {
@@ -307,4 +358,5 @@ EMB_ORACLE_SQL = {
     "embedding_dup_pairs_lsh": EMB_DUP_LSH_SQL,
     "knn_lsh": knn_lsh_sql(),
     "embedding_kmeans_stats": kmeans_sql(),
+    "semantic_dup_cross_source": SEMANTIC_CROSS_SOURCE_SQL,
 }

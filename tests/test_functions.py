@@ -365,3 +365,42 @@ class TestKMVSketch:
         t = pa.table({"g": ["a"] * 10, "v": [str(i) for i in range(10)]})
         part = sk.kmv_partial(t, "g", "v", k=64)
         assert sk.kmv_merge_estimate(part, "g", k=64)["kmv_estimate"][0].as_py() == 10
+
+
+class TestEnrichPairs:
+    """functions/pairjoin.enrich_pairs — bucketed two-sided dim attachment."""
+
+    def _run(self, ray_session, pairs_rows, dim_rows, **kw):
+        import ray.data
+
+        from opendataloader_pdf_ray.functions.pairjoin import enrich_pairs
+
+        pairs = ray.data.from_arrow(pa.table(pairs_rows))
+        dim = ray.data.from_arrow(pa.table(dim_rows))
+        out = enrich_pairs(pairs, dim, key_col="k", val_col="v", **kw)
+        return sorted(out.take_all(), key=lambda r: (r["id_a"], r["id_b"]))
+
+    def test_attaches_both_sides_with_payload(self, ray_session):
+        rows = self._run(
+            ray_session,
+            {"id_a": [1, 2], "id_b": [3, 4], "score": [0.5, 0.9]},
+            {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]},
+            payload_cols=("score",), num_buckets=4)
+        assert rows == [
+            {"id_a": 1, "id_b": 3, "score": 0.5, "val_a": "a", "val_b": "c"},
+            {"id_a": 2, "id_b": 4, "score": 0.9, "val_a": "b", "val_b": "d"},
+        ]
+
+    def test_missing_dim_side_drops_pair(self, ray_session):
+        rows = self._run(
+            ray_session,
+            {"id_a": [1, 2], "id_b": [3, 9]},  # 9 has no dim row
+            {"k": [1, 2, 3], "v": ["a", "b", "c"]}, num_buckets=4)
+        assert rows == [{"id_a": 1, "id_b": 3, "val_a": "a", "val_b": "c"}]
+
+    def test_bucket_count_invariant(self, ray_session):
+        pairs = {"id_a": list(range(0, 40, 2)), "id_b": list(range(1, 40, 2))}
+        dim = {"k": list(range(40)), "v": [f"s{i % 5}" for i in range(40)]}
+        a = self._run(ray_session, pairs, dim, num_buckets=3)
+        b = self._run(ray_session, pairs, dim, num_buckets=17)
+        assert a == b

@@ -48,6 +48,7 @@ GUARDED_QUERIES = [
     "embedding_kmeans_stats",  # driver sees k-row partials, never vectors
     "doc_source_quota_sample",
     "cdc_incremental_view",   # driver sees per-(epoch,type) delta rows only
+    "semantic_dup_cross_source",  # pair halves + (id, source) only shuffle
 ]
 
 SF = "/root/testdata/sf0.001"
