@@ -938,6 +938,44 @@ SELECT doc_id, source FROM (
 """
 
 
+def doc_top_per_source(sf_dir: str, k: int = 3):
+    """Group-wise ranked top-k (per-domain best-k selection — e.g. keep the
+    k longest docs per source). Ranked top-k per key is ASSOCIATIVE, so each
+    batch pre-selects ≤ k rows per source before the per-source groupby: the
+    shuffle carries at most k × n_batches × n_sources rows, never the
+    corpus. Complements ``doc_source_quota_sample`` (hash-sampled caps) with
+    value-ranked selection."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source",
+                                                  "n_chars"])
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(
+            batch["source"].to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((ids, -n_chars, inv))
+        inv_s = inv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], inv_s[1:] != inv_s[:-1])))
+        counts = np.diff(np.append(starts, len(order)))
+        rank = np.arange(len(order)) - np.repeat(starts, counts)
+        return batch.take(pa.array(np.sort(order[rank < k])))
+
+    return (ds.map_batches(topk, batch_format="pyarrow")
+              .groupby("source")
+              .map_groups(topk, batch_format="pyarrow"))
+
+
+DOC_TOP_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents) WHERE rn <= 3
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -961,6 +999,7 @@ DOC_QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_passage_chunks": doc_passage_chunks,
     "doc_source_quota_sample": doc_source_quota_sample,
+    "doc_top_per_source": doc_top_per_source,
 }
 
 DOC_ORACLE_SQL = {
@@ -986,4 +1025,5 @@ DOC_ORACLE_SQL = {
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
     "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
+    "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
 }

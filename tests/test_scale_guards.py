@@ -49,6 +49,7 @@ GUARDED_QUERIES = [
     "doc_source_quota_sample",
     "cdc_incremental_view",   # driver sees per-(epoch,type) delta rows only
     "semantic_dup_cross_source",  # pair halves + (id, source) only shuffle
+    "doc_top_per_source",     # ≤k rows per source per batch reach the shuffle
 ]
 
 SF = "/root/testdata/sf0.001"
