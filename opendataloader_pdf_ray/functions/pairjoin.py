@@ -32,20 +32,30 @@ def enrich_pairs(pairs: "ray.data.Dataset", dim: "ray.data.Dataset",
                  key_col: str, val_col: str,
                  payload_cols: Sequence[str] = (),
                  id_a: str = "id_a", id_b: str = "id_b",
-                 num_buckets: int = 0) -> "ray.data.Dataset":
+                 num_buckets: int = 0,
+                 val_type: "pa.DataType | None" = None,
+                 payload_types: "dict | None" = None) -> "ray.data.Dataset":
     """Return (id_a, id_b, *payload_cols, val_a, val_b) — ``val_*`` looked
     up from ``dim[key_col] → dim[val_col]``. Pairs whose side has no
     dimension row are dropped (inner-join semantics). ``payload_cols`` are
-    numeric/string columns of ``pairs`` carried through unchanged."""
+    numeric/string columns of ``pairs`` carried through unchanged.
+
+    Pass ``val_type`` / ``payload_types`` (Arrow types, needed for the
+    union's typed null columns) when the inputs are computed datasets:
+    falling back to ``Dataset.schema()`` EXECUTES the upstream pipeline a
+    second time just to learn the types — measured ~2× on an expensive
+    pairs stage."""
     from ..pipelines.common import n_buckets as _n_buckets
 
     buckets = num_buckets or _n_buckets()
     payload_cols = list(payload_cols)
-    dim_schema = dim.schema()
-    val_type = dim_schema.types[dim_schema.names.index(val_col)]
-    pairs_schema = pairs.schema()
-    payload_types = {c: pairs_schema.types[pairs_schema.names.index(c)]
-                     for c in payload_cols}
+    if val_type is None:
+        dim_schema = dim.schema()
+        val_type = dim_schema.types[dim_schema.names.index(val_col)]
+    if payload_types is None:
+        pairs_schema = pairs.schema()
+        payload_types = {c: pairs_schema.types[pairs_schema.names.index(c)]
+                         for c in payload_cols}
 
     def explode_halves(t: pa.Table) -> pa.Table:
         a = t[id_a].to_numpy(zero_copy_only=False)

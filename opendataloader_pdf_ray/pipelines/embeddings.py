@@ -232,7 +232,8 @@ def semantic_dup_cross_source(sf_dir: str):
     pairs = dd.embedding_dup_pairs(emb, threshold=0.4)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
     enriched = enrich_pairs(pairs, docs, key_col="doc_id", val_col="source",
-                            payload_cols=("cosine",))
+                            payload_cols=("cosine",), val_type=pa.string(),
+                            payload_types={"cosine": pa.float64()})
 
     def canon(t: pa.Table) -> pa.Table:
         a = np.asarray(t["val_a"].to_pylist(), dtype=object)
