@@ -182,6 +182,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from .cdc import Lake, MaterializedView
+
+    lake = Lake(args.lake, args.partitions)
+    view = MaterializedView(lake, args.name)
+    folds = view.refresh()
+    rows = view.read().to_pylist()
+    print(json.dumps({"view": args.name, "folds_applied": folds,
+                      "groups": rows}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="opendataloader_pdf_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -250,6 +262,14 @@ def main(argv=None) -> int:
     cpt.add_argument("--partitions", type=int, default=32)
     cpt.add_argument("--keep-snapshots", type=int, default=1)
     cpt.set_defaults(fn=cmd_compact)
+
+    vw = sub.add_parser("view",
+                        help="refresh + print an incrementally-maintained "
+                             "per-lang aggregate view over a lake")
+    vw.add_argument("lake")
+    vw.add_argument("--partitions", type=int, default=32)
+    vw.add_argument("--name", default="lang_stats")
+    vw.set_defaults(fn=cmd_view)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -10,6 +10,7 @@ from .merge import (
     unify_to_schema,
 )
 from .oracle import oracle_final_state, oracle_live_texts
+from .views import MaterializedView, group_lang, value_text_len
 
 __all__ = [
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
@@ -17,4 +18,5 @@ __all__ = [
     "Lake", "Lineage", "ensure_deleted_col", "latest_per_key", "live_view",
     "merge_base_with_updates", "unified_schema", "unify_to_schema",
     "oracle_final_state", "oracle_live_texts",
+    "MaterializedView", "group_lang", "value_text_len",
 ]

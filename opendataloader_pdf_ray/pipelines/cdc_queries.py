@@ -523,6 +523,38 @@ WHERE rn = 1 GROUP BY event_type
 """
 
 
+def cdc_materialized_view(sf_dir: str):
+    """Lake-integrated IVM (cdc/views.py): replay the flagship events into a
+    lake with per-epoch delta commits, then maintain a per-lang (live docs,
+    text-length sum) view by folding each (partition, epoch) commit exactly
+    once — retract displaced rows, apply winners. Not SQL-expressible (the
+    lake text derives from distributed extraction): rows-only driver check;
+    correctness is pinned by tests/test_views.py's telescoping-equivalence,
+    crash-resume and snapshot/delta-parity suites."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .flagship import events_from_documents
+    from ..cdc import Lake, MaterializedView, replay
+    from ..config import CDCConfig
+
+    work_dir = "/tmp/odl_ray_view_q"
+    cfg = CDCConfig(num_partitions=8, num_salts=4, epoch_size=500,
+                    extract_batch_size=32, extract_concurrency=4,
+                    epoch_commits="delta")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    events_path = os.path.join(work_dir, "events.parquet")
+    pq.write_table(events_from_documents(docs), events_path)
+    replay(events_path, os.path.join(work_dir, "lake"), cfg)
+    lake = Lake(os.path.join(work_dir, "lake"), cfg.num_partitions)
+    view = MaterializedView(lake, "lang_stats")
+    view.refresh()
+    return view.read()
+
+
 def events_distinct_users_kmv(sf_dir: str, k: int = 64):
     """Approximate distinct-count per group via a KMV (bottom-k) sketch,
     side-by-side with the exact count (functions/sketches.py). The sketch
@@ -598,6 +630,7 @@ CDC_QUERIES = {
     "cdc_diff_epochs": cdc_diff_epochs,
     "events_distinct_users_kmv": events_distinct_users_kmv,
     "cdc_incremental_view": cdc_incremental_view,
+    "cdc_materialized_view": cdc_materialized_view,
 }
 
 CDC_ORACLE_SQL = {

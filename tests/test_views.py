@@ -1,0 +1,124 @@
+"""MaterializedView (cdc/views.py): incrementally-maintained aggregates
+over the lake's commit log — telescoping equivalence to the batch
+aggregate, exactly-once refresh, crash resume, snapshot/delta parity."""
+
+import dataclasses
+import json
+import posixpath
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, MaterializedView
+from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+from opendataloader_pdf_ray.config import CDCConfig
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+SNAP_CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                     extract_batch_size=16, extract_concurrency=2)
+DELTA_CFG = dataclasses.replace(SNAP_CFG, epoch_commits="delta")
+N_EPOCHS = 3  # 180 events / 60
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("views") / "events.parquet")
+    pq.write_table(gen_events(180, 40, seed=42), path)
+    return path
+
+
+def batch_view(lake: Lake) -> dict:
+    """Ground truth: the batch aggregate over the final live state."""
+    live = lake.read_state()
+    if live.num_rows == 0:
+        return {}
+    langs = live["lang"].to_numpy(zero_copy_only=False)
+    tl = pc.utf8_length(live["text"]).to_numpy(zero_copy_only=False)
+    out: dict = {}
+    for g, v in zip(langs, tl):
+        cur = out.setdefault(str(g), [0, 0])
+        cur[0] += 1
+        cur[1] += int(v)
+    return out
+
+
+def view_dict(view: MaterializedView) -> dict:
+    t = view.read()
+    return {r["grp"]: [r["n_live"], r["sum_value"]] for r in t.to_pylist()}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMaterializedView:
+    @pytest.mark.parametrize("cfg", [SNAP_CFG, DELTA_CFG],
+                             ids=["snapshot", "delta"])
+    def test_matches_batch_aggregate(self, events_path, tmp_path, cfg):
+        lake = Lake(str(tmp_path / "lake"), cfg.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, cfg)
+        view = MaterializedView(lake, "lang_stats")
+        folds = view.refresh()
+        assert folds == sum(len(lake.committed_epochs(p))
+                            for p in range(cfg.num_partitions))
+        assert view_dict(view) == batch_view(lake)
+
+    def test_incremental_refresh_folds_only_new_epochs(self, events_path,
+                                                       tmp_path):
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        ingest_epoch(events_path, lake, 0, DELTA_CFG)
+        view = MaterializedView(lake, "lang_stats")
+        first = view.refresh()
+        assert first > 0
+        mid = view_dict(view)
+        assert mid == batch_view(lake)
+        for e in range(1, N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        second = view.refresh()
+        assert second > 0
+        assert view_dict(view) == batch_view(lake)
+        # idempotent: nothing new → zero folds, result unchanged
+        assert view.refresh() == 0
+        assert view_dict(view) == batch_view(lake)
+
+    def test_crash_resume_no_double_count(self, events_path, tmp_path):
+        """Crash between the view-delta write and its commit record: the
+        refold rewrites the same file; read() counts committed only."""
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        view = MaterializedView(lake, "lang_stats")
+        view.refresh()
+        want = view_dict(view)
+        # simulate the crash for one (part, epoch): drop the commit record,
+        # keep the delta parquet
+        victims = [p for p in sorted(lake.fs.ls(view.dir))
+                   if posixpath.basename(p).startswith("commit-")][:2]
+        for v in victims:
+            lake.fs.rm(v)
+        assert view_dict(view) != want or len(victims) == 0  # partial view
+        assert view.refresh() == len(victims)
+        assert view_dict(view) == batch_view(lake) == want
+
+    def test_refresh_after_compaction_and_vacuum(self, events_path, tmp_path):
+        """A view created AFTER compact()+vacuum() reclaimed early
+        snapshots still folds (read_partition fallback path)."""
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        lake.compact()
+        lake.vacuum()
+        view = MaterializedView(lake, "lang_stats")
+        view.refresh()
+        assert view_dict(view) == batch_view(lake)
+
+    def test_sequential_equals_parallel(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        v_seq = MaterializedView(lake, "seq_view")
+        v_par = MaterializedView(lake, "par_view")
+        v_seq.refresh(parallel=False)
+        v_par.refresh(parallel=True)
+        assert view_dict(v_seq) == view_dict(v_par) == batch_view(lake)
