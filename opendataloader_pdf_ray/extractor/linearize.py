@@ -150,12 +150,20 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
                 out.append("<tr>" + "".join(cells) + "</tr>")
             out.append("</table>")
             return out
+        # pipe-table grid semantics (MarkdownTableTest): spanned content is
+        # written ONCE at its anchor column; covered positions render as
+        # empty cells; the separator always spans the full column count
+        n_cols = max((c.col + c.col_span for row in b.kids for c in row.kids),
+                     default=0)
         out = []
         for i, row in enumerate(b.kids):
-            cells = [c.text.replace("\n", " ").replace("|", "\\|") for c in row.kids]
+            cells = [""] * n_cols
+            for c in row.kids:
+                if 0 <= c.col < n_cols:
+                    cells[c.col] = c.text.replace("\n", " ").replace("|", "\\|")
             out.append("| " + " | ".join(cells) + " |")
             if i == 0:
-                out.append("|" + "|".join([" --- "] * len(cells)) + "|")
+                out.append("|" + "|".join([" --- "] * n_cols) + "|")
         return out
     return [b.text] if b.text else []
 

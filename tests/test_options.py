@@ -127,6 +127,34 @@ class TestSeparatorsAndMarkdown:
         plain = convert(html, CFG, output_formats=["markdown"])
         assert "|" in plain["markdown"]
 
+    def test_pipe_table_colspan_grid(self):
+        """MarkdownTableTest colspan semantics: spanned content written ONCE
+        at its anchor column, covered position empty, separator spans the
+        full column count."""
+        from opendataloader_pdf_ray.api import convert
+
+        html = (b'<table><tr><td colspan="2">A</td><td>B</td></tr>'
+                b"<tr><td>C</td><td>D</td><td>E</td></tr></table>")
+        lines = convert(html, CFG, output_formats=["markdown"])[
+            "markdown"].splitlines()
+        assert lines[0].count("A") == 1 and "B" in lines[0]
+        assert lines[0] == "| A |  | B |"
+        assert lines[1].count("---") == 3
+        assert all(x in lines[2] for x in "CDE")
+
+    def test_pipe_table_rowspan_grid(self):
+        """MarkdownTableTest rowspan semantics: continuation rows leave the
+        spanned column empty instead of repeating or shifting content."""
+        from opendataloader_pdf_ray.api import convert
+
+        html = (b'<table><tr><td rowspan="2">A</td><td>B</td></tr>'
+                b"<tr><td>C</td></tr></table>")
+        lines = convert(html, CFG, output_formats=["markdown"])[
+            "markdown"].splitlines()
+        assert lines[0] == "| A | B |"
+        assert lines[2].count("A") == 0
+        assert lines[2] == "|  | C |"
+
 
 class TestCLIOptions:
     def test_pages_and_image_output(self, tmp_path):
