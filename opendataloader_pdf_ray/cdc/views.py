@@ -191,7 +191,13 @@ class MaterializedView:
 
     def read(self) -> pa.Table:
         """Sum the committed view deltas → (grp, n_live, sum_value), groups
-        with zero live rows dropped, sorted by group."""
+        with zero live rows dropped, sorted by group.
+
+        Driver-side by design: the delta log is metadata-scale (≤ groups ×
+        partitions × epochs tiny rows, never corpus-proportional). A
+        long-lived deployment bounds the log by folding it — compact the
+        per-(part, epoch) deltas into one rolled-up delta per partition the
+        same way ``Lake.compact()`` folds data deltas."""
         fs = self.lake.fs
         totals: dict = {}
         if not fs.exists(self.dir):
