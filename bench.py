@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "doc_tfidf_top_terms", "embedding_kmeans_stats", "doc_passage_chunks",
     "doc_source_quota_sample", "dedup_minhash_clusters", "doc_passage_dedup",
     "events_distinct_users_kmv", "cdc_incremental_view",
-    "semantic_dup_cross_source", "doc_top_per_source",
+    "semantic_dup_cross_source", "doc_top_per_source", "doc_top_words_mg",
 ]
 
 

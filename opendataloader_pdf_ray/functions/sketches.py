@@ -60,3 +60,36 @@ def kmv_merge_estimate(group: pa.Table, key_col: str,
         est = (k - 1) * _TWO64 // int(hs[k - 1])
     return pa.table({key_col: group[key_col][:1],
                      "kmv_estimate": pa.array([est], pa.int64())})
+
+
+# --------------------------------------------------------- Misra-Gries (freq)
+
+
+def mg_partial(keys: np.ndarray, k: int = 1024) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-batch Misra-Gries frequency summary: exact counts truncated to ≤k
+    entries by the decrement rule (subtract the (k+1)-th largest count from
+    all, drop ≤0). Mergeable by summing counts then re-truncating; the merged
+    summary under-counts any key by at most n_total/(k+1) — the classic
+    heavy-hitters guarantee (Misra & Gries 1982)."""
+    uniq, counts = np.unique(keys, return_counts=True)
+    counts = counts.astype(np.int64)
+    if len(uniq) > k:
+        thresh = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+        counts = counts - thresh
+        keep = counts > 0
+        uniq, counts = uniq[keep], counts[keep]
+    return uniq, counts
+
+
+def mg_merge(keys: np.ndarray, counts: np.ndarray,
+             k: int = 1024) -> "tuple[np.ndarray, np.ndarray]":
+    """Merge MG summary rows (sum per key, truncate to ≤k survivors)."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, counts.astype(np.int64))
+    if len(uniq) > k:
+        thresh = np.partition(sums, len(sums) - k - 1)[len(sums) - k - 1]
+        sums = sums - thresh
+        keep = sums > 0
+        uniq, sums = uniq[keep], sums[keep]
+    return uniq, sums

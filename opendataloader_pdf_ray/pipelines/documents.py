@@ -976,6 +976,97 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def doc_top_words_mg(sf_dir: str, top: int = 20, sketch_k: int = 1024):
+    """Provably-exact heavy-hitter words via a Misra-Gries sketch + exact
+    re-count — top-k-by-frequency WITHOUT shuffling the vocabulary (at
+    100 TB the distinct-word/n-gram universe is billions of keys; a full
+    ``groupby(word)`` is the shuffle this avoids):
+
+    1. per-batch MG summaries (≤ sketch_k rows each) merge in one tiny
+       group task → candidate set; MG guarantees every word with count
+       > n/(sketch_k+1) survives,
+    2. a second streaming pass counts ONLY the broadcast candidates
+       exactly (≤ sketch_k rows shuffle),
+    3. the result is certified: the top-th exact count must exceed
+       n/(sketch_k+1), else the candidate set could miss a winner and the
+       query raises instead of silently degrading.
+
+    The exact re-count makes the output equal the full-shuffle answer, so
+    the SQL oracle is plain unnest+group+order — an oracle-verified
+    sketch operator like ``events_distinct_users_kmv``."""
+    from ..functions import sketches as sk
+    from ..functions.dedup import _WORD_RE
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def tokens_of(batch: pa.Table) -> list:
+        words = []
+        for t in batch["text"].to_pylist():
+            words.extend(w.lower() for w in _WORD_RE.findall(t))
+        return words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = tokens_of(batch)
+        u, c = sk.mg_partial(np.array(words, dtype=object), sketch_k)
+        return pa.table({
+            "word": pa.array(list(u.astype(str)) + [""], pa.string()),
+            "c": pa.array(list(c) + [len(words)], pa.int64()),
+            "kind": pa.array([0] * len(u) + [1], pa.int8()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        total = int(group.filter(pa.array(kind == 1))["c"]
+                    .to_numpy(zero_copy_only=False).sum())
+        mg = group.filter(pa.array(kind == 0))
+        u, c = sk.mg_merge(mg["word"].to_numpy(zero_copy_only=False),
+                           mg["c"].to_numpy(zero_copy_only=False), sketch_k)
+        return pa.table({
+            "word": pa.array(list(u.astype(str)) + [""], pa.string()),
+            "c": pa.array(list(c) + [total], pa.int64()),
+            "kind": pa.array([0] * len(u) + [1], pa.int8()),
+        })
+
+    summary = (ds.map_batches(partial, batch_format="pyarrow")
+               .map_batches(lambda t: t.append_column(
+                   "g", pa.array(np.zeros(t.num_rows, np.int8))),
+                   batch_format="pyarrow")
+               .groupby("g").map_groups(merge, batch_format="pyarrow")
+               .take_all())  # ≤ sketch_k + 1 bounded summary rows
+    total = next(r["c"] for r in summary if r["kind"] == 1)
+    candidates = sorted(r["word"] for r in summary if r["kind"] == 0)
+    cand_arr = np.array(candidates, dtype=object)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        words = np.array(tokens_of(batch), dtype=object)
+        hits = words[np.isin(words, cand_arr)]
+        u, c = np.unique(hits, return_counts=True)
+        return pa.table({"word": pa.array(u.astype(str)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = (ds.map_batches(recount, batch_format="pyarrow")
+            .groupby("word").aggregate(_Sum("n", alias_name="n"))
+            .take_all())  # ≤ sketch_k exact-counted candidate rows
+    rows.sort(key=lambda r: (-r["n"], r["word"]))
+    rows = rows[:top]
+    floor = total // (sketch_k + 1)
+    if rows[-1]["n"] <= floor:
+        raise ValueError(
+            f"MG guarantee violated: top-{top} count {rows[-1]['n']} ≤ "
+            f"n/(k+1) = {floor} — raise sketch_k")
+    return pa.table({"word": pa.array([r["word"] for r in rows], pa.string()),
+                     "n": pa.array([r["n"] for r in rows], pa.int64())})
+
+
+DOC_TOP_WORDS_MG_SQL = """
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+           FROM documents)
+SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
 DOC_QUERIES = {
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
@@ -1000,6 +1091,7 @@ DOC_QUERIES = {
     "doc_passage_chunks": doc_passage_chunks,
     "doc_source_quota_sample": doc_source_quota_sample,
     "doc_top_per_source": doc_top_per_source,
+    "doc_top_words_mg": doc_top_words_mg,
 }
 
 DOC_ORACLE_SQL = {
@@ -1026,4 +1118,5 @@ DOC_ORACLE_SQL = {
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
     "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
     "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
+    "doc_top_words_mg": DOC_TOP_WORDS_MG_SQL,
 }

@@ -404,3 +404,57 @@ class TestEnrichPairs:
         a = self._run(ray_session, pairs, dim, num_buckets=3)
         b = self._run(ray_session, pairs, dim, num_buckets=17)
         assert a == b
+
+
+class TestMisraGries:
+    """functions/sketches.mg_partial / mg_merge — heavy-hitter guarantee."""
+
+    def test_no_truncation_below_k(self):
+        from opendataloader_pdf_ray.functions import sketches as sk
+        keys = np.array(list("aabbbc"), dtype=object)
+        u, c = sk.mg_partial(keys, k=10)
+        assert dict(zip(u, c)) == {"a": 2, "b": 3, "c": 1}
+
+    def test_undercount_bounded(self):
+        """Merged MG count of any key is within n/(k+1) of its true count,
+        and every key with true count > n/(k+1) survives."""
+        from opendataloader_pdf_ray.functions import sketches as sk
+        rng = np.random.RandomState(7)
+        # Zipf stream with a planted heavy hitter
+        keys = np.array([f"w{int(x)}" for x in rng.zipf(1.3, 5000)] +
+                        ["HOT"] * 800, dtype=object)
+        rng.shuffle(keys)
+        k = 64
+        n = len(keys)
+        parts = [sk.mg_partial(chunk, k)
+                 for chunk in np.array_split(keys, 13)]
+        mk = np.concatenate([p[0] for p in parts])
+        mc = np.concatenate([p[1] for p in parts])
+        u, c = sk.mg_merge(mk, mc, k)
+        got = dict(zip(u, c))
+        true_u, true_c = np.unique(keys, return_counts=True)
+        true = dict(zip(true_u, true_c))
+        bound = n // (k + 1)
+        for key, tc in true.items():
+            mg = got.get(key, 0)
+            assert mg <= tc
+            assert tc - mg <= bound, key
+            if tc > bound:
+                assert key in got, key
+        assert "HOT" in got
+
+    def test_merge_order_invariant_guarantee(self):
+        """Different chunkings may give different summaries, but the
+        guarantee (survivors ⊇ heavy keys, undercount ≤ n/(k+1)) holds for
+        every chunking — which is what the exact re-count pass relies on."""
+        from opendataloader_pdf_ray.functions import sketches as sk
+        keys = np.array(["x"] * 50 + [f"r{i}" for i in range(200)],
+                        dtype=object)
+        n, k = len(keys), 16
+        for n_chunks in (1, 3, 7):
+            parts = [sk.mg_partial(ch, k)
+                     for ch in np.array_split(keys, n_chunks)]
+            u, c = sk.mg_merge(np.concatenate([p[0] for p in parts]),
+                               np.concatenate([p[1] for p in parts]), k)
+            got = dict(zip(u, c))
+            assert "x" in got and 50 - got["x"] <= n // (k + 1)

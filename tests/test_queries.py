@@ -25,7 +25,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "doc_source_quota_sample", "dedup_minhash_clusters",
           "doc_passage_dedup", "events_distinct_users_kmv",
           "cdc_incremental_view", "embedding_kmeans_stats", "knn_lsh",
-          "semantic_dup_cross_source", "doc_top_per_source"]
+          "semantic_dup_cross_source", "doc_top_per_source",
+          "doc_top_words_mg"]
 
 
 @pytest.fixture(scope="module")

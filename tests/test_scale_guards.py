@@ -50,6 +50,7 @@ GUARDED_QUERIES = [
     "cdc_incremental_view",   # driver sees per-(epoch,type) delta rows only
     "semantic_dup_cross_source",  # pair halves + (id, source) only shuffle
     "doc_top_per_source",     # ≤k rows per source per batch reach the shuffle
+    "doc_top_words_mg",       # driver sees ≤sketch_k summary/candidate rows
 ]
 
 SF = "/root/testdata/sf0.001"
