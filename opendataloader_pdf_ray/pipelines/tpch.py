@@ -500,7 +500,95 @@ SELECT side, count(*) AS n, max(key) AS max_key FROM (
 """
 
 
+def parts_never_shipped_bloom(sf_dir: str, cutoff: str = "1995-06-01",
+                              m_bits: int = 1 << 18, k_hashes: int = 7):
+    """Anti-join via a mergeable Bloom filter (functions/bloom.py) — the
+    scale path when the big side's key set is too large to broadcast
+    (``customers_without_orders`` broadcasts the distinct keys; at 10^10
+    rows that set doesn't fit). Three bounded passes:
+
+    1. the filtered big side (lineitem before ``cutoff``) folds into one
+       m-bit bitmap (per-batch partials OR-merge in a single group task;
+       the broadcast is m/8 bytes — 32 KB here — REGARDLESS of key count),
+    2. the probe side keeps definitely-absent parts free (no false
+       negatives) and extracts the ``maybe`` keys (true matches + ~1% fp),
+    3. one more big-side pass verifies exactly WHICH maybes occur —
+       restricted to the broadcast maybe set, so the shuffle is sized by
+       the match set, never the big side.
+
+    The result is exact for any filter contents (the Bloom only routes rows
+    between fast and verify paths), so the oracle is the plain NOT EXISTS."""
+    from ..functions import bloom as bf
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"],
+                    filter=pc.field("l_shipdate") < _TS(cutoff))
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_name", "p_brand"])
+
+    def bm_partial(t: pa.Table) -> pa.Table:
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array([0], pa.int8()),
+            "bm": pa.array([bf.partial_bitmap(keys, m_bits, k_hashes)],
+                           pa.binary())})
+
+    merged = (li.map_batches(bm_partial, batch_format="pyarrow")
+              .groupby("g")
+              .map_groups(lambda g: pa.table({
+                  "g": g["g"][:1],
+                  "bm": pa.array([bf.or_bitmaps(g["bm"].to_pylist())],
+                                 pa.binary())}), batch_format="pyarrow")
+              .take_all())
+    bitmap = merged[0]["bm"] if merged else bytes((m_bits + 63) // 64 * 8)
+    bm_ref = broadcast(bitmap)
+
+    def probe_maybes(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        m = bf.maybe_contains(ray.get(bm_ref), keys, m_bits, k_hashes)
+        return pa.table({"p_partkey": pa.array(keys[m])})
+
+    maybe_keys = np.sort(np.unique(
+        parts.map_batches(probe_maybes, batch_format="pyarrow")
+        .to_pandas()["p_partkey"].to_numpy()))  # matches + fp tail only
+    maybe_ref = broadcast(maybe_keys)
+
+    def present_partial(t: pa.Table) -> pa.Table:
+        mk = ray.get(maybe_ref)
+        keys = np.unique(t["l_partkey"].to_numpy(zero_copy_only=False))
+        if len(mk):
+            pos = np.minimum(np.searchsorted(mk, keys), len(mk) - 1)
+            keys = keys[mk[pos] == keys]
+        else:
+            keys = keys[:0]
+        return pa.table({"l_partkey": pa.array(keys)})
+
+    present = np.sort(
+        li.map_batches(present_partial, batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Count(alias_name="n"))
+        .to_pandas()["l_partkey"].to_numpy())
+    present_ref = broadcast(present)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = ray.get(present_ref)
+        if len(have) == 0:
+            return batch
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(have, keys), len(have) - 1)
+        return batch.filter(pa.array(have[pos] != keys))
+
+    return parts.map_batches(anti, batch_format="pyarrow")
+
+
+PARTS_NEVER_SHIPPED_SQL = """
+SELECT p_partkey, p_name, p_brand FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_shipdate < TIMESTAMP '1995-06-01')
+"""
+
+
 TPCH_QUERIES = {
+    "parts_never_shipped_bloom": parts_never_shipped_bloom,
     "customers_without_orders": customers_without_orders,
     "union_key_counts": union_key_counts,
     "q1_pricing_summary": q1_pricing_summary,
@@ -515,6 +603,7 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLE_SQL = {
+    "parts_never_shipped_bloom": PARTS_NEVER_SHIPPED_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "union_key_counts": UNION_KEY_COUNTS_SQL,
     "q1_pricing_summary": Q1_SQL,

@@ -458,3 +458,29 @@ class TestMisraGries:
                                np.concatenate([p[1] for p in parts]), k)
             got = dict(zip(u, c))
             assert "x" in got and 50 - got["x"] <= n // (k + 1)
+
+
+class TestBloom:
+    """functions/bloom.py — mergeable Bloom filter invariants."""
+
+    def test_no_false_negatives(self):
+        from opendataloader_pdf_ray.functions import bloom as bf
+        keys = np.arange(0, 5000, 3, dtype=np.int64)
+        bm = bf.partial_bitmap(keys, 1 << 16, 7)
+        assert bf.maybe_contains(bm, keys, 1 << 16, 7).all()
+
+    def test_merge_equals_single_build(self):
+        from opendataloader_pdf_ray.functions import bloom as bf
+        keys = np.arange(10_000, dtype=np.int64)
+        whole = bf.partial_bitmap(keys, 1 << 17, 7)
+        merged = bf.or_bitmaps([bf.partial_bitmap(c, 1 << 17, 7)
+                                for c in np.array_split(keys, 9)])
+        assert whole == merged
+
+    def test_false_positive_rate_bounded(self):
+        from opendataloader_pdf_ray.functions import bloom as bf
+        n, m = 20_000, 1 << 18  # ~13 bits/key
+        bm = bf.partial_bitmap(np.arange(n, dtype=np.int64), m, 7)
+        absent = np.arange(10**6, 10**6 + 20_000, dtype=np.int64)
+        fp = bf.maybe_contains(bm, absent, m, 7).mean()
+        assert fp < 0.02, fp

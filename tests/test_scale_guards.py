@@ -51,6 +51,7 @@ GUARDED_QUERIES = [
     "semantic_dup_cross_source",  # pair halves + (id, source) only shuffle
     "doc_top_per_source",     # ≤k rows per source per batch reach the shuffle
     "doc_top_words_mg",       # driver sees ≤sketch_k summary/candidate rows
+    "parts_never_shipped_bloom",  # 32KB bitmap + match-sized key sets only
 ]
 
 SF = "/root/testdata/sf0.001"
