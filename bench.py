@@ -52,7 +52,8 @@ BENCH_QUERIES = [
     "doc_source_quota_sample", "dedup_minhash_clusters", "doc_passage_dedup",
     "events_distinct_users_kmv", "cdc_incremental_view",
     "semantic_dup_cross_source", "doc_top_per_source", "doc_top_words_mg",
-    "parts_never_shipped_bloom",
+    "parts_never_shipped_bloom", "events_user_running_total",
+    "events_value_median_by_type",
 ]
 
 

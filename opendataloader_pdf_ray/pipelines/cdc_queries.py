@@ -523,6 +523,130 @@ WHERE rn = 1 GROUP BY event_type
 """
 
 
+def events_user_running_total(sf_dir: str):
+    """Per-key running window aggregate: cumulative value sum per user in
+    (ts, event_id) order — the classic ``SUM() OVER (PARTITION BY ...
+    ORDER BY ...)``. Distributed shape: ONE user-bucket shuffle, then a
+    vectorized segmented cumsum over the (user, ts, id)-sorted group;
+    exact integer-scaled sums make every running value bit-equal to the
+    sequential window oracle at any batch size / concurrency."""
+    from .common import n_buckets, round_half_away, to_scaled_int64
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    buckets = n_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((users % buckets).astype(np.int32)))
+
+    def running(group: pa.Table) -> pa.Table:
+        import numpy as np
+        users = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        sv = to_scaled_int64(group["value"].to_numpy(zero_copy_only=False), 2)
+        order = np.lexsort((ids, ts, users))
+        su, ssv = users[order], sv[order]
+        cum = np.cumsum(ssv)
+        # reset at each user boundary: subtract the running total carried
+        # in from the previous segment
+        starts = np.flatnonzero(np.concatenate(([True], su[1:] != su[:-1])))
+        seg_carry = np.zeros(len(starts), np.int64)
+        seg_carry[1:] = cum[starts[1:] - 1]
+        counts = np.diff(np.append(starts, len(cum)))
+        cum -= np.repeat(seg_carry, counts)
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            "user_id": pa.array(su, pa.int64()),
+            "cum_value": pa.array(round_half_away(cum / 100.0, 2)),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(running, batch_format="pyarrow"))
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       round(sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) / 100.0, 2)
+       AS cum_value
+FROM events
+"""
+
+
+def events_value_median_by_type(sf_dir: str):
+    """GROUPED exact quantiles via bounded per-group value-counts
+    histograms (the per-group variant of ``doc_length_percentiles``):
+    values scale to integer cents, per-batch (type, cents) value-counts
+    pre-aggregate before one small groupby, and the driver folds only the
+    histogram — ≤ |types| × distinct-cents rows, never the stream. Exact
+    lower-interpolation median + p90, bit-equal to the window oracle."""
+    import numpy as np
+
+    from .common import to_scaled_int64
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        cents = to_scaled_int64(
+            batch["value"].to_numpy(zero_copy_only=False), 2)
+        ut, inv = np.unique(types, return_inverse=True)
+        # (type, cents) pair value-counts via one lexsort (no composite-key
+        # range assumptions — works for any int64 cents incl. negatives)
+        order = np.lexsort((cents, inv))
+        si, sc = inv[order], cents[order]
+        new = np.concatenate(
+            ([True], (si[1:] != si[:-1]) | (sc[1:] != sc[:-1])))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(si)))
+        return pa.table({
+            "event_type": pa.array(ut[si[starts]]),
+            "cents": pa.array(sc[starts], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    hist = (ds.map_batches(counts, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())  # bounded: one row per (type, distinct cents)
+    by_type: dict = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append((r["cents"], r["cnt"]))
+    types, medians, p90s = [], [], []
+    for t in sorted(by_type):
+        pairs = sorted(by_type[t])
+        vals = np.array([p[0] for p in pairs], np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        total = int(cum[-1])
+        for q, dest in ((0.5, medians), (0.9, p90s)):
+            rank = int(np.floor(q * (total - 1))) + 1
+            dest.append(vals[np.searchsorted(cum, rank)] / 100.0)
+        types.append(t)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "median_value": pa.array(medians, pa.float64()),
+                     "p90_value": pa.array(p90s, pa.float64())})
+
+
+EVENTS_MEDIAN_SQL = """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN cents / 100.0 END) AS median_value,
+       max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                THEN cents / 100.0 END) AS p90_value
+FROM r GROUP BY event_type
+"""
+
+
 def cdc_materialized_view(sf_dir: str):
     """Lake-integrated IVM (cdc/views.py): replay the flagship events into a
     lake with per-epoch delta commits, then maintain a per-lang (live docs,
@@ -631,6 +755,8 @@ CDC_QUERIES = {
     "events_distinct_users_kmv": events_distinct_users_kmv,
     "cdc_incremental_view": cdc_incremental_view,
     "cdc_materialized_view": cdc_materialized_view,
+    "events_user_running_total": events_user_running_total,
+    "events_value_median_by_type": events_value_median_by_type,
 }
 
 CDC_ORACLE_SQL = {
@@ -674,6 +800,8 @@ CDC_ORACLE_SQL = {
     "cdc_diff_epochs": CDC_DIFF_EPOCHS_SQL,
     "events_distinct_users_kmv": EVENTS_DISTINCT_KMV_SQL,
     "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
+    "events_user_running_total": EVENTS_RUNNING_TOTAL_SQL,
+    "events_value_median_by_type": EVENTS_MEDIAN_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
