@@ -189,9 +189,13 @@ class MaterializedView:
             return sum(ray.get([fold.remote(*a) for a in args]))
         return sum(_fold_partition(*a) for a in args)
 
-    def read(self) -> pa.Table:
+    def read(self, as_of: Optional[int] = None) -> pa.Table:
         """Sum the committed view deltas → (grp, n_live, sum_value), groups
-        with zero live rows dropped, sorted by group.
+        with zero live rows dropped, sorted by group. ``as_of`` time-travels
+        the view: only deltas of epochs ≤ as_of fold, giving the view state
+        as of that checkpoint — the same semantics as
+        ``Lake.read_state(as_of=...)`` because the per-epoch deltas
+        telescope at every prefix, not just the final one.
 
         Driver-side by design: the delta log is metadata-scale (≤ groups ×
         partitions × epochs tiny rows, never corpus-proportional). A
@@ -209,6 +213,8 @@ class MaterializedView:
             if not base.startswith("commit-"):
                 continue
             meta = json.loads(fs.cat_file(path))
+            if as_of is not None and meta["epoch"] > as_of:
+                continue
             dpath = posixpath.join(
                 self.dir,
                 f"delta-p{meta['part']:04d}-e{meta['epoch']:06d}.parquet")

@@ -30,9 +30,9 @@ def events_path(tmp_path_factory):
     return path
 
 
-def batch_view(lake: Lake) -> dict:
-    """Ground truth: the batch aggregate over the final live state."""
-    live = lake.read_state()
+def batch_view(lake: Lake, as_of=None) -> dict:
+    """Ground truth: the batch aggregate over the live state (as-of)."""
+    live = lake.read_state(as_of=as_of)
     if live.num_rows == 0:
         return {}
     langs = live["lang"].to_numpy(zero_copy_only=False)
@@ -112,6 +112,21 @@ class TestMaterializedView:
         view = MaterializedView(lake, "lang_stats")
         view.refresh()
         assert view_dict(view) == batch_view(lake)
+
+    def test_as_of_time_travel(self, events_path, tmp_path):
+        """read(as_of=e) == batch aggregate over lake state as of e — the
+        per-epoch deltas telescope at every prefix (per-epoch freshness: a
+        streaming deployment refreshing after each epoch serves exactly
+        this at every checkpoint)."""
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        view = MaterializedView(lake, "lang_stats")
+        view.refresh()
+        for e in range(N_EPOCHS):
+            got = {r["grp"]: [r["n_live"], r["sum_value"]]
+                   for r in view.read(as_of=e).to_pylist()}
+            assert got == batch_view(lake, as_of=e), f"epoch {e}"
 
     def test_sequential_equals_parallel(self, events_path, tmp_path):
         lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
