@@ -182,6 +182,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    report = lake.verify(deep=args.deep)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -262,6 +271,14 @@ def main(argv=None) -> int:
     cpt.add_argument("--partitions", type=int, default=32)
     cpt.add_argument("--keep-snapshots", type=int, default=1)
     cpt.set_defaults(fn=cmd_compact)
+
+    fs = sub.add_parser("fsck",
+                        help="audit commit-log / data-file consistency "
+                             "(exit 1 on violations)")
+    fs.add_argument("lake")
+    fs.add_argument("--partitions", type=int, default=32)
+    fs.add_argument("--deep", action="store_true")
+    fs.set_defaults(fn=cmd_fsck)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

@@ -307,6 +307,91 @@ class Lake:
                         removed += 1
         return removed
 
+    def verify(self, deep: bool = False) -> Dict:
+        """fsck for the lake: audit commit-log ↔ data-file consistency.
+
+        Invariants checked per partition (all derivable from the commit
+        protocol — a healthy lake can NEVER violate them, whatever mix of
+        crashes, retries, delta commits, compaction and vacuum produced it):
+
+        - every commit record parses and matches its filename's (part, epoch);
+        - the partition's current state is READABLE: some snapshot exists,
+          and every committed epoch newer than the newest snapshot has its
+          delta file (vacuum only reclaims folded/superseded files);
+        - ``deep``: the newest snapshot parquet opens, urls are sorted and
+          unique, and the tombstone column is present.
+
+        Data/delta files with no commit record are reported as benign
+        ``orphans`` (crash leftovers before the commit point — invisible to
+        readers, reclaimable). Returns ``{"ok", "issues", "orphans",
+        "partitions", "commits"}``; ``ok`` ignores orphans."""
+        issues: List[str] = []
+        orphans: List[str] = []
+        n_commits = 0
+        for part in range(self.num_partitions):
+            epochs = []
+            for epoch in self.committed_epochs(part):
+                n_commits += 1
+                try:
+                    lin = self.read_lineage(part, epoch)
+                    if lin.part != part or lin.epoch != epoch:
+                        issues.append(
+                            f"part {part} epoch {epoch}: lineage names "
+                            f"(part={lin.part}, epoch={lin.epoch})")
+                except Exception as exc:  # unparseable record
+                    issues.append(f"part {part} epoch {epoch}: bad commit "
+                                  f"record ({exc})")
+                epochs.append(epoch)
+            if not epochs:
+                continue
+            snaps = [e for e in epochs
+                     if self.fs.exists(self._data_path(part, e))]
+            # readability: merge-on-read folds deltas onto the newest
+            # snapshot ≤ each epoch (or onto the empty base when none) —
+            # every committed epoch AFTER the newest snapshot must still
+            # have its delta file; vacuum never reclaims those
+            newest_snap = max(snaps) if snaps else -1
+            missing = [e for e in epochs if e > newest_snap
+                       and not self.fs.exists(self._delta_path(part, e))]
+            if not snaps and len(missing) == len(epochs):
+                issues.append(f"part {part}: committed epochs {epochs} "
+                              f"but no data files at all")
+                continue
+            for e in missing:
+                issues.append(f"part {part} epoch {e}: committed after "
+                              f"snapshot {newest_snap} but delta file "
+                              f"missing — state unreadable")
+            if deep and snaps:
+                try:
+                    t = pq.read_table(self._data_path(part, newest_snap),
+                                      filesystem=self.fs)
+                    urls = t["url"].to_pylist()
+                    if urls != sorted(urls):
+                        issues.append(f"part {part}: snapshot not "
+                                      f"url-sorted")
+                    if len(set(urls)) != len(urls):
+                        issues.append(f"part {part}: duplicate urls in "
+                                      f"snapshot")
+                    if "deleted" not in t.column_names:
+                        issues.append(f"part {part}: tombstone column "
+                                      f"missing")
+                except Exception as exc:
+                    issues.append(f"part {part}: snapshot unreadable "
+                                  f"({exc})")
+            # orphan scan: data files without commit records
+            try:
+                for full in self.fs.ls(self._part_dir(part), detail=False):
+                    name = posixpath.basename(full)
+                    for prefix in ("epoch=", "delta="):
+                        if name.startswith(prefix) and name.endswith(".parquet"):
+                            e = int(name[len(prefix):-len(".parquet")])
+                            if not self.is_committed(part, e):
+                                orphans.append(f"part {part}: {name}")
+            except FileNotFoundError:
+                pass
+        return {"ok": not issues, "issues": issues, "orphans": orphans,
+                "partitions": self.num_partitions, "commits": n_commits}
+
     def all_lineage(self) -> List[Dict]:
         out = []
         try:

@@ -115,3 +115,62 @@ class TestDeltaCommits:
         lake.compact()
         lake.vacuum()
         _assert_oracle(lake, _events(events_path))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFsck:
+    """Lake.verify() — commit-log / data-file consistency audit."""
+
+    def _lake(self, events_path, tmp_path, n_epochs=N_EPOCHS):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(n_epochs):
+            ingest_epoch(events_path, lake, e, CFG)
+        return lake
+
+    def test_healthy_lake_all_modes(self, events_path, tmp_path):
+        lake = self._lake(events_path, tmp_path)
+        # delta-only partitions are readable (merge-on-read from empty base)
+        assert lake.verify()["ok"]
+        lake.compact()
+        lake.vacuum()
+        rep = lake.verify(deep=True)
+        assert rep["ok"], rep["issues"]
+        assert rep["commits"] > 0 and not rep["orphans"]
+
+    def test_missing_delta_detected(self, events_path, tmp_path):
+        """Data loss: one delta of a multi-epoch partition vanishes — the
+        partition's state silently reverts that epoch unless fsck flags it."""
+        lake = self._lake(events_path, tmp_path)
+        part, epoch = next(
+            (p, es[-1]) for p in range(CFG.num_partitions)
+            if len(es := lake.committed_epochs(p)) >= 2
+            and lake.fs.exists(lake._delta_path(p, es[-1])))
+        lake.fs.rm_file(lake._delta_path(part, epoch))
+        rep = lake.verify()
+        assert not rep["ok"]
+        assert any("delta file missing" in i for i in rep["issues"])
+
+    def test_orphan_reported_benign(self, events_path, tmp_path):
+        lake = self._lake(events_path, tmp_path)
+        lake.compact()
+        # crash leftover: data file with no commit record
+        orphan = lake._data_path(0, 999)
+        with lake.fs.open(orphan, "wb") as f:
+            f.write(b"not parquet")
+        rep = lake.verify()
+        assert rep["ok"]  # orphans don't fail the audit
+        assert any("999" in o for o in rep["orphans"])
+
+    def test_deep_catches_corrupt_snapshot(self, events_path, tmp_path):
+        lake = self._lake(events_path, tmp_path)
+        lake.compact()
+        lake.vacuum()
+        part = next(p for p in range(CFG.num_partitions)
+                    if lake.committed_epochs(p))
+        snap = max(e for e in lake.committed_epochs(part)
+                   if lake.fs.exists(lake._data_path(part, e)))
+        with lake.fs.open(lake._data_path(part, snap), "wb") as f:
+            f.write(b"garbage")
+        rep = lake.verify(deep=True)
+        assert not rep["ok"]
+        assert any("unreadable" in i for i in rep["issues"])
