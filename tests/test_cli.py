@@ -66,3 +66,33 @@ class TestDeltaIngestCLI:
         lake = Lake(str(lake_dir), 4)
         assert len(lake.partition_files()) > 0  # snapshot reads legal again
         assert lake.read_state().num_rows == stats["live_rows"]
+
+
+class TestViewFsckCLI:
+    def test_view_and_fsck(self, tmp_path, capsys, ray_session):
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = tmp_path / "events.parquet"
+        pq.write_table(gen_events(120, 30, seed=42), str(events))
+        lake_dir = tmp_path / "lake"
+        assert main(["ingest", str(events), str(lake_dir), "--epoch-size",
+                     "60", "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta"]) == 0
+        capsys.readouterr()
+
+        assert main(["view", str(lake_dir), "--partitions", "4"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["folds_applied"] > 0
+        assert sum(g["n_live"] for g in out["groups"]) > 0
+        # second refresh is a no-op (exactly-once)
+        assert main(["view", str(lake_dir), "--partitions", "4"]) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["folds_applied"] == 0
+        assert out2["groups"] == out["groups"]
+
+        assert main(["fsck", str(lake_dir), "--partitions", "4",
+                     "--deep"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["ok"] and rep["commits"] > 0
