@@ -128,6 +128,33 @@ class TestMaterializedView:
                    for r in view.read(as_of=e).to_pylist()}
             assert got == batch_view(lake, as_of=e), f"epoch {e}"
 
+    def test_custom_group_and_value_callables(self, events_path, tmp_path):
+        """The view is generic over (group_of, value_of): group by url host
+        prefix, value = seq — verified against the equivalent batch fold."""
+        import numpy as np
+        import pyarrow as pa
+
+        def by_prefix(t: pa.Table) -> np.ndarray:
+            urls = t["url"].to_pylist()
+            return np.array([u.split("/")[2][:9] for u in urls], dtype=object)
+
+        def seq_of(t: pa.Table) -> np.ndarray:
+            return t["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, DELTA_CFG)
+        view = MaterializedView(lake, "prefix_seq", group_of=by_prefix,
+                                value_of=seq_of)
+        view.refresh()
+        live = lake.read_state()
+        want: dict = {}
+        for g, v in zip(by_prefix(live), seq_of(live)):
+            cur = want.setdefault(str(g), [0, 0])
+            cur[0] += 1
+            cur[1] += int(v)
+        assert view_dict(view) == want
+
     def test_sequential_equals_parallel(self, events_path, tmp_path):
         lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
         for e in range(N_EPOCHS):
