@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "events_distinct_users_kmv", "cdc_incremental_view",
     "semantic_dup_cross_source", "doc_top_per_source", "doc_top_words_mg",
     "parts_never_shipped_bloom", "events_user_running_total",
-    "events_value_median_by_type",
+    "events_value_median_by_type", "doc_weighted_sample",
 ]
 
 

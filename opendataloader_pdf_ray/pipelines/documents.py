@@ -1060,6 +1060,53 @@ def doc_top_words_mg(sf_dir: str, top: int = 20, sketch_k: int = 1024):
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
 
 
+def doc_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, 2006): each doc gets key = ln(u)/w with u =
+    (md5(doc_id)+1)/2^64 and weight w = n_chars; the k LARGEST keys are a
+    weighted sample — RNG-free, batch-invariant, resumable (the corpus
+    sampler every training-data pipeline needs for quality-weighted
+    selection). Top-k by key is ASSOCIATIVE, so each batch pre-selects ≤ k
+    rows; only k × n_batches candidate rows ever leave the workers. The
+    identical arithmetic runs in SQL (`md5_number_lower`, `ln`), so the
+    sample is oracle-verified; key collisions at float resolution are
+    impossible for distinct md5 values, making the order deterministic."""
+    from ..functions.sketches import md5_number_lower
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source",
+                                                  "n_chars"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (np.array([md5_number_lower(str(i)) for i in ids],
+                      dtype=np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w
+        keep = np.flatnonzero(w > 0)
+        order = keep[np.lexsort((ids[keep], -key[keep]))][:k]
+        out = batch.take(pa.array(np.sort(order)))
+        return out.append_column("skey", pa.array(key[np.sort(order)]))
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: (-r["skey"], r["doc_id"]))
+    top = cands[:k]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "source": pa.array([r["source"] for r in top], pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in top], pa.int64()),
+    })
+
+
+DOC_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           ln((md5_number_lower(CAST(doc_id AS VARCHAR)) + 1)
+              / 18446744073709551616.0) / n_chars AS skey
+    FROM documents WHERE n_chars > 0)
+ORDER BY skey DESC, doc_id LIMIT 50
+"""
+
+
 DOC_TOP_WORDS_MG_SQL = """
 WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word
            FROM documents)
@@ -1092,6 +1139,7 @@ DOC_QUERIES = {
     "doc_source_quota_sample": doc_source_quota_sample,
     "doc_top_per_source": doc_top_per_source,
     "doc_top_words_mg": doc_top_words_mg,
+    "doc_weighted_sample": doc_weighted_sample,
 }
 
 DOC_ORACLE_SQL = {
@@ -1119,4 +1167,5 @@ DOC_ORACLE_SQL = {
     "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
     "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
     "doc_top_words_mg": DOC_TOP_WORDS_MG_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
 }

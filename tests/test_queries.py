@@ -27,7 +27,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "cdc_incremental_view", "embedding_kmeans_stats", "knn_lsh",
           "semantic_dup_cross_source", "doc_top_per_source",
           "doc_top_words_mg", "parts_never_shipped_bloom",
-          "events_user_running_total", "events_value_median_by_type"]
+          "events_user_running_total", "events_value_median_by_type",
+          "doc_weighted_sample"]
 
 
 @pytest.fixture(scope="module")

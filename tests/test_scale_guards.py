@@ -53,6 +53,7 @@ GUARDED_QUERIES = [
     "doc_top_words_mg",       # driver sees ≤sketch_k summary/candidate rows
     "parts_never_shipped_bloom",  # 32KB bitmap + match-sized key sets only
     "events_value_median_by_type",  # driver folds the bounded histogram only
+    "doc_weighted_sample",    # driver sees <=k rows per batch (A-ES top-k)
 ]
 
 SF = "/root/testdata/sf0.001"
