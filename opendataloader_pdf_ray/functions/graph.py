@@ -149,14 +149,64 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
 
 
 def cluster_sizes(labels: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Attach cluster_size to each (node, cluster_id) row — one groupby per
-    cluster; a group is one component, so task memory is bounded by the
-    largest component (cap/salt upstream if a boilerplate mega-cluster is
-    possible)."""
-    def add_size(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        return group.append_column(
-            "cluster_size", pa.array(np.full(n, n), pa.int64()))
+    """Attach cluster_size to each (node, cluster_id) row via salted
+    count-then-attach (round-2 verdict item #5): a (cluster, salt) hash
+    aggregate counts partials, a per-cluster fold over its ≤S partial rows
+    emits one size row per present salt, and the attach co-groups label rows
+    with their size row on (cluster_id, salt) — per-task memory is
+    O(component / S), so a boilerplate mega-cluster streams across S tasks
+    instead of landing in one heap. (The previous version used
+    ``groupby(cluster_id).map_groups``, which held one whole component per
+    task; Ray 2.49's Dataset.join was rejected because its hash partitions
+    crash Acero on schema-less empty partitions at small key counts.)"""
+    S = np.int64(_n_buckets())
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "salt": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.int64()),
+                      "cluster_size": pa.array([], pa.int64())})
 
-    return labels.groupby("cluster_id").map_groups(add_size,
-                                                   batch_format="pyarrow")
+    def salted_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return empty
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cluster_id": pa.array(cid, pa.int64()),
+                         "salt": pa.array(node % S, pa.int64()),
+                         "node": pa.array(node, pa.int64()),
+                         "cluster_size": pa.array(
+                             np.full(len(node), -1), pa.int64())})
+
+    lbl = labels.map_batches(salted_labels, batch_format="pyarrow")
+
+    # (cluster, salt) partial counts — a hash aggregate, nothing grouped in
+    # memory — then a per-CLUSTER fold over its ≤S partial rows emits one
+    # size row per PRESENT salt.
+    partial = lbl.groupby(["cluster_id", "salt"]).count()
+
+    def totals(group: pa.Table) -> pa.Table:
+        cnt = group["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        size = np.int64(cnt.sum())
+        n = group.num_rows
+        return pa.table({"cluster_id": group["cluster_id"].cast(pa.int64()),
+                         "salt": group["salt"].cast(pa.int64()),
+                         "node": pa.array(np.full(n, -1), pa.int64()),
+                         "cluster_size": pa.array(np.full(n, size), pa.int64())})
+
+    sizes = partial.groupby("cluster_id").map_groups(totals,
+                                                     batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        sz = group["cluster_size"].to_numpy(zero_copy_only=False)
+        is_size = node < 0
+        size = np.int64(sz[is_size][0])
+        keep = ~is_size
+        return pa.table({
+            "node": pa.array(node[keep], pa.int64()),
+            "cluster_id": group["cluster_id"].filter(pa.array(keep)),
+            "cluster_size": pa.array(np.full(int(keep.sum()), size),
+                                     pa.int64())})
+
+    return (lbl.union(sizes)
+            .groupby(["cluster_id", "salt"])
+            .map_groups(attach, batch_format="pyarrow"))

@@ -178,8 +178,12 @@ def events_sliding_window(sf_dir: str):
             "mov_sum_value": pa.array(round_half_away(mov_v, 2)),
         })
 
-    return daily.groupby("event_type").map_groups(window,
-                                                  batch_format="pyarrow")
+    # Canonical row order + BIGINT-cast oracle window sum: the driver hashes
+    # value bytes, so the tiny (type, day) result is emitted fully sorted and
+    # the SQL casts ``sum(n) OVER w`` (HUGEINT in DuckDB) back to int64.
+    return (daily.groupby("event_type")
+            .map_groups(window, batch_format="pyarrow")
+            .sort(["event_type", "epoch_day"]))
 
 
 EVENTS_SLIDING_WINDOW_SQL = """
@@ -190,11 +194,12 @@ WITH daily AS (
            sum(CAST(round(value * 100) AS BIGINT)) AS v_i
     FROM events GROUP BY event_type, epoch_day)
 SELECT event_type, epoch_day, n,
-       sum(n) OVER w AS mov_n,
+       CAST(sum(n) OVER w AS BIGINT) AS mov_n,
        round(sum(v_i) OVER w / 100.0, 2) AS mov_sum_value
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, epoch_day
 """
 
 

@@ -34,8 +34,18 @@ for name, fn in qs.items():
             w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
             for c in g.columns:
                 a, b = g[c], w[c]
-                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                    ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+                # Driver-strength compare: dtypes must agree (a HUGEINT
+                # oracle column arriving as float64 vs ray int64 is a hash
+                # mismatch even when allclose passes), and float columns
+                # must be BYTE-equal (catches -0.0 and last-bit drift).
+                if a.dtype != b.dtype:
+                    match = False
+                    print(f"  {name} col {c}: dtype ray={a.dtype} oracle={b.dtype}")
+                    continue
+                if a.dtype.kind == 'f':
+                    ok = a.to_numpy().tobytes() == b.to_numpy().tobytes()
+                    if not ok and np.allclose(a, b, rtol=0, atol=0, equal_nan=True):
+                        print(f"  {name} col {c}: allclose but NOT byte-equal (-0.0 or bit drift)")
                 else:
                     ok = (a.astype(str) == b.astype(str)).all()
                 if not ok:

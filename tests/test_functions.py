@@ -328,6 +328,26 @@ class TestConnectedComponents:
         sizes = dict(zip(out["node"], out["cluster_size"]))
         assert sizes == {5: 3, 6: 3, 7: 3, 20: 2, 21: 2}
 
+    def test_cluster_sizes_mega_cluster(self, ray_session):
+        """Round-2 verdict item #5: a boilerplate mega-cluster (one star
+        component holding most nodes, Zipf-ish skew) must not be
+        materialized in a single task — count-then-attach streams it."""
+        import pandas as pd
+
+        from opendataloader_pdf_ray.functions import graph
+
+        # star: node 0 connected to 1..3000 (one mega component), plus a few
+        # small ones
+        a = [0] * 3000 + [10_000, 10_002]
+        b = list(range(1, 3001)) + [10_001, 10_003]
+        pairs = ray.data.from_pandas(pd.DataFrame({"id_a": a, "id_b": b}))
+        labels = graph.connected_components(pairs, num_buckets=8)
+        out = graph.cluster_sizes(labels).to_pandas()
+        sizes = dict(zip(out["node"], out["cluster_size"]))
+        assert sizes[0] == 3001 and sizes[1500] == 3001
+        assert sizes[10_000] == 2 and sizes[10_003] == 2
+        assert len(out) == 3005
+
 
 class TestKMVSketch:
     def test_matches_duckdb_and_is_accurate(self, ray_session):

@@ -4,9 +4,11 @@ payload columns (text / html / embeddings / sketches) onto the driver via
 distinct key sets, per-batch top-k results) are legitimate broadcasts and
 pass; a whole-corpus payload collect fails the test.
 
-Driver-side streaming (``iter_batches``) is exempt: it holds one batch at a
-time (the embedding block-cross-product stages chunks into the object store
-that way).
+Driver-side streaming (``iter_batches``) is exempt for FINAL result
+consumption only — pipeline-internal staging must not stream the corpus
+through the driver either (``TestNoDriverChunkTransit`` pins that for the
+embedding block-cross-product, whose chunks are normalized and staged inside
+``map_batches`` tasks since round 3).
 """
 
 import pytest
@@ -94,6 +96,39 @@ class TestNoDriverPayloadCollect:
             assert not bad, (
                 f"{name} collected payload columns {sorted(bad)} onto the "
                 f"driver (dataset columns: {sorted(cols)})")
+
+
+class TestNoDriverChunkTransit:
+    def test_embedding_chunks_staged_in_tasks(self, ray_session, monkeypatch):
+        """Round-2 verdict item #3: `_normalized_chunks` must stage the
+        corpus as task-produced object-store blocks; the driver collects
+        refs only and never streams embedding batches through itself."""
+        import numpy as np
+
+        calls = []
+        orig = ray.data.Dataset.iter_batches
+
+        def rec(ds, *a, **k):
+            calls.append(True)
+            return orig(ds, *a, **k)
+
+        monkeypatch.setattr(ray.data.Dataset, "iter_batches", rec)
+
+        import ray as _ray
+
+        from opendataloader_pdf_ray.functions import dedup as dd
+
+        ds = ray.data.read_parquet(SF + "/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        refs = dd._normalized_chunks(ds, "vec_id", "embedding", 128)
+        assert not calls, "chunk staging streamed batches through the driver"
+        assert refs
+        ids, mat = dd._chunk_to_mat(_ray.get(refs[0]))
+        assert mat.ndim == 2 and len(ids) == mat.shape[0]
+        assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
+        # chunk granularity bounded: no block larger than the requested rows
+        sizes = [len(dd._chunk_to_mat(_ray.get(r))[0]) for r in refs]
+        assert max(sizes) <= 128
 
 
 class TestBucketScaling:
