@@ -177,8 +177,35 @@ def main() -> None:
     ray.shutdown()
 
 
+# register-only busy loop: measures what fraction of linear CPU scaling THIS
+# host delivers right now to any workload (shared microVM — the ceiling moves
+# hour to hour; BASELINE.md round-2 probe protocol, automated per r2 verdict)
+_PROBE_SRC = """
+import sys, time
+x, n = 1234567, 0
+deadline = time.perf_counter() + float(sys.argv[1])
+while time.perf_counter() < deadline:
+    for _ in range(10000):
+        x = (x * 1103515245 + 12345) & 0x7fffffff
+    n += 10000
+print(n)
+"""
+
+
+def _cpu_probe(nproc: int, secs: float = 3.0) -> float:
+    """Aggregate ops/s of nproc concurrent no-Ray register-burn processes."""
+    procs = [subprocess.Popen([sys.executable, "-c", _PROBE_SRC, str(secs)],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(nproc)]
+    return sum(int(p.communicate()[0]) for p in procs) / secs
+
+
 def scaling() -> None:
-    """North-rule two-parallelism-level protocol: same job, fresh processes."""
+    """North-rule two-parallelism-level protocol: same job, fresh processes.
+    Every record carries its same-run hardware ceiling (`probe_efficiency`):
+    on this shared microVM the raw ratio swings with host tenancy, so the
+    pipeline ratio is also reported relative to what a register-only CPU
+    burn achieves over the same 4→16 step at the same moment."""
     # ensure the fixture exists before timing anything
     events_path_for(os.path.basename(SF_DIR.rstrip("/")))
 
@@ -202,7 +229,12 @@ def scaling() -> None:
         runs = [run(ncpu) for _ in range(reps)]
         return max(runs, key=lambda r: r["events_per_sec"])
 
+    probe_lo_a, probe_hi_a = _cpu_probe(lo), _cpu_probe(hi)
     r_lo, r_hi = best_of(lo), best_of(hi)
+    probe_lo_b, probe_hi_b = _cpu_probe(lo), _cpu_probe(hi)
+    probe_lo = max(probe_lo_a, probe_lo_b)
+    probe_hi = max(probe_hi_a, probe_hi_b)
+    probe_eff = (probe_hi / probe_lo) / (hi / lo)
     eff = (r_hi["events_per_sec"] / r_lo["events_per_sec"]) / (hi / lo)
     print(json.dumps({
         "num_cpus_lo": lo, "num_cpus_hi": hi,
@@ -210,6 +242,11 @@ def scaling() -> None:
         "events_per_sec_hi": r_hi["events_per_sec"],
         "wall_sec_lo": r_lo["value"], "wall_sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        # same-run hardware ceiling: a register-only CPU burn's efficiency
+        # over the same lo→hi step, probed before AND after the pipeline
+        # runs (best of the two, i.e. the quietest view of the host)
+        "probe_efficiency": round(probe_eff, 3),
+        "efficiency_vs_probe_ceiling": round(eff / probe_eff, 3),
         "sf": r_lo["sf"],
     }))
 

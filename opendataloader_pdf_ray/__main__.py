@@ -268,7 +268,8 @@ def main(argv=None) -> int:
                          help="fold delta commits into snapshot files and "
                               "vacuum superseded data files")
     cpt.add_argument("lake")
-    cpt.add_argument("--partitions", type=int, default=32)
+    cpt.add_argument("--partitions", type=int, default=None,
+                     help="override; the lake's persisted metadata wins")
     cpt.add_argument("--keep-snapshots", type=int, default=1)
     cpt.set_defaults(fn=cmd_compact)
 
@@ -276,7 +277,8 @@ def main(argv=None) -> int:
                         help="audit commit-log / data-file consistency "
                              "(exit 1 on violations)")
     fs.add_argument("lake")
-    fs.add_argument("--partitions", type=int, default=32)
+    fs.add_argument("--partitions", type=int, default=None,
+                    help="override; the lake's persisted metadata wins")
     fs.add_argument("--deep", action="store_true")
     fs.set_defaults(fn=cmd_fsck)
 
@@ -284,7 +286,8 @@ def main(argv=None) -> int:
                         help="refresh + print an incrementally-maintained "
                              "per-lang aggregate view over a lake")
     vw.add_argument("lake")
-    vw.add_argument("--partitions", type=int, default=32)
+    vw.add_argument("--partitions", type=int, default=None,
+                    help="override; the lake's persisted metadata wins")
     vw.add_argument("--name", default="lang_stats")
     vw.set_defaults(fn=cmd_view)
 

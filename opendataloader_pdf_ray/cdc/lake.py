@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import sys
 import uuid
 from dataclasses import asdict, dataclass
 from typing import Dict, List, Optional
@@ -63,13 +64,58 @@ class Lineage:
 
 
 class Lake:
-    def __init__(self, root: str, num_partitions: int):
+    def __init__(self, root: str, num_partitions: Optional[int] = None):
+        """``num_partitions`` is persisted in lake metadata at creation and
+        is AUTHORITATIVE afterwards (ADVICE r2: a CLI default of 32 on a
+        64-partition lake silently audited/compacted only half of it). Open
+        an existing lake with ``num_partitions=None`` to use the persisted
+        value; a mismatching explicit value is ignored with a warning.
+        Pre-metadata lakes fall back to globbing ``part=*`` dirs."""
         self.root = root
-        self.num_partitions = num_partitions
         self.fs, self._base = fsspec.core.url_to_fs(root)
         self._is_local = "file" in (self.fs.protocol if isinstance(self.fs.protocol, (list, tuple))
                                     else (self.fs.protocol,))
         self.fs.makedirs(self._commits_dir(), exist_ok=True)
+        persisted = self._read_meta_partitions()
+        if persisted is not None:
+            if num_partitions is not None and num_partitions != persisted:
+                print(f"[lake] ignoring num_partitions={num_partitions}: "
+                      f"lake metadata says {persisted}", file=sys.stderr)
+            self.num_partitions = persisted
+        elif num_partitions is not None:
+            self.num_partitions = num_partitions
+            self._write_small_atomic(
+                self._meta_path(),
+                json.dumps({"num_partitions": num_partitions,
+                            "format_version": 1}).encode())
+        else:
+            derived = self._derive_partitions()
+            if derived is None:
+                raise ValueError(
+                    f"lake at {root} has no metadata, no part=* dirs and no "
+                    f"explicit num_partitions")
+            self.num_partitions = derived
+
+    def _meta_path(self) -> str:
+        return posixpath.join(self._commits_dir(), "lake.json")
+
+    def _read_meta_partitions(self) -> Optional[int]:
+        try:
+            with self.fs.open(self._meta_path(), "rb") as f:
+                return int(json.loads(f.read().decode())["num_partitions"])
+        except (FileNotFoundError, OSError, KeyError, ValueError):
+            return None
+
+    def _derive_partitions(self) -> Optional[int]:
+        """Pre-metadata lakes: highest part=NNNN dir + 1."""
+        try:
+            names = self.fs.ls(self._base, detail=False)
+        except FileNotFoundError:
+            return None
+        parts = [int(posixpath.basename(n).split("=", 1)[1])
+                 for n in names
+                 if posixpath.basename(n).startswith("part=")]
+        return max(parts) + 1 if parts else None
 
     # ------------------------------------------------------------------- paths
     def _part_dir(self, part: int) -> str:
@@ -91,6 +137,31 @@ class Lake:
         return posixpath.join(self._commits_dir(), f"epoch-{epoch:06d}.done")
 
     # ------------------------------------------------------------- atomic write
+    def _write_table_atomic(self, table: pa.Table, path: str) -> None:
+        """Parquet write that never exposes a partial file at its final
+        path (ADVICE r2: compact's snapshot has no commit record gating
+        visibility — the file's existence IS the publish signal, so a crash
+        mid-write must not leave a truncated file readers would select).
+        Local fs: staged + POSIX-atomic rename; object stores: PUTs are
+        already all-or-nothing."""
+        if self._is_local:
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(table, tmp, compression="zstd", filesystem=self.fs)
+            try:
+                self.fs.mv(tmp, path)
+            except OSError:
+                # lost a publish race to a concurrent compactor writing the
+                # same deterministic bytes — their file is as good as ours
+                if not self.fs.exists(path):
+                    raise
+                try:
+                    self.fs.rm_file(tmp)
+                except OSError:
+                    pass
+        else:
+            pq.write_table(table, path, compression="zstd",
+                           filesystem=self.fs)
+
     def _write_small_atomic(self, path: str, data: bytes) -> None:
         """Single-call write for tiny records: one PUT on object stores; on
         local filesystems staged + renamed so readers never see partial
@@ -271,10 +342,25 @@ class Lake:
             if state is None:
                 continue
             self.fs.makedirs(self._part_dir(part), exist_ok=True)
-            pq.write_table(state, self._data_path(part, newest),
-                           compression="zstd", filesystem=self.fs)
+            self._write_table_atomic(state, self._data_path(part, newest))
             done += 1
         return done
+
+    def _sweep_tmp(self, part: int) -> None:
+        """Reclaim staging files a crashed atomic write left behind (they
+        are invisible to readers — only ``epoch=*.parquet`` names are).
+        Called from vacuum (a maintenance op), NOT compact, so a sweep never
+        races a concurrent compactor's in-flight staging file."""
+        try:
+            names = self.fs.ls(self._part_dir(part), detail=False)
+        except FileNotFoundError:
+            return
+        for full in names:
+            if ".tmp-" in posixpath.basename(full):
+                try:
+                    self.fs.rm_file(full)
+                except OSError:
+                    pass
 
     def read_lineage(self, part: int, epoch: int) -> Lineage:
         with self.fs.open(self._commit_path(part, epoch), "rb") as f:
@@ -290,6 +376,7 @@ class Lake:
         anytime. Returns number of files removed."""
         removed = 0
         for part in range(self.num_partitions):
+            self._sweep_tmp(part)
             epochs = self.committed_epochs(part)
             snap_epochs = [e for e in epochs
                            if self.fs.exists(self._data_path(part, e))]

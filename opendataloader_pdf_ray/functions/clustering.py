@@ -9,9 +9,16 @@ Determinism is load-bearing (CLAUDE.md): float partial sums are
 accumulation-order-dependent, so per-cluster vector sums and inertia use the
 exact integer-scaled trick (``pipelines/common.to_scaled_int64`` rationale) —
 embeddings scaled by 2^20 and summed as int64 are bit-identical at ANY batch
-size / concurrency, so centroids (int_sum / (n·2^20)) and assignments match a
-sequential reference exactly. Assignment ties break to the lowest cluster id
-(np.argmin). Empty clusters keep their previous centroid.
+size / concurrency, so centroids (int_sum / (n·2^20)) are exactly
+batch-invariant. Assignments (``x @ centroids.T`` + argmin, ties to the
+lowest cluster id) additionally rely on BLAS matmul giving the same result
+for the same row regardless of matrix SHAPE — not guaranteed in principle
+(ADVICE r2): a distance tie within ~1 ulp could in theory flip between
+batch sizes. In practice the oracle's margin is astronomically wider (the
+DuckDB chained-CTE replay and the sequential NumPy reference both match
+bit-for-bit across tested batch sizes); if a corpus ever produces near-tie
+distances, switch the assignment to a per-row ``einsum`` reduction with
+fixed accumulation order. Empty clusters keep their previous centroid.
 """
 
 from __future__ import annotations

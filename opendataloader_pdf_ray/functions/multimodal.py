@@ -8,6 +8,9 @@ container ships no image/audio libraries. Two stub modes:
   purely from the payload bytes (hash-seeded), so tests are reproducible.
 - ``mode="strict"``: raises NotImplementedError at the decode call — the
   marker for "plug a real codec here" (PIL / torchaudio / ffmpeg).
+- ``mode="pil"``: REAL decode via Pillow when installed (optional import;
+  this container ships without it, so CI exercises the import gate and a
+  skip-if-no-PIL test covers the real path where available).
 
 At scale: payloads are wide → run with small ``batch_size`` and let blocks
 stay Arrow binary (never pandas object dtype)."""
@@ -32,16 +35,35 @@ class ImageDecoder:
     and optionally a thumbnail payload column."""
 
     def __init__(self, mode: str = "fake", emit_thumbnail: bool = False):
-        if mode not in ("fake", "strict"):
+        if mode not in ("fake", "strict", "pil"):
             raise ValueError(mode)
         self.mode = mode
         self.emit_thumbnail = emit_thumbnail
+        self._pil = None
+        if mode == "pil":
+            # optional real codec (r2 verdict stretch item): import ONCE per
+            # actor in __init__, never per batch
+            try:
+                from PIL import Image as _Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "mode='pil' requires Pillow, which is not installed — "
+                    "use mode='fake' (deterministic stub) or install PIL"
+                ) from e
+            self._pil = _Image
 
     def decode(self, payload: bytes) -> dict:
         if self.mode == "strict":
             raise NotImplementedError(
                 "image decode requires an imaging library (PIL/cv2) — "
                 "not available in this environment; use mode='fake' for tests")
+        if self.mode == "pil":
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return {"width": im.width, "height": im.height,
+                        "channels": len(im.getbands()),
+                        "format": (im.format or "unknown").lower()}
         h = _h(payload)
         return {"width": 64 + h % 1920, "height": 64 + (h >> 16) % 1080,
                 "channels": 3, "format": ("jpeg", "png", "webp")[h % 3]}

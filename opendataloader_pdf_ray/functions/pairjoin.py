@@ -40,6 +40,13 @@ def enrich_pairs(pairs: "ray.data.Dataset", dim: "ray.data.Dataset",
     dimension row are dropped (inner-join semantics). ``payload_cols`` are
     numeric/string columns of ``pairs`` carried through unchanged.
 
+    PRECONDITION (ADVICE r2): pairs must be DISTINCT and canonical with
+    ``id_a < id_b``. The recombine step matches A/B halves by sorted
+    adjacency, so a duplicated (id_a, id_b) row collapses to one output row
+    and a pair present in both orientations would mis-join. Every producer
+    in this repo satisfies this (LSH/minhash pairs are Min-deduped with
+    a < b); ``explode_halves`` raises on a non-canonical pair.
+
     Pass ``val_type`` / ``payload_types`` (Arrow types, needed for the
     union's typed null columns) when the inputs are computed datasets:
     falling back to ``Dataset.schema()`` EXECUTES the upstream pipeline a
@@ -60,6 +67,10 @@ def enrich_pairs(pairs: "ray.data.Dataset", dim: "ray.data.Dataset",
     def explode_halves(t: pa.Table) -> pa.Table:
         a = t[id_a].to_numpy(zero_copy_only=False)
         b = t[id_b].to_numpy(zero_copy_only=False)
+        if len(a) and not (a < b).all():
+            raise ValueError(
+                "enrich_pairs requires canonical pairs with id_a < id_b "
+                "(dedupe/canonicalize upstream — see docstring)")
         doc = np.concatenate([a, b])
         cols = {
             "doc": pa.array(doc, pa.int64()),

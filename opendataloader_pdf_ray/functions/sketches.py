@@ -32,18 +32,33 @@ def kmv_partial(batch: pa.Table, key_col: str, value_col: str,
                 k: int = 64) -> pa.Table:
     """Per-batch partial: for each key, the ≤k smallest distinct value
     hashes, serialized as a sorted uint64 LE byte blob (bounded: k×8 bytes
-    per key per batch)."""
-    keys = batch[key_col].to_pylist()
-    vals = batch[value_col].to_pylist()
-    per_key: dict = {}
-    for key, v in zip(keys, vals):
-        per_key.setdefault(key, []).append(md5_number_lower(str(v)))
-    out_k, out_b = [], []
-    for key in sorted(per_key):
-        hs = np.unique(np.array(per_key[key], dtype=np.uint64))
-        out_k.append(key)
-        out_b.append(hs[:k].tobytes())
-    return pa.table({key_col: pa.array(out_k),
+    per key per batch).
+
+    Vectorized (round-2 verdict item #8): md5 runs once per DISTINCT value
+    (values repeat heavily across rows), pair dedup + per-key bottom-k are
+    numpy (unique / lexsort / reduceat boundaries) — bit-identical output to
+    the row-loop version, same DuckDB oracle."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({key_col: pa.array([], batch.schema.field(key_col).type),
+                         "kmv": pa.array([], pa.binary())})
+    keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+    vals = np.asarray([str(v) for v in batch[value_col].to_pylist()],
+                      dtype=object)
+    uv, vinv = np.unique(vals, return_inverse=True)
+    hashes = np.array([md5_number_lower(s) for s in uv], dtype=np.uint64)
+    uk, kinv = np.unique(keys, return_inverse=True)
+    # distinct (key, value) pairs via a combined code
+    code = np.unique(kinv.astype(np.int64) * len(uv) + vinv)
+    pk = code // len(uv)
+    h = hashes[code % len(uv)]
+    order = np.lexsort((h, pk))  # per key: hashes ascending
+    pk, h = pk[order], h[order]
+    starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+    bounds = np.r_[starts, len(pk)]
+    out_b = [h[s:min(s + k, e)].tobytes()
+             for s, e in zip(bounds[:-1], bounds[1:])]
+    return pa.table({key_col: pa.array([uk[pk[s]] for s in starts]),
                      "kmv": pa.array(out_b, pa.binary())})
 
 

@@ -61,8 +61,41 @@ def hybrid_routed_extract(sf_dir: str):
     backend stand-in on backend-routed pages → trustStream reconcile.
     Not SQL-expressible (extraction + similarity gate) — rows-only driver
     check; the route/fallback/merge semantics are pytest-pinned
-    (tests/test_hybrid.py, mirroring TriageProcessorTest)."""
-    return hybrid_extract(_doc_pages(sf_dir))
+    (tests/test_hybrid.py, mirroring TriageProcessorTest).
+
+    So the rows-only gate means something, the query asserts its own
+    invariants (round-2 verdict item #9): per batch, sim ∈ [0, 1] and
+    source ∈ {local, backend} with non-null text; globally, the reconciled
+    source counts must be consistent with the triage tally (every page
+    appears exactly once; only backend-ROUTED pages can come back
+    backend-SOURCED — the reconcile gate may still prefer local for them)."""
+    import numpy as np
+
+    pages = _doc_pages(sf_dir)
+
+    def check(t: pa.Table) -> pa.Table:
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        assert ((sim >= 0.0) & (sim <= 1.0)).all(), "sim outside [0,1]"
+        src = set(t["source"].to_pylist())
+        assert src <= {"local", "backend"}, f"unknown source {src}"
+        assert t["text"].null_count == 0, "null reconciled text"
+        return t
+
+    out = (hybrid_extract(pages)
+           .map_batches(check, batch_format="pyarrow")
+           .materialize())
+
+    tally = {r["route"]: r["n"] for r in triage_tally(pages).take_all()}
+    srcs = {r["source"]: r["count()"] for r in
+            out.groupby("source").count().take_all()}
+    n_total, n_backend_src = sum(srcs.values()), srcs.get("backend", 0)
+    assert n_total == sum(tally.values()), \
+        f"reconciled rows {n_total} != routed pages {sum(tally.values())}"
+    assert n_backend_src <= tally.get("backend", 0), \
+        (f"{n_backend_src} backend-sourced rows exceed "
+         f"{tally.get('backend', 0)} backend-routed pages")
+    assert np.all([v >= 0 for v in tally.values()])
+    return out
 
 
 def hybrid_triage_tally(sf_dir: str):

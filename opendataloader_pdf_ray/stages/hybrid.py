@@ -26,9 +26,7 @@ two actor pools, reconcile shuffle — is the real, tested surface.
 
 from __future__ import annotations
 
-import hashlib
-import re
-from typing import List, Optional
+from typing import Optional
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,78 +34,45 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import ExtractorConfig
-from ..extractor import ContentSanitizer, extract
 from ..functions.reconcile import reconcile_variants
 from ..pipelines.common import stage_concurrency
+from .backend_client import make_client
 from .extract_stage import HtmlExtractor
 from .triage import ROUTE_BACKEND, TriageRouter
 
 
-def _stable_h(s: str) -> int:
-    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
-
-
-# enrichment-entity extraction patterns (model stand-in reads the raw page)
-_FORMULA_RE = re.compile(r"\$\$(.+?)\$\$", re.S)
-_IMG_ALT_RE = re.compile(r'<img[^>]*\balt="([^"]*)"')
-_FOOTNOTE_RE = re.compile(r'<p class="footnote">(.*?)</p>', re.S)
-
-
 class BackendStub:
-    """Model-backend client stand-in (``core/hybrid/DoclingFastServerClient``
+    """Model-backend inference actor (``core/hybrid/DoclingFastServerClient``
     analog): per-actor state built once (__init__ = the singleton model load
-    the reference measured 3.3× faster than per-request), per-batch inference
-    in __call__. Output mirrors the backend surface: text + ``ai_score`` +
-    ``source_label`` enrichment (``core/hybrid/ElementMetadata.java``).
+    / connection the reference measured 3.3× faster than per-request),
+    per-batch inference in __call__. Output mirrors the backend surface:
+    text + ``ai_score`` + ``source_label`` enrichment
+    (``core/hybrid/ElementMetadata.java``).
 
-    Deterministic degradation: records whose url-hash % ``degrade_every`` == 0
-    get word-scrambled text (the OCR-noise case) so trustStream's
-    dissimilar→backend branch is exercised; everything else matches the local
-    stream closely (similar→local branch)."""
+    Transport is PLUGGABLE (round-2 verdict item #6): ``client_spec=None``
+    builds the deterministic in-process stand-in
+    (``backend_client.StubBackendClient``, word-scramble degradation so the
+    reconcile gate exercises both branches); an ``http://...`` spec builds
+    the real chunked/timeout/persistent-connection HTTP client
+    (``backend_client.HttpBackendClient`` — ``HybridClient.java:435``
+    semantics); tests inject fakes directly."""
 
     def __init__(self, cfg: Optional[ExtractorConfig] = None,
-                 degrade_every: int = 7, enrich: bool = False):
+                 degrade_every: int = 7, enrich: bool = False,
+                 client_spec=None):
         self.cfg = cfg or ExtractorConfig()
-        self.sanitizer = ContentSanitizer(self.cfg.sanitization_rules)
-        self.degrade_every = degrade_every
         self.enrich = enrich
+        self.client = make_client(client_spec, self.cfg,
+                                  degrade_every=degrade_every)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts: List[Optional[str]] = []
-        scores: List[float] = []
-        ents: List[dict] = []
-        for url, html in zip(batch["url"].to_pylist(), batch["html"]):
-            payload = html.as_py()
-            if payload is None:
-                texts.append(None)
-                scores.append(0.0)
-                if self.enrich:
-                    ents.append({"formulas": [], "pictures": [], "footnotes": []})
-                continue
-            r = extract(payload, self.cfg, sanitizer=self.sanitizer)
-            text = r.text
-            h = _stable_h(url)
-            if self.degrade_every and h % self.degrade_every == 0:
-                text = " ".join(reversed(text.split()))  # OCR-ish scramble
-            texts.append(text)
-            scores.append(round(0.85 + (h % 10) / 100.0, 2))
-            if self.enrich:
-                page = payload.decode("utf-8", errors="replace")
-                ents.append({
-                    # SemanticFormula.getLatex() analog — LaTeX spans the
-                    # "model" reads off the page
-                    "formulas": _FORMULA_RE.findall(page),
-                    # SemanticPicture index + description (alt-text-derived
-                    # stand-in for the vision model's caption)
-                    "pictures": [f"figure[{i}]: {alt}" for i, alt in
-                                 enumerate(_IMG_ALT_RE.findall(page))],
-                    # SemanticFootnote (FENote) paragraphs
-                    "footnotes": _FOOTNOTE_RE.findall(page),
-                })
+        urls = batch["url"].to_pylist()
+        htmls = [h.as_py() for h in batch["html"]]
+        recs = self.client.extract_pages(urls, htmls, enrich=self.enrich)
         out = pa.table({
             "url": batch["url"],
-            "text": pa.array(texts, pa.string()),
-            "ai_score": pa.array(scores, pa.float64()),
+            "text": pa.array([r["text"] for r in recs], pa.string()),
+            "ai_score": pa.array([r["ai_score"] for r in recs], pa.float64()),
             "source_label": pa.array(["backend"] * batch.num_rows, pa.string()),
         })
         if self.enrich:
@@ -115,9 +80,11 @@ class BackendStub:
                              ("picture_desc", "pictures"),
                              ("footnote_text", "footnotes")):
                 out = out.append_column(
-                    "n_" + key, pa.array([len(e[key]) for e in ents], pa.int64()))
+                    "n_" + key,
+                    pa.array([len(r[key]) for r in recs], pa.int64()))
                 out = out.append_column(
-                    col, pa.array(["|".join(e[key]) for e in ents], pa.string()))
+                    col, pa.array(["|".join(r[key]) for r in recs],
+                                  pa.string()))
         return out
 
 
@@ -152,13 +119,18 @@ def hybrid_extract(ds: "ray.data.Dataset",
                    fallback: bool = True,
                    trust_threshold: float = 0.5,
                    degrade_every: int = 7,
-                   concurrency: Optional[int] = None) -> "ray.data.Dataset":
+                   concurrency: Optional[int] = None,
+                   client_spec=None) -> "ray.data.Dataset":
     """Route → two-path extract → trustStream reconcile over a dataset with
     (url: string, html: binary) columns. Returns (url, text, source, sim).
 
-    ``backend_healthy=False`` simulates a failed health check: with
-    ``fallback`` the whole stream takes the local path (reference
-    ``--hybrid-fallback``); without it the pipeline fails fast.
+    ``client_spec`` selects the backend transport (None → in-process
+    stand-in, ``"http://host:port"`` → real HTTP client); when given, the
+    phase-0 health probe runs against it ONCE on the driver
+    (``HybridDocumentProcessor.java:256-268``) and ANDs into
+    ``backend_healthy``. ``backend_healthy=False`` simulates a failed
+    health check: with ``fallback`` the whole stream takes the local path
+    (reference ``--hybrid-fallback``); without it the pipeline fails fast.
 
     Topology notes (single-node honesty, same pathology as ingest.py): the
     fused route+extract pool runs at fractional num_cpus and the intermediate
@@ -167,6 +139,9 @@ def hybrid_extract(ds: "ray.data.Dataset",
     avoids the pool+AllToAll CPU-reservation deadlock."""
     cfg = cfg or ExtractorConfig()
     conc = concurrency or stage_concurrency()
+
+    if client_spec is not None and backend_healthy:
+        backend_healthy = make_client(client_spec, cfg).health()
 
     if not backend_healthy and not fallback:
         raise RuntimeError(
@@ -204,7 +179,8 @@ def hybrid_extract(ds: "ray.data.Dataset",
         batch_format="pyarrow")
     backend_out = backend_in.map_batches(
         BackendStub,
-        fn_constructor_kwargs={"cfg": cfg, "degrade_every": degrade_every},
+        fn_constructor_kwargs={"cfg": cfg, "degrade_every": degrade_every,
+                               "client_spec": client_spec},
         batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
     ).map_batches(lambda t: t.select(["url", "text"]),
                   batch_format="pyarrow").materialize()
@@ -215,7 +191,8 @@ def hybrid_extract(ds: "ray.data.Dataset",
 
 def enriched_entities(ds: "ray.data.Dataset",
                       cfg: Optional[ExtractorConfig] = None,
-                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+                      concurrency: Optional[int] = None,
+                      client_spec=None) -> "ray.data.Dataset":
     """Per-page enrichment-entity table from the backend path: formulas
     (LaTeX), picture descriptions, footnotes — the ``core/entities/``
     SemanticFormula / SemanticPicture / SemanticFootnote analog keyed by url
@@ -234,7 +211,8 @@ def enriched_entities(ds: "ray.data.Dataset",
         lambda t: t.filter(pc.equal(t["route"], pa.scalar(ROUTE_BACKEND))),
         batch_format="pyarrow")
     return backend_in.map_batches(
-        BackendStub, fn_constructor_kwargs={"cfg": cfg, "enrich": True},
+        BackendStub, fn_constructor_kwargs={"cfg": cfg, "enrich": True,
+                                            "client_spec": client_spec},
         batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
     ).map_batches(
         lambda t: t.select(["url", "n_formulas", "formula_latex",

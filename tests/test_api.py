@@ -102,6 +102,29 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="imaging library"):
             dec(pa.table({"image": pa.array([b"x"], pa.binary())}))
 
+    def test_image_decoder_pil_import_gate(self):
+        """mode='pil' either imports Pillow in __init__ (once per actor) or
+        raises NotImplementedError at construction — never mid-batch."""
+        try:
+            import PIL  # noqa: F401
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        if not have_pil:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                ImageDecoder(mode="pil")
+            return
+        # real path (runs only where Pillow is installed): a 1x1 PNG
+        import base64
+        png = base64.b64decode(
+            b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4"
+            b"nGNgYGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC")
+        out = ImageDecoder(mode="pil")(
+            pa.table({"image": pa.array([png], pa.binary())}))
+        assert out["width"].to_pylist() == [1]
+        assert out["height"].to_pylist() == [1]
+        assert out["format"].to_pylist() == ["png"]
+
     def test_featurizer_fixed_dim(self):
         f = ImageFeaturizer(dim=32)
         out = f(pa.table({"image": pa.array([b"payload-a", b"payload-b"], pa.binary())}))

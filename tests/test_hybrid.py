@@ -189,3 +189,123 @@ class TestStructTreePrecedence:
         pages = _pages([("https://h.example/t3", b"<p>plain only</p>")])
         hybrid_extract(pages, backend_healthy=True).take_all()
         assert "suppresses the backend" not in capfd.readouterr().err
+
+
+# --------------------------------------------------------------- HTTP client
+
+
+@pytest.fixture(scope="module")
+def backend_server():
+    """Local http.server stand-in for the model backend: /health + /extract
+    implementing the wire format of ``backend_client.HttpBackendClient``,
+    with the deterministic StubBackendClient doing the server-side work (so
+    the HTTP path's results are comparable bit-for-bit with the in-process
+    path). Records per-request page counts for the chunking assertion."""
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from opendataloader_pdf_ray.stages.backend_client import StubBackendClient
+
+    stub = StubBackendClient(degrade_every=0)
+    page_counts = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                body = b'{"status": "ok"}'
+                self.send_response(200)
+            else:
+                body = b'{}'
+                self.send_response(404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            req = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            pages = req["pages"]
+            page_counts.append(len(pages))
+            urls = [p["url"] for p in pages]
+            htmls = [None if p["html"] is None
+                     else base64.b64decode(p["html"]) for p in pages]
+            recs = stub.extract_pages(urls, htmls, enrich=req["enrich"])
+            body = json.dumps({"results": recs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield {"url": f"http://127.0.0.1:{srv.server_address[1]}",
+               "page_counts": page_counts}
+    finally:
+        srv.shutdown()
+        thread.join(timeout=5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHttpBackendClient:
+    def test_http_path_matches_stub(self, backend_server):
+        """The full routed pipeline over the HTTP transport returns exactly
+        what the in-process stand-in returns (the server runs the same
+        deterministic extractor)."""
+        rows = [
+            (f"https://h.example/{i}",
+             (f"<p>plain body {i} words here</p>" if i % 2 else
+              f"<table><tr><td>k{i}</td><td>v{i}</td></tr></table>").encode())
+            for i in range(8)
+        ]
+        via_stub = {r["url"]: r for r in
+                    hybrid_extract(_pages(rows), degrade_every=0).take_all()}
+        via_http = {r["url"]: r for r in
+                    hybrid_extract(_pages(rows), degrade_every=0,
+                                   client_spec=backend_server["url"]
+                                   ).take_all()}
+        assert via_http == via_stub
+
+    def test_chunking_and_equality(self, backend_server):
+        from opendataloader_pdf_ray.stages.backend_client import (
+            HttpBackendClient, StubBackendClient)
+
+        cl = HttpBackendClient(backend_server["url"], chunk_size=3)
+        urls = [f"https://c.example/{i}" for i in range(10)]
+        htmls = [f"<p>body {i} $$x_{i}$$</p>".encode() for i in range(10)]
+        backend_server["page_counts"].clear()
+        got = cl.extract_pages(urls, htmls, enrich=True)
+        assert backend_server["page_counts"] == [3, 3, 3, 1]
+        want = StubBackendClient(degrade_every=0).extract_pages(
+            urls, htmls, enrich=True)
+        assert got == want
+
+    def test_health_probe(self, backend_server):
+        from opendataloader_pdf_ray.stages.backend_client import (
+            HttpBackendClient)
+
+        assert HttpBackendClient(backend_server["url"]).health() is True
+        # connection refused → False, never raises (phase-0 contract)
+        assert HttpBackendClient("http://127.0.0.1:1",
+                                 timeout=1.0).health() is False
+
+    def test_unreachable_backend_falls_back_local(self):
+        rows = [("https://h.example/a",
+                 b"<table><tr><td>x</td></tr></table>")]
+        out = hybrid_extract(_pages(rows), fallback=True,
+                             client_spec="http://127.0.0.1:1").take_all()
+        assert all(r["source"] == "local" and r["sim"] == 1.0 for r in out)
+
+    def test_rejects_non_http_url(self):
+        from opendataloader_pdf_ray.stages.backend_client import (
+            HttpBackendClient)
+
+        with pytest.raises(ValueError, match="http://"):
+            HttpBackendClient("ftp://example.com")

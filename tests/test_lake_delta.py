@@ -174,3 +174,64 @@ class TestFsck:
         rep = lake.verify(deep=True)
         assert not rep["ok"]
         assert any("unreadable" in i for i in rep["issues"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLakeMetadata:
+    """ADVICE r2: num_partitions persists in lake metadata at creation and
+    wins over CLI defaults, so compact/fsck/view never audit a prefix of
+    the lake; compact snapshots publish atomically (temp + rename)."""
+
+    def test_partitions_persisted_and_authoritative(self, events_path,
+                                                    tmp_path, capfd):
+        root = str(tmp_path / "lake")
+        lake = Lake(root, CFG.num_partitions)
+        ingest_epoch(events_path, lake, 0, CFG)
+        # reopen without a count: metadata decides
+        assert Lake(root).num_partitions == CFG.num_partitions
+        # reopen with a WRONG count: metadata wins, caller is warned
+        reopened = Lake(root, 32)
+        assert reopened.num_partitions == CFG.num_partitions
+        assert "lake metadata says" in capfd.readouterr().err
+        # fsck over the reopened lake audits every partition
+        assert reopened.verify(deep=True)["ok"]
+
+    def test_pre_metadata_lake_derives_from_part_dirs(self, events_path,
+                                                      tmp_path):
+        import os
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, CFG.num_partitions)
+        ingest_epoch(events_path, lake, 0, CFG)
+        os.remove(os.path.join(root, "_commits", "lake.json"))
+        assert Lake(root).num_partitions == CFG.num_partitions
+
+    def test_open_missing_lake_without_partitions_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="no metadata"):
+            Lake(str(tmp_path / "nothing"))
+
+    def test_compact_atomic_and_vacuum_sweeps_tmp(self, events_path,
+                                                  tmp_path):
+        import os
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        before = lake.read_state(include_tombstones=True)
+        lake.compact()
+        # no staging residue after a clean compact
+        for part in range(CFG.num_partitions):
+            d = os.path.join(root, f"part={part:04d}")
+            assert not [f for f in os.listdir(d) if ".tmp-" in f]
+        # a crashed writer's stale staging file is invisible to readers and
+        # reclaimed by vacuum
+        stale = os.path.join(root, "part=0000",
+                             "epoch=000099.parquet.tmp-dead")
+        with open(stale, "wb") as f:
+            f.write(b"partial parquet bytes")
+        assert lake.read_state(include_tombstones=True).equals(before)
+        assert lake.verify(deep=True)["ok"]
+        lake.vacuum()
+        assert not os.path.exists(stale)
+        assert lake.read_state(include_tombstones=True).equals(before)
