@@ -454,7 +454,7 @@ ham AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
         FROM sigbits x JOIN sigbits y
           ON x.b = y.b AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id)
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham WHERE hamming <= 3
 """
 
 

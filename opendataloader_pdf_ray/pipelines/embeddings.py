@@ -238,8 +238,12 @@ def semantic_dup_cross_source(sf_dir: str):
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     aug = emb.map_batches(_augment_planted, batch_format="pyarrow")
+    # materialize the (tiny) pair set so the LSH actor pool + its shuffles
+    # never share one execution with the enrichment union's sorts — the
+    # fused plan deadlocks at small CPU budgets (CLAUDE.md pool+AllToAll
+    # pitfall; observed hanging mid-sweep at 8 CPUs, fine in isolation)
     pairs = dd.embedding_lsh_dup_pairs(aug, threshold=0.95, dim=64,
-                                       nbits=12, ntables=16)
+                                       nbits=12, ntables=16).materialize()
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
 
     def mirror_docs(batch: pa.Table) -> pa.Table:
