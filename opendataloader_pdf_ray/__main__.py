@@ -43,6 +43,7 @@ def _config_from_args(args):
         pages=args.pages,
         table_method=args.table_method,
         trust_semantic_tags=args.use_semantic_tags,
+        password=args.password,
         keep_line_breaks=not args.collapse_line_breaks,
         detect_strikethrough=args.detect_strikethrough,
         markdown_with_html=args.markdown_with_html,
@@ -217,6 +218,10 @@ def main(argv=None) -> int:
     # option-breadth parity with the reference options.json (round-2)
     conv.add_argument("--pages", default=None,
                       help='page selection, e.g. "1,3,5-7" (default: all)')
+    conv.add_argument("--password", default=None,
+                      help="password for ODLSEAL1-sealed input payloads "
+                           "(reference --password analog); wrong/missing "
+                           "password fails that file, not the run")
     conv.add_argument("--content-safety-off", default=None, metavar="WHICH",
                       help="disable safety filters: all | hidden-text | "
                            "out-of-page | tiny-text (comma-separated)")

@@ -82,6 +82,13 @@ class ExtractorConfig:
     # --- page selection (reference --pages "1,3,5-7", Config.java:659-764) ---
     pages: Optional[str] = None              # 1-based list/ranges; None = all
 
+    # --- sealed payloads (reference --password, Config.java:65,150-165) ---
+    # opens ODLSEAL1-enveloped html payloads (sources/sealed.py); a wrong or
+    # missing password raises InvalidPassword — a non-content failure the
+    # CLI's skip-and-continue loop logs per file, mirroring the reference's
+    # InvalidPasswordException handling (DocumentProcessor.java:620-622)
+    password: Optional[str] = None
+
     # --- line breaks (reference --keep-line-breaks) ---
     # True preserves source newlines inside text nodes as line breaks (this
     # engine's historical behavior, pinned by the replay goldens); False

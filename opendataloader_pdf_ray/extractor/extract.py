@@ -66,6 +66,14 @@ def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
             sanitizer: Optional[ContentSanitizer] = None) -> ExtractResult:
     """Single-document extraction. Deterministic: equal input ⇒ byte-equal text."""
     cfg = cfg.normalized()
+    if isinstance(html, bytes):
+        # --password analog: sealed payloads open here (the one choke point
+        # every surface — CLI convert, HtmlExtractor pool, backend stub —
+        # goes through); wrong/missing password raises InvalidPassword
+        from ..sources.sealed import is_sealed, unseal
+
+        if is_sealed(html):
+            html = unseal(html, cfg.password)
     stats = DocStats()
     root = parse_html(html)
 
