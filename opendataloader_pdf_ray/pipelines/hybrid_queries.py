@@ -81,11 +81,13 @@ def hybrid_routed_extract(sf_dir: str):
         assert t["text"].null_count == 0, "null reconciled text"
         return t
 
-    out = (hybrid_extract(pages)
+    # the tally comes off hybrid_extract's own materialized routed
+    # intermediate — a second page-build + routing pass would double the
+    # query's wall time just to audit it
+    tally: dict = {}
+    out = (hybrid_extract(pages, route_counts=tally)
            .map_batches(check, batch_format="pyarrow")
            .materialize())
-
-    tally = {r["route"]: r["n"] for r in triage_tally(pages).take_all()}
     srcs = {r["source"]: r["count()"] for r in
             out.groupby("source").count().take_all()}
     n_total, n_backend_src = sum(srcs.values()), srcs.get("backend", 0)

@@ -120,7 +120,8 @@ def hybrid_extract(ds: "ray.data.Dataset",
                    trust_threshold: float = 0.5,
                    degrade_every: int = 7,
                    concurrency: Optional[int] = None,
-                   client_spec=None) -> "ray.data.Dataset":
+                   client_spec=None,
+                   route_counts: Optional[dict] = None) -> "ray.data.Dataset":
     """Route → two-path extract → trustStream reconcile over a dataset with
     (url: string, html: binary) columns. Returns (url, text, source, sim).
 
@@ -164,6 +165,13 @@ def hybrid_extract(ds: "ray.data.Dataset",
         RouteAndExtract, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow", concurrency=conc, num_cpus=0.5,
     ).materialize()
+
+    if route_counts is not None:
+        # caller wants the routing tally (invariant checks): counting on the
+        # already-materialized intermediate is ~free, vs re-running the page
+        # build + router a second time
+        for r in combined.groupby("route").count().take_all():
+            route_counts[r["route"]] = r["count()"]
 
     local_all = combined.map_batches(lambda t: t.select(["url", "text"]),
                                      batch_format="pyarrow")
