@@ -44,6 +44,7 @@ _GATE_TAIL = [
     "events_user_running_total",  # window — events_sliding_window covers
     "doc_split_stats",         # hash split — quota/weighted sample cover
     "doc_passage_chunks",      # explode — doc_passage_dedup covers
+    "union_key_counts",        # union — exercised inside dedup_minhash_clusters
 ]
 
 

@@ -186,6 +186,78 @@ def events_sliding_window(sf_dir: str):
             .sort(["event_type", "epoch_day"]))
 
 
+def events_range_join(sf_dir: str, n_windows: int = 10, span_days: int = 7,
+                      stride_days: int = 3):
+    """RANGE JOIN with OVERLAPPING intervals — the custom-join family member
+    Ray Data has no primitive for (as-of = ``cdc_asof_enrich``; this is the
+    interval case): each event joins EVERY analysis window whose
+    [lo_day, hi_day) span contains its day, so one event lands in up to
+    ⌈span/stride⌉ windows. Implementation is the broadcast range join: the
+    window table is tiny (deterministic literals off the corpus min-day
+    anchor — one cheap ``min`` aggregate), so membership is a vectorized
+    per-batch mask per window with partial (win, n, Σ) rows; the shuffle
+    carries ≤ n_windows rows per batch. Big-big interval joins would use the
+    repo's bucketed co-partition pattern on quantized day buckets instead —
+    documented partitioning assumption, same as ``pairjoin``."""
+    import numpy as np
+
+    from .common import round_half_away, to_scaled_int64
+
+    ds = _events(sf_dir, columns=["ts", "value"])
+    import pandas as pd
+
+    # window anchor: corpus min day — ONE scalar aggregate (epoch_us, like
+    # the SQL's base CTE)
+    base_day = (pd.Timestamp(ds.min("ts")).value // 1_000) // 86_400_000_000
+    los = np.array([base_day + stride_days * i for i in range(n_windows)],
+                   dtype=np.int64)
+    his = los + span_days
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // 86_400_000_000).astype(np.int64)
+        v = to_scaled_int64(batch["value"].to_numpy(zero_copy_only=False), 2)
+        wid, n, vi = [], [], []
+        for i in range(n_windows):
+            m = (day >= los[i]) & (day < his[i])
+            c = int(m.sum())
+            if c:
+                wid.append(i)
+                n.append(c)
+                vi.append(int(v[m].sum()))
+        return pa.table({"win_id": pa.array(wid, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "v_i": pa.array(vi, pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("win_id")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("v_i", alias_name="v_i")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sv = t["v_i"].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table({"win_id": t["win_id"], "n": t["n"],
+                         "sum_value": pa.array(round_half_away(sv, 2))})
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("win_id")
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH base AS (
+    SELECT CAST(floor(epoch_us(min(ts)) / 86400000000) AS BIGINT) AS b
+    FROM events),
+w AS (SELECT CAST(i AS BIGINT) AS win_id,
+             b + 3 * i AS lo_day, b + 3 * i + 7 AS hi_day
+      FROM base, (SELECT unnest(range(0, 10)) AS i)),
+e AS (SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(round(value * 100) AS BIGINT) AS v_i
+      FROM events)
+SELECT win_id, count(*) AS n, round(sum(v_i) / 100.0, 2) AS sum_value
+FROM e JOIN w ON e.d >= w.lo_day AND e.d < w.hi_day
+GROUP BY win_id ORDER BY win_id
+"""
+
+
 EVENTS_SLIDING_WINDOW_SQL = """
 WITH daily AS (
     SELECT event_type,
@@ -755,6 +827,7 @@ CDC_QUERIES = {
     "cdc_op_stats": cdc_op_stats,
     "cdc_epoch_windows": cdc_epoch_windows,
     "events_sliding_window": events_sliding_window,
+    "events_range_join": events_range_join,
     "events_props_stats": events_props_stats,
     "cdc_diff_epochs": cdc_diff_epochs,
     "events_distinct_users_kmv": events_distinct_users_kmv,
@@ -801,6 +874,7 @@ CDC_ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "events_sliding_window": EVENTS_SLIDING_WINDOW_SQL,
+    "events_range_join": EVENTS_RANGE_JOIN_SQL,
     "events_props_stats": EVENTS_PROPS_STATS_SQL,
     "cdc_diff_epochs": CDC_DIFF_EPOCHS_SQL,
     "events_distinct_users_kmv": EVENTS_DISTINCT_KMV_SQL,
