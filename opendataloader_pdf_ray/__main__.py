@@ -192,6 +192,33 @@ def cmd_fsck(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_export(args) -> int:
+    """Stream lake state (distributed merge-on-read, works on delta-mode
+    lakes) to a partitioned parquet directory — one file per lake
+    partition, so a re-run can skip finished partitions."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    ds = lake.read_dataset(as_of=args.as_of,
+                           include_tombstones=args.tombstones).materialize()
+    n = ds.count()
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": n, "out": args.out,
+                      "partitions": lake.num_partitions}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -286,6 +313,17 @@ def main(argv=None) -> int:
                     help="override; the lake's persisted metadata wins")
     fs.add_argument("--deep", action="store_true")
     fs.set_defaults(fn=cmd_fsck)
+
+    ex = sub.add_parser("export",
+                        help="stream lake state to partitioned parquet "
+                             "(distributed merge-on-read; no compact needed)")
+    ex.add_argument("lake")
+    ex.add_argument("out")
+    ex.add_argument("--partitions", type=int, default=None,
+                    help="override; the lake's persisted metadata wins")
+    ex.add_argument("--as-of", type=int, default=None, dest="as_of")
+    ex.add_argument("--tombstones", action="store_true")
+    ex.set_defaults(fn=cmd_export)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

@@ -228,12 +228,66 @@ class Lake:
                 base = merge_base_with_updates(base, delta)
         return base
 
+    def read_dataset(self, as_of: Optional[int] = None,
+                     include_tombstones: bool = False) -> "object":
+        """Whole-lake state as a STREAMING ``ray.data.Dataset`` — the
+        100-TB read path, and unlike :meth:`partition_files` it works on
+        delta-mode (un-compacted) lakes: one task per partition performs the
+        merge-on-read fold for ITS partition (memory bounded by partition
+        size, the lake's unit of parallelism), so nothing lake-sized ever
+        touches the driver. Schema evolution is handled scale-right: the
+        driver unifies only parquet FOOTER schemas across partitions (bytes,
+        not data) and every task null-backfills to that target schema, so
+        the Dataset has one consistent schema."""
+        import ray.data as _rd
+
+        # driver-side: footers only
+        target: Optional[pa.Schema] = None
+        live_parts: List[int] = []
+        for part in range(self.num_partitions):
+            epochs = self.committed_epochs(part)
+            if as_of is not None:
+                epochs = [e for e in epochs if e <= as_of]
+            has_any = False
+            for e in epochs:
+                for path in (self._data_path(part, e),
+                             self._delta_path(part, e)):
+                    if self.fs.exists(path):
+                        has_any = True
+                        sch = pq.read_schema(path, filesystem=self.fs)
+                        target = sch if target is None \
+                            else unified_schema(target, sch)
+            if has_any:
+                live_parts.append(part)
+        if target is None:
+            return _rd.from_items([])
+        root, n_parts = self.root, self.num_partitions
+
+        def load(batch: pa.Table) -> pa.Table:
+            out = []
+            for part in batch["part"].to_pylist():
+                t = Lake(root, n_parts).read_partition(int(part), as_of)
+                if t is None or t.num_rows == 0:
+                    continue
+                t = unify_to_schema(t, target)
+                out.append(t if include_tombstones else live_view(t))
+            if not out:
+                return target.empty_table()
+            return pa.concat_tables(out)
+
+        parts_ds = _rd.from_items([{"part": p} for p in live_parts])
+        # batch_size=1 → one merge-on-read task per partition
+        return parts_ds.map_batches(load, batch_format="pyarrow",
+                                    batch_size=1)
+
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
         """Latest committed (and still-present) snapshot file per partition —
         the input list for a ``ray.data.read_parquet`` over current state
         (pass ``filesystem=lake.fs`` for non-local roots). Raises if a
         partition's current state lives in un-compacted deltas: a silent
-        stale read is worse than an explicit "compact() first"."""
+        stale read is worse than an explicit "compact() first". For
+        delta-mode lakes use :meth:`read_dataset` (distributed
+        merge-on-read, no compact required)."""
         files = []
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)

@@ -96,3 +96,35 @@ class TestViewFsckCLI:
                      "--deep"]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["ok"] and rep["commits"] > 0
+
+
+class TestExportCLI:
+    def test_export_delta_lake_without_compact(self, tmp_path, capsys,
+                                               ray_session):
+        """export streams a DELTA-mode (un-compacted) lake via the
+        distributed merge-on-read reader and writes partitioned parquet
+        equal to read_state's live view."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = tmp_path / "events.parquet"
+        pq.write_table(gen_events(120, 30, seed=42), str(events))
+        lake_dir = tmp_path / "lake"
+        assert main(["ingest", str(events), str(lake_dir), "--epoch-size",
+                     "60", "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta"]) == 0
+        capsys.readouterr()
+
+        out_dir = tmp_path / "export"
+        assert main(["export", str(lake_dir), str(out_dir)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        lake = Lake(str(lake_dir))
+        want = lake.read_state()  # live view
+        got = pads.dataset(str(out_dir), format="parquet").to_table()
+        assert rep["rows"] == want.num_rows == got.num_rows
+        assert sorted(got.column_names) == sorted(want.column_names)
+        assert sorted(got["url"].to_pylist()) == sorted(want["url"].to_pylist())

@@ -235,3 +235,51 @@ class TestLakeMetadata:
         lake.vacuum()
         assert not os.path.exists(stale)
         assert lake.read_state(include_tombstones=True).equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadDataset:
+    """Distributed merge-on-read: Lake.read_dataset streams one fold task
+    per partition and must equal the driver-side read_state on delta-mode
+    (un-compacted) lakes, at any as_of, both tombstone modes."""
+
+    def _lake(self, events_path, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, CFG)
+        return lake
+
+    @staticmethod
+    def _canon(t):
+        if hasattr(t, "iter_batches"):  # Dataset → arrow (Ray's to_pandas
+            # mangles the blocks list<struct> column via TensorArray)
+            batches = list(t.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
+            t = pa.concat_tables(batches) if batches else pa.table({})
+        df = t.to_pandas()
+        return df.sort_values("url").reset_index(drop=True)[sorted(df.columns)]
+
+    def test_equals_read_state_uncompacted(self, events_path, tmp_path):
+        import pandas as pd
+
+        lake = self._lake(events_path, tmp_path)
+        with pytest.raises(ValueError, match="compact"):
+            lake.partition_files()  # delta-only: snapshot path refuses
+        for tomb in (False, True):
+            want = self._canon(lake.read_state(include_tombstones=tomb))
+            got = self._canon(
+                lake.read_dataset(include_tombstones=tomb))
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_as_of_time_travel(self, events_path, tmp_path):
+        import pandas as pd
+
+        lake = self._lake(events_path, tmp_path)
+        want = self._canon(lake.read_state(as_of=1, include_tombstones=True))
+        got = self._canon(
+            lake.read_dataset(as_of=1, include_tombstones=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_empty_lake(self, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        assert lake.read_dataset().take_all() == []
