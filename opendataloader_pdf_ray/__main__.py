@@ -157,7 +157,13 @@ def cmd_ingest(args) -> int:
     cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size,
                     epoch_commits=args.commit_mode,
                     extract_concurrency=max(1, min(8, cpus - 1)))
-    lineage = replay(args.events, args.lake, cfg, mode=args.mode)
+    if args.mode == "follow":
+        from .cdc.ingest import follow
+
+        lineage = follow(args.events, args.lake, cfg,
+                         poll_interval=args.poll_interval)
+    else:
+        lineage = replay(args.events, args.lake, cfg, mode=args.mode)
     lake = Lake(args.lake, cfg.num_partitions)
     state = lake.read_state()
     print(json.dumps({
@@ -288,7 +294,14 @@ def main(argv=None) -> int:
     ing.add_argument("lake")
     ing.add_argument("--epoch-size", type=int, default=10_000)
     ing.add_argument("--partitions", type=int, default=32)
-    ing.add_argument("--mode", default="backlog", choices=["backlog", "epoch"])
+    ing.add_argument("--mode", default="backlog",
+                     choices=["backlog", "epoch", "follow"],
+                     help="backlog: all pending epochs in one pipeline; "
+                          "epoch: one pipeline per epoch; follow: TAIL the "
+                          "segment dir, ingesting epochs as they complete "
+                          "(stops when <events>/.end appears)")
+    ing.add_argument("--poll-interval", type=float, default=0.5,
+                     dest="poll_interval")
     ing.add_argument("--commit-mode", default="snapshot",
                      choices=["snapshot", "delta"],
                      help="epoch-mode commits: full CoW snapshots or "

@@ -297,9 +297,11 @@ def num_epochs_in(events_path: str, epoch_size: int) -> int:
     return max_seq // epoch_size + 1
 
 
-def ingest_epoch(events_path: str, lake: Lake, epoch: int, cfg: CDCConfig,
+def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
                  override_parallelism: Optional[int] = None) -> List[dict]:
-    """Run one epoch's micro-batch pipeline; returns lineage dicts."""
+    """Run one epoch's micro-batch pipeline; returns lineage dicts.
+    ``events_path``: a file/dir path or an explicit list of segment files
+    (``follow`` passes the readable set so in-flight segments stay out)."""
     lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
     ds = ray.data.read_parquet(
         events_path, filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi)
@@ -429,3 +431,88 @@ def replay(events_path: str, lake_root: str, cfg: Optional[CDCConfig] = None,
             lineage.extend(ingest_epoch(events_path, lake, epoch, cfg))
             lake.mark_epoch_done(epoch)
     return lineage
+
+
+def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
+    """(max_seq, n_rows, readable segment paths) of a (possibly still-
+    growing) binlog segment dir, from parquet FOOTERS only. A segment
+    mid-write has no valid footer yet — it is skipped this poll (and kept
+    out of the ingest read set) and picked up on the next one."""
+    import pyarrow.dataset as pads
+
+    try:
+        dset = pads.dataset(events_dir, format="parquet")
+    except FileNotFoundError:
+        return -1, 0, []
+    max_seq, n_rows = -1, 0
+    paths: List[str] = []
+    for frag in dset.get_fragments():
+        try:
+            meta = frag.metadata
+        except Exception:
+            continue  # half-written segment: footer not durable yet
+        n_rows += meta.num_rows
+        paths.append(frag.path)
+        seq_idx = {meta.schema.column(i).name: i
+                   for i in range(meta.num_columns)}["seq"]
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(seq_idx).statistics
+            if stats is not None and stats.has_min_max:
+                max_seq = max(max_seq, stats.max)
+    return max_seq, n_rows, sorted(paths)
+
+
+def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
+           poll_interval: float = 0.5, stop_marker: str = ".end",
+           max_idle_polls: Optional[int] = None) -> List[dict]:
+    """TAIL a growing binlog segment directory — the streaming half of the
+    north rule ("tails a binlog/WAL stream"), built entirely on the existing
+    exactly-once machinery: each poll reads only parquet footers, ingests
+    every epoch that has become COMPLETE since the last poll, and marks it
+    done; a restart (crash, redeploy) resumes from the commit log with
+    epoch-done markers skipped outright and partially-committed epochs
+    re-run idempotently.
+
+    Epoch completeness is footer-derived and hole-proof: seqs are dense from
+    0 (a binlog offset), so epoch e is complete iff ``n_rows >= (e+1)·size``
+    AND ``max_seq + 1 == n_rows`` (density — an out-of-order segment arrival
+    cannot fake completeness). The final partial epoch is ingested only when
+    the producer has placed the ``stop_marker`` file in the directory.
+    Arrival timing affects only WHEN an epoch commits, never the final
+    state (epoch membership is seq arithmetic) — the determinism invariant.
+
+    ``max_idle_polls`` bounds the wait for tests / batch drains: return
+    after that many consecutive polls with no progress and no stop marker.
+    """
+    import os as _os
+    import time as _time
+
+    cfg = cfg or CDCConfig()
+    lake = Lake(lake_root, cfg.num_partitions)
+    lineage: List[dict] = []
+    idle = 0
+    while True:
+        max_seq, n_rows, paths = _log_extent(events_dir)
+        stopping = _os.path.exists(_os.path.join(events_dir, stop_marker))
+        dense = max_seq + 1 == n_rows
+        epochs: List[int] = []
+        if max_seq >= 0 and dense:
+            n_complete = (max_seq + 1) // cfg.epoch_size
+            epochs = list(range(n_complete))
+            if stopping and (max_seq + 1) % cfg.epoch_size:
+                epochs.append(n_complete)  # final partial epoch
+        progressed = False
+        for e in epochs:
+            if lake.is_epoch_done(e):
+                continue
+            # pass the readable-segment list, not the dir: a producer's
+            # in-flight (footer-less) file must not enter the read set
+            lineage.extend(ingest_epoch(paths, lake, e, cfg))
+            lake.mark_epoch_done(e)
+            progressed = True
+        if stopping and all(lake.is_epoch_done(e) for e in epochs):
+            return lineage
+        idle = 0 if progressed else idle + 1
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            return lineage
+        _time.sleep(poll_interval)

@@ -196,3 +196,83 @@ class TestReplay:
         replay(events_path, unsalted.root, unsalted_cfg)
         assert (salted.read_state(include_tombstones=True).to_pylist()
                 == unsalted.read_state(include_tombstones=True).to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowTail:
+    """ingest --mode follow: tail a GROWING binlog segment dir, ingesting
+    epochs as they complete, exactly-once across restarts (north rule:
+    'tails a binlog/WAL stream')."""
+
+    CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                    extract_batch_size=16, extract_concurrency=2)
+
+    def _write_segments(self, table, out_dir, lo, hi, shard=30):
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        part = table.filter((pc.field("seq") >= lo) & (pc.field("seq") < hi))
+        for s in range(lo, hi, shard):
+            chunk = part.filter((pc.field("seq") >= s)
+                                & (pc.field("seq") < s + shard))
+            if chunk.num_rows:
+                pq.write_table(chunk, f"{out_dir}/seg-{s:06d}.parquet")
+
+    def test_tail_drip_feed_then_resume(self, tmp_path):
+        import os
+
+        from opendataloader_pdf_ray.cdc import Lake, oracle_final_state
+        from opendataloader_pdf_ray.cdc.ingest import follow
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(180, 40, seed=42)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+
+        # phase 1: 1.5 epochs present, no stop marker — only the COMPLETE
+        # epoch 0 may commit; the tail then idles out (test bound)
+        self._write_segments(events, seg_dir, 0, 90)
+        lin1 = follow(seg_dir, lake_root, self.CFG, poll_interval=0.05,
+                      max_idle_polls=2)
+        lake = Lake(lake_root)
+        assert lake.is_epoch_done(0) and not lake.is_epoch_done(1)
+        assert sum(l["events_consumed"] for l in lin1) == 60
+
+        # phase 2 ("restart" after more segments + stop marker): resumes
+        # from the commit log — epoch 0 is skipped outright, 1 and the
+        # final partial epoch 2 commit, and the final state equals the
+        # whole-log oracle
+        self._write_segments(events, seg_dir, 90, 180)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        lin2 = follow(seg_dir, lake_root, self.CFG, poll_interval=0.05)
+        assert sum(l["events_consumed"] for l in lin2) == 120
+        assert lake.is_epoch_done(1) and lake.is_epoch_done(2)
+        oracle = oracle_final_state(events)
+        got = {r["url"]: r for r in
+               lake.read_state(include_tombstones=True).to_pylist()}
+        assert set(got) == set(oracle)
+        for url, want in oracle.items():
+            assert got[url]["text"] == want["text"], url
+
+    def test_half_written_segment_is_waited_out(self, tmp_path):
+        import os
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.cdc.ingest import follow
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(120, 30, seed=7)
+        seg_dir = str(tmp_path / "segs")
+        self._write_segments(events, seg_dir, 0, 60)
+        # a producer mid-write: invalid parquet footer. The density check
+        # (max_seq+1 == n_rows) must hold on the READABLE segments only, so
+        # epoch 0 still commits; nothing crashes.
+        with open(os.path.join(seg_dir, "seg-999999.parquet"), "wb") as f:
+            f.write(b"PAR1 not really a footer")
+        lake_root = str(tmp_path / "lake")
+        follow(seg_dir, lake_root, self.CFG, poll_interval=0.05,
+               max_idle_polls=1)
+        assert Lake(lake_root).is_epoch_done(0)
