@@ -200,8 +200,9 @@ def cmd_fsck(args) -> int:
 
 def cmd_export(args) -> int:
     """Stream lake state (distributed merge-on-read, works on delta-mode
-    lakes) to a partitioned parquet directory — one file per lake
-    partition, so a re-run can skip finished partitions."""
+    lakes) to a parquet directory. The write STREAMS — nothing lake-sized
+    is pinned; the reported row count comes from the written files' footers
+    (metadata only, no second read)."""
     import ray
 
     started_ray = not ray.is_initialized()
@@ -215,9 +216,11 @@ def cmd_export(args) -> int:
 
     lake = Lake(args.lake, args.partitions)
     ds = lake.read_dataset(as_of=args.as_of,
-                           include_tombstones=args.tombstones).materialize()
-    n = ds.count()
+                           include_tombstones=args.tombstones)
     ds.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet").count_rows()
     print(json.dumps({"rows": n, "out": args.out,
                       "partitions": lake.num_partitions}))
     if started_ray:

@@ -440,13 +440,17 @@ def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
     out of the ingest read set) and picked up on the next one."""
     import pyarrow.dataset as pads
 
-    try:
-        dset = pads.dataset(events_dir, format="parquet")
-    except FileNotFoundError:
-        return -1, 0, []
     max_seq, n_rows = -1, 0
     paths: List[str] = []
-    for frag in dset.get_fragments():
+    try:
+        dset = pads.dataset(events_dir, format="parquet")
+        fragments = list(dset.get_fragments())
+    except Exception:
+        # dir missing, or schema inference hit a half-written FIRST segment
+        # (pads.dataset reads the first fragment's footer to infer the
+        # schema) — treat the whole poll as "nothing readable yet" and retry
+        return -1, 0, []
+    for frag in fragments:
         try:
             meta = frag.metadata
         except Exception:
@@ -482,7 +486,11 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     state (epoch membership is seq arithmetic) — the determinism invariant.
 
     ``max_idle_polls`` bounds the wait for tests / batch drains: return
-    after that many consecutive polls with no progress and no stop marker.
+    after that many consecutive polls with no progress — unless the stop
+    marker is present while the log still has a hole (a straggler segment
+    never became readable), which raises instead of reporting a clean drain
+    that silently skipped data. Without ``max_idle_polls`` a post-stop hole
+    keeps the tailer polling (visible to operators), never lying.
     """
     import os as _os
     import time as _time
@@ -492,8 +500,14 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     lineage: List[dict] = []
     idle = 0
     while True:
-        max_seq, n_rows, paths = _log_extent(events_dir)
+        # marker BEFORE extent (TOCTOU guard): the producer contract is
+        # "write all segments, then the marker", so sampling the marker
+        # first guarantees the extent read afterwards covers everything
+        # written before the marker appeared — segments landing between the
+        # two calls are simply picked up as usual because stop only returns
+        # once every epoch of the post-marker extent is done
         stopping = _os.path.exists(_os.path.join(events_dir, stop_marker))
+        max_seq, n_rows, paths = _log_extent(events_dir)
         dense = max_seq + 1 == n_rows
         epochs: List[int] = []
         if max_seq >= 0 and dense:
@@ -510,9 +524,18 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
             lineage.extend(ingest_epoch(paths, lake, e, cfg))
             lake.mark_epoch_done(e)
             progressed = True
-        if stopping and all(lake.is_epoch_done(e) for e in epochs):
+        if stopping and (dense or max_seq < 0) \
+                and all(lake.is_epoch_done(e) for e in epochs):
             return lineage
         idle = 0 if progressed else idle + 1
         if max_idle_polls is not None and idle >= max_idle_polls:
+            if stopping and max_seq >= 0 and not dense:
+                # producer said "done", the straggler never completed: a
+                # clean return would report a drain that silently skipped
+                # data — refuse instead
+                raise RuntimeError(
+                    f"follow: stop marker present but log is non-dense "
+                    f"(max_seq={max_seq}, readable rows={n_rows}) — a "
+                    f"segment is missing or unreadable")
             return lineage
         _time.sleep(poll_interval)

@@ -25,6 +25,13 @@ def extract_image_assets(html: bytes | str,
     (bytes for data: URIs, None for external refs), ``src_ref`` (the URL for
     external images, None for embedded), ``alt``."""
     cfg = cfg or ExtractorConfig()
+    if isinstance(html, bytes):
+        # --password analog: same unseal gate as extract() — the asset path
+        # must not hand a sealed blob to the DOM parser
+        from ..sources.sealed import is_sealed, unseal
+
+        if is_sealed(html):
+            html = unseal(html, cfg.password)
     root = parse_html(html)
     out: List[Dict] = []
 

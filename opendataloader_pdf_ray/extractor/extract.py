@@ -67,9 +67,10 @@ def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
     """Single-document extraction. Deterministic: equal input ⇒ byte-equal text."""
     cfg = cfg.normalized()
     if isinstance(html, bytes):
-        # --password analog: sealed payloads open here (the one choke point
-        # every surface — CLI convert, HtmlExtractor pool, backend stub —
-        # goes through); wrong/missing password raises InvalidPassword
+        # --password analog: sealed payloads open here (CLI convert,
+        # HtmlExtractor pool and the backend stub all come through extract;
+        # extractor/assets.py carries the same gate for the image-asset
+        # path); wrong/missing password raises InvalidPassword
         from ..sources.sealed import is_sealed, unseal
 
         if is_sealed(html):

@@ -169,6 +169,12 @@ def cluster_sizes(labels: "ray.data.Dataset") -> "ray.data.Dataset":
         if t.num_columns == 0 or t.num_rows == 0:
             return empty
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (node < 0).any():
+            # node < 0 is the in-band size-row sentinel below — negative ids
+            # (e.g. a signed view of 64-bit hashes) would be misclassified
+            raise ValueError(
+                "cluster_sizes requires non-negative node ids "
+                "(node < 0 is reserved as the size-row marker)")
         cid = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"cluster_id": pa.array(cid, pa.int64()),
                          "salt": pa.array(node % S, pa.int64()),
@@ -184,6 +190,8 @@ def cluster_sizes(labels: "ray.data.Dataset") -> "ray.data.Dataset":
     partial = lbl.groupby(["cluster_id", "salt"]).count()
 
     def totals(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return empty  # schema-less empty shuffle block
         cnt = group["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
         size = np.int64(cnt.sum())
         n = group.num_rows
@@ -195,7 +203,13 @@ def cluster_sizes(labels: "ray.data.Dataset") -> "ray.data.Dataset":
     sizes = partial.groupby("cluster_id").map_groups(totals,
                                                      batch_format="pyarrow")
 
+    out_empty = pa.table({"node": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64()),
+                          "cluster_size": pa.array([], pa.int64())})
+
     def attach(group: pa.Table) -> pa.Table:
+        if group.num_columns == 0 or group.num_rows == 0:
+            return out_empty  # schema-less empty shuffle block
         node = group["node"].to_numpy(zero_copy_only=False)
         sz = group["cluster_size"].to_numpy(zero_copy_only=False)
         is_size = node < 0

@@ -69,16 +69,18 @@ def hybrid_routed_extract(sf_dir: str):
     source counts must be consistent with the triage tally (every page
     appears exactly once; only backend-ROUTED pages can come back
     backend-SOURCED — the reconcile gate may still prefer local for them)."""
-    import numpy as np
-
     pages = _doc_pages(sf_dir)
 
     def check(t: pa.Table) -> pa.Table:
+        # hard raises, not assert: the gate must survive ``python -O``
         sim = t["sim"].to_numpy(zero_copy_only=False)
-        assert ((sim >= 0.0) & (sim <= 1.0)).all(), "sim outside [0,1]"
+        if not ((sim >= 0.0) & (sim <= 1.0)).all():
+            raise ValueError("hybrid invariant: sim outside [0,1]")
         src = set(t["source"].to_pylist())
-        assert src <= {"local", "backend"}, f"unknown source {src}"
-        assert t["text"].null_count == 0, "null reconciled text"
+        if not src <= {"local", "backend"}:
+            raise ValueError(f"hybrid invariant: unknown source {src}")
+        if t["text"].null_count != 0:
+            raise ValueError("hybrid invariant: null reconciled text")
         return t
 
     # the tally comes off hybrid_extract's own materialized routed
@@ -91,12 +93,13 @@ def hybrid_routed_extract(sf_dir: str):
     srcs = {r["source"]: r["count()"] for r in
             out.groupby("source").count().take_all()}
     n_total, n_backend_src = sum(srcs.values()), srcs.get("backend", 0)
-    assert n_total == sum(tally.values()), \
-        f"reconciled rows {n_total} != routed pages {sum(tally.values())}"
-    assert n_backend_src <= tally.get("backend", 0), \
-        (f"{n_backend_src} backend-sourced rows exceed "
-         f"{tally.get('backend', 0)} backend-routed pages")
-    assert np.all([v >= 0 for v in tally.values()])
+    if n_total != sum(tally.values()):
+        raise ValueError(f"hybrid invariant: reconciled rows {n_total} != "
+                         f"routed pages {sum(tally.values())}")
+    if n_backend_src > tally.get("backend", 0):
+        raise ValueError(f"hybrid invariant: {n_backend_src} backend-sourced"
+                         f" rows exceed {tally.get('backend', 0)} "
+                         f"backend-routed pages")
     return out
 
 

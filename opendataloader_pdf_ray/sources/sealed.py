@@ -14,7 +14,11 @@ dependency-free and deterministically:
   blocks XORed over the plaintext (CTR construction);
 - tag = HMAC-SHA-256(key, ciphertext) — wrong password → tag mismatch →
   :class:`InvalidPassword`, the same "not a content failure" signal the
-  reference propagates (quarantine the record, don't crash the stream).
+  reference propagates. Handling by surface: the CLI convert loop logs and
+  skips the FILE (skip-and-continue); the streaming extractor actor
+  (``stages/extract_stage.HtmlExtractor``) quarantines the RECORD to null
+  text with one warning per actor — a sealed record never crashes a
+  pipeline; direct ``extract()`` callers see the exception.
 
 HONESTY NOTE: without a real crypto library in this environment this is an
 obfuscation-grade stream cipher, NOT vetted encryption — the envelope,
@@ -50,14 +54,19 @@ def _key(salt: bytes, password: str) -> bytes:
 
 
 def _keystream_xor(key: bytes, data: bytes) -> bytes:
-    out = bytearray(len(data))
-    block = 32
-    for i in range(0, len(data), block):
-        ks = hashlib.sha256(key + i.to_bytes(8, "big")).digest()
-        chunk = data[i:i + block]
-        for j, b in enumerate(chunk):
-            out[i + j] = b ^ ks[j]
-    return bytes(out)
+    """CTR keystream XOR, vectorized: the keystream is materialized once
+    (32-byte SHA-256 blocks) and XORed whole-buffer via numpy — this sits on
+    the per-document extract hot path, so a per-byte Python loop is out."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return b""
+    ks = b"".join(hashlib.sha256(key + i.to_bytes(8, "big")).digest()
+                  for i in range(0, n, 32))
+    a = np.frombuffer(data, dtype=np.uint8)
+    b = np.frombuffer(ks, dtype=np.uint8)[:n]
+    return (a ^ b).tobytes()
 
 
 def is_sealed(blob: Optional[bytes]) -> bool:

@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from ..config import ExtractorConfig
 from ..extractor import ContentSanitizer, extract
+from ..sources.sealed import InvalidPassword
 
 BLOCK_STRUCT = pa.struct(
     [
@@ -52,6 +53,7 @@ class HtmlExtractor:
         self.sanitizer = ContentSanitizer(self.cfg.sanitization_rules)
         self.include_blocks = include_blocks
         self.drop_html = drop_html
+        self._warned_sealed = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts: List[Optional[str]] = []
@@ -67,7 +69,27 @@ class HtmlExtractor:
                 if builder:
                     builder.append_null()
                 continue
-            result = extract(payload, self.cfg, sanitizer=self.sanitizer)
+            try:
+                result = extract(payload, self.cfg, sanitizer=self.sanitizer)
+            except InvalidPassword as exc:
+                # sealed payload the stream has no (or the wrong) password
+                # for: quarantine the RECORD (null text, like a tombstone
+                # payload), never the stream — the reference treats
+                # encrypted inputs as a non-content failure the caller
+                # logs and skips (DocumentProcessor.java:620-622)
+                if not self._warned_sealed:
+                    import sys as _sys
+
+                    print(f"[extract] sealed payload quarantined: {exc} "
+                          f"(further occurrences silent this actor)",
+                          file=_sys.stderr)
+                    self._warned_sealed = True
+                texts.append(None)
+                n_blocks.append(0)
+                ratios.append(0.0)
+                if builder:
+                    builder.append_null()
+                continue
             texts.append(result.text)
             n_blocks.append(result.n_blocks)
             ratios.append(result.replacement_ratio)

@@ -504,3 +504,21 @@ class TestBloom:
         absent = np.arange(10**6, 10**6 + 20_000, dtype=np.int64)
         fp = bf.maybe_contains(bm, absent, m, 7).mean()
         assert fp < 0.02, fp
+
+    def test_cluster_sizes_rejects_negative_node_ids(self, ray_session):
+        import pandas as pd
+        import pytest as _pytest
+
+        from opendataloader_pdf_ray.functions import graph
+        labels = ray.data.from_pandas(pd.DataFrame(
+            {"node": [-5, 2], "cluster_id": [-5, -5]}))
+        with _pytest.raises(Exception, match="non-negative node ids"):
+            graph.cluster_sizes(labels).to_pandas()
+
+    def test_cluster_sizes_empty_pairs(self, ray_session):
+        import pandas as pd
+
+        from opendataloader_pdf_ray.functions import graph
+        labels = ray.data.from_pandas(
+            pd.DataFrame({"node": [], "cluster_id": []}))
+        assert graph.cluster_sizes(labels).take_all() == []

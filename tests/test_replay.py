@@ -276,3 +276,19 @@ class TestFollowTail:
         follow(seg_dir, lake_root, self.CFG, poll_interval=0.05,
                max_idle_polls=1)
         assert Lake(lake_root).is_epoch_done(0)
+
+    def test_stop_with_hole_raises_instead_of_clean_drain(self, tmp_path):
+        import os
+
+        from opendataloader_pdf_ray.cdc.ingest import follow
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(180, 40, seed=42)
+        seg_dir = str(tmp_path / "segs")
+        # hole: seqs 60..119 never arrive, producer claims done anyway
+        self._write_segments(events, seg_dir, 0, 60)
+        self._write_segments(events, seg_dir, 120, 180)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        with pytest.raises(RuntimeError, match="non-dense"):
+            follow(seg_dir, str(tmp_path / "lake"), self.CFG,
+                   poll_interval=0.05, max_idle_polls=2)

@@ -88,3 +88,45 @@ class TestCliPassword:
         assert r2.returncode == 0, r2.stderr
         assert (out / "sealed.txt").read_text() == \
             (out / "plain.txt").read_text()
+
+
+class TestStreamQuarantine:
+    def test_extractor_actor_quarantines_sealed_record(self, capsys):
+        """A sealed record the stream has no password for becomes null text
+        (like a tombstone payload) with a warning — the pipeline survives."""
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.stages.extract_stage import HtmlExtractor
+
+        ex = HtmlExtractor(ExtractorConfig(), include_blocks=False)
+        batch = pa.table({"html": pa.array(
+            [HTML, seal(HTML, "unknown-pw")], pa.binary())})
+        out = ex(batch)
+        texts = out["text"].to_pylist()
+        assert texts[0] is not None and texts[1] is None
+        assert "quarantined" in capsys.readouterr().err
+
+    def test_extractor_actor_opens_sealed_with_password(self):
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.stages.extract_stage import HtmlExtractor
+
+        ex = HtmlExtractor(ExtractorConfig(password="pw1"),
+                           include_blocks=False)
+        out = ex(pa.table({"html": pa.array(
+            [HTML, seal(HTML, "pw1")], pa.binary())}))
+        texts = out["text"].to_pylist()
+        assert texts[0] == texts[1]  # byte-equal through the seal
+
+    def test_image_assets_gate(self):
+        from opendataloader_pdf_ray.extractor.assets import (
+            extract_image_assets)
+
+        html = (b'<html><body><img alt="f" src="data:image/png;base64,'
+                b'aGVsbG8="/></body></html>')
+        plain = extract_image_assets(html, ExtractorConfig())
+        sealed_assets = extract_image_assets(
+            seal(html, "pw1"), ExtractorConfig(password="pw1"))
+        assert sealed_assets == plain and plain[0]["data"] == b"hello"
+        with pytest.raises(InvalidPassword):
+            extract_image_assets(seal(html, "pw1"), ExtractorConfig())
