@@ -45,6 +45,8 @@ _GATE_TAIL = [
     "doc_split_stats",         # hash split — quota/weighted sample cover
     "doc_passage_chunks",      # explode — doc_passage_dedup covers
     "union_key_counts",        # union — exercised inside dedup_minhash_clusters
+    "dedup_exact",             # exact dedup — cdc_dup_attribution gates the
+                               # same FWW fold through the full index machinery
 ]
 
 

@@ -1,0 +1,260 @@
+"""Dedup-at-ingest: an incrementally-maintained content-fingerprint index.
+
+What a Common-Crawl-scale ingest does alongside the key-partitioned upsert:
+register every content version's fingerprint in a SECOND lake keyspace (fp,
+not url) so duplicate content across urls can be attributed to its first
+writer at read time — the lake-integrated, streaming form of the reference's
+duplicate-text suppression family (removeSameTextChunks,
+core/processors/DocumentProcessor.java — see COVERAGE.md §2.2/§2.7), fused
+with the exactly-once CDC machinery instead of running as a batch pass.
+
+Design (SURVEY.md §2.7 dedup + §2.9 streaming):
+
+- **storage**: a sub-lake (conventionally ``<lake>/fpindex``) reusing
+  :class:`~.lake.Lake`'s idempotent ``(part, epoch)`` commit-record protocol
+  — the index inherits exactly-once commits, crash/resume, per-partition
+  lineage and ``as_of`` time travel for free.
+- **partitioning**: ``hash(fp) % P`` index partitions. Each update epoch is
+  ONE shuffle of slim ``(fp, key, ts, seq)`` rows — the per-batch partial
+  fold computes fingerprints and DROPS the text, so nothing document-sized
+  crosses the exchange.
+- **fold**: first-writer-wins — owner per fp = min ``(ts, seq, key)``.
+  Associative, commutative and idempotent, so the final index state is
+  byte-identical under ANY epoch chunking / batch size / concurrency
+  (tested), the same determinism contract as the LWW lake fold (merge.py).
+  Tombstone events carry no content (null text) and are ignored: the index
+  answers "who wrote this content FIRST", which deletion never un-answers.
+- **attribution**: :meth:`DupIndex.attribute` co-partitions input rows into
+  fp-space (one shuffle, text dropped) and each group task loads ITS index
+  partition once — a co-located lookup, not a Dataset.join and not a
+  broadcast (at 100 TB the index is itself large; only the one fp-partition
+  a task needs ever leaves storage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .lake import Lake, Lineage
+
+_HELPER_COLS = ("fp_part", "n_events")
+
+
+def md5_digests(texts: List[Optional[str]]) -> List[bytes]:
+    """16-byte md5 digests (groups identically to DuckDB ``md5(text)`` hex,
+    which is what lets attribution carry a bit-exact SQL oracle)."""
+    return [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+
+
+def fp_partition(fps: List[bytes], num_partitions: int) -> np.ndarray:
+    """fp → index partition: first 8 digest bytes as a big-endian uint64,
+    mod P. Process-independent (pure bytes arithmetic, no salted hash())."""
+    if not fps:
+        return np.empty(0, dtype=np.int32)
+    arr = np.frombuffer(b"".join(f[:8] for f in fps), dtype=">u8")
+    return (arr % np.uint64(num_partitions)).astype(np.int32)
+
+
+def first_per_fp(table: pa.Table, key_col: str, ts_col: str, seq_col: str,
+                 count_col: Optional[str] = None) -> pa.Table:
+    """Keep the min-(ts, seq, key) row per ``fp`` — the first-writer-wins
+    dual of :func:`~.merge.latest_per_key`, vectorized the same way (int
+    codes + lexsort + run-start selection; no Python loop over rows).
+
+    ``count_col`` (int64), when given, is SUMMED across each fp group onto
+    the winner row — carries the events-consumed lineage counter through
+    the partial → global phases without a second pass."""
+    if table.num_rows <= 1:
+        return table
+    fps = np.asarray(table["fp"].to_pylist(), dtype=object)
+    ts = table[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seq = table[seq_col].to_numpy(zero_copy_only=False)
+    keys = np.asarray(table[key_col].to_pylist(), dtype=object)
+    _, inv = np.unique(fps, return_inverse=True)
+    # np.unique sorts, so key codes order == key order → min code = min key
+    _, kinv = np.unique(keys, return_inverse=True)
+    order = np.lexsort((kinv, seq, ts, inv))  # primary fp, then ts, seq, key
+    sorted_codes = inv[order]
+    is_first = np.ones(len(order), dtype=bool)
+    is_first[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    out = table.take(pa.array(order[is_first]))
+    if count_col is not None:
+        starts = np.flatnonzero(is_first)
+        vals = table[count_col].to_numpy(zero_copy_only=False)[order]
+        counts = np.add.reduceat(vals, starts)
+        idx = out.column_names.index(count_col)
+        out = out.set_column(idx, count_col, pa.array(counts, pa.int64()))
+    return out
+
+
+class _ApplyIndexPartition:
+    """One call per fp-partition group: read the base index partition, FWW-
+    fold the epoch's candidates in, commit through the idempotent commit
+    log. A retried / re-run task sees the (part, epoch) commit record and
+    no-ops (reports ``skipped``) — exactly-once, same protocol as
+    :class:`~.ingest.ApplyPartition`."""
+
+    __name__ = "_ApplyIndexPartition"  # map_groups wraps plain callables by name
+
+    def __init__(self, root: str, num_partitions: int, epoch: int,
+                 key_col: str, ts_col: str, seq_col: str):
+        self.root = root
+        self.num_partitions = num_partitions
+        self.epoch = epoch
+        self.key_col, self.ts_col, self.seq_col = key_col, ts_col, seq_col
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        lake = Lake(self.root, self.num_partitions)
+        part = int(group["fp_part"][0].as_py())
+        if lake.is_committed(part, self.epoch):
+            out = lake.read_lineage(part, self.epoch)
+            out.skipped = True
+        else:
+            events = int(pc.sum(group["n_events"]).as_py())
+            seq_min = int(pc.min(group[self.seq_col]).as_py())
+            seq_max = int(pc.max(group[self.seq_col]).as_py())
+            updates = group.drop_columns(list(_HELPER_COLS))
+            base = lake.read_partition(part, as_of=self.epoch - 1)
+            merged = updates if base is None \
+                else pa.concat_tables([base, updates])
+            merged = first_per_fp(merged, self.key_col, self.ts_col,
+                                  self.seq_col)
+            # canonical order: fp ascending → commit bytes are a pure
+            # function of the folded event SET (determinism invariant)
+            merged = merged.sort_by([("fp", "ascending")])
+            lineage = Lineage(
+                part=part, epoch=self.epoch, events_consumed=events,
+                rows_upserted=merged.num_rows
+                - (base.num_rows if base is not None else 0),
+                rows_deleted=0, seq_min=seq_min, seq_max=seq_max)
+            out = lake.commit_partition(part, self.epoch, merged, lineage)
+        return pa.table({
+            "part": pa.array([out.part], pa.int32()),
+            "epoch": pa.array([out.epoch], pa.int32()),
+            "events_consumed": pa.array([out.events_consumed], pa.int64()),
+            "rows_upserted": pa.array([out.rows_upserted], pa.int64()),
+            "rows_deleted": pa.array([out.rows_deleted], pa.int64()),
+            "seq_min": pa.array([out.seq_min], pa.int64()),
+            "seq_max": pa.array([out.seq_max], pa.int64()),
+            "skipped": pa.array([out.skipped], pa.bool_()),
+        })
+
+
+class DupIndex:
+    """Content-fingerprint keyspace over a Lake root (see module docstring).
+
+    ``root`` is the INDEX root — for CDC-integrated use, a sub-directory of
+    the lake (``<lake>/fpindex``; the main lake's partition globbing and
+    fsck never descend into it). Column names are configurable so the same
+    index serves the CDC event shape (url/warc_ts/seq) and ad-hoc corpora
+    (doc_id/ts/seq)."""
+
+    def __init__(self, root: str, num_partitions: Optional[int] = None,
+                 key_col: str = "url", ts_col: str = "warc_ts",
+                 seq_col: str = "seq", text_col: str = "text"):
+        self.lake = Lake(root, num_partitions)
+        self.num_partitions = self.lake.num_partitions
+        self.key_col, self.ts_col = key_col, ts_col
+        self.seq_col, self.text_col = seq_col, text_col
+
+    # ------------------------------------------------------------ update
+    def _partial(self):
+        key_col, ts_col = self.key_col, self.ts_col
+        seq_col, text_col = self.seq_col, self.text_col
+        num_partitions = self.num_partitions
+
+        def fn(batch: pa.Table) -> pa.Table:
+            # tombstones / quarantined records carry no content
+            batch = batch.filter(pc.is_valid(batch[text_col]))
+            fps = md5_digests(batch[text_col].to_pylist())
+            t = pa.table({
+                "fp": pa.array(fps, pa.binary()),
+                key_col: batch[key_col],
+                ts_col: batch[ts_col],
+                seq_col: batch[seq_col],
+                "n_events": pa.array(np.ones(len(fps), np.int64)),
+            })
+            # per-batch FWW pre-reduce: ≤1 row per fp per block enters the
+            # shuffle, and the (large) text column never does
+            t = first_per_fp(t, key_col, ts_col, seq_col,
+                             count_col="n_events")
+            parts = fp_partition(t["fp"].to_pylist(), num_partitions)
+            return t.append_column("fp_part", pa.array(parts, pa.int32()))
+
+        return fn
+
+    def update(self, ds, epoch: int) -> List[dict]:
+        """Fold one epoch's content-bearing rows into the index. ``ds`` is a
+        Ray Dataset carrying (key, ts, seq, text) columns; returns ≤P tiny
+        lineage rows. Exactly-once per (fp_part, epoch): re-running a
+        committed epoch is a no-op reporting ``skipped``."""
+        candidates = ds.map_batches(self._partial(), batch_format="pyarrow")
+        lineage = candidates.groupby("fp_part").map_groups(
+            _ApplyIndexPartition(self.lake.root, self.num_partitions, epoch,
+                                 self.key_col, self.ts_col, self.seq_col),
+            batch_format="pyarrow")
+        return lineage.take_all()  # ≤ P tiny rows
+
+    # --------------------------------------------------------- attribute
+    def attribute(self, ds, keep_cols: Optional[List[str]] = None,
+                  as_of: Optional[int] = None):
+        """Annotate rows with ``dup_of`` (the first writer's key when SOME
+        OTHER key first wrote identical content, else null) and ``is_dup``.
+        One shuffle of (keep_cols + fp) into fp space; each group task loads
+        its own index partition once — co-located lookup, no join/broadcast.
+        Rows whose fp the index has never seen get dup_of=null."""
+        key_col, text_col = self.key_col, self.text_col
+        keep = list(keep_cols) if keep_cols else [key_col]
+        if key_col not in keep:
+            keep.insert(0, key_col)
+        num_partitions, root = self.num_partitions, self.lake.root
+
+        def prep(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch[text_col]))
+            fps = md5_digests(batch[text_col].to_pylist())
+            cols = {c: batch[c] for c in keep}
+            cols["fp"] = pa.array(fps, pa.binary())
+            t = pa.table(cols)
+            parts = fp_partition(fps, num_partitions)
+            return t.append_column("fp_part", pa.array(parts, pa.int32()))
+
+        def attach(group: pa.Table) -> pa.Table:
+            lake = Lake(root, num_partitions)
+            part = int(group["fp_part"][0].as_py())
+            idx = lake.read_partition(part, as_of=as_of)
+            owners = {} if idx is None else dict(
+                zip(idx["fp"].to_pylist(), idx[key_col].to_pylist()))
+            keys = group[key_col].to_pylist()
+            dup = [owners.get(f) for f in group["fp"].to_pylist()]
+            dup = [o if o is not None and o != k else None
+                   for o, k in zip(dup, keys)]
+            out = group.drop_columns(["fp_part", "fp"])
+            out = out.append_column("dup_of",
+                                    pa.array(dup, group[key_col].type))
+            return out.append_column(
+                "is_dup", pa.array([d is not None for d in dup], pa.bool_()))
+
+        return (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("fp_part")
+                  .map_groups(attach, batch_format="pyarrow"))
+
+    # -------------------------------------------------------------- read
+    def read_state(self, as_of: Optional[int] = None) -> pa.Table:
+        """Whole index as ONE table, fp-sorted (tests / small indexes only —
+        scale reads go through attribute()'s per-partition tasks)."""
+        tables = []
+        for part in range(self.num_partitions):
+            t = self.lake.read_partition(part, as_of=as_of)
+            if t is not None and t.num_rows:
+                tables.append(t)
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables).sort_by([("fp", "ascending")])
+
+    def lineage(self) -> List[dict]:
+        return self.lake.all_lineage()

@@ -49,6 +49,24 @@ _LINEAGE_AGGS = {"n_events": "sum", "seq_lo": "min", "seq_hi": "max"}
 _HELPER_COLS = ["part", "salt", "n_events", "seq_lo", "seq_hi"]
 
 
+def dup_index_root(lake_root: str) -> str:
+    """The fingerprint keyspace lives INSIDE the lake root (one deployment
+    unit, shared fsspec credentials) but under its own commit log — the main
+    lake's part=* globbing and fsck never descend into it."""
+    return lake_root.rstrip("/") + "/fpindex"
+
+
+def _maintain_dup_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
+    """Fork the (materialized) extracted stream into the fp keyspace: one
+    slim shuffle of (fp, url, warc_ts, seq) rows, exactly-once per
+    (fp_part, epoch) — see cdc/dupindex.py."""
+    from .dupindex import DupIndex
+
+    index = DupIndex(dup_index_root(lake.root),
+                     cfg.dup_index_partitions or cfg.num_partitions)
+    return index.update(ds, epoch)
+
+
 def url_partition(urls, num_partitions: int) -> np.ndarray:
     """Deterministic url→partition hash (process-independent: pandas
     hash_array uses a fixed key, unlike Python's salted hash())."""
@@ -315,6 +333,12 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.maintain_dup_index:
+        # fork point: materialize the extracted stream once so the url
+        # keyspace (LWW merge below) and the fp keyspace (index fold) both
+        # consume it without a second extraction pass
+        ds = ds.materialize()
+        _maintain_dup_index(ds, lake, epoch, cfg)
     ds = ds.map_batches(_add_keys(cfg), batch_format="pyarrow")
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:
@@ -362,6 +386,13 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.maintain_dup_index:
+        # backlog replay folds the whole pending range as ONE index epoch
+        # (the last one) — the FWW fold is commutative+idempotent, so the
+        # result is byte-identical to per-epoch folds, and a crashed rerun
+        # of the same range hits the same (fp_part, last-epoch) commits
+        ds = ds.materialize()
+        _maintain_dup_index(ds, lake, epochs[-1], cfg)
     # "final" snapshot mode may merge across epochs everywhere (no
     # intermediate snapshots to preserve) → ~K× less shuffle payload
     final_mode = cfg.backlog_snapshots == "final"

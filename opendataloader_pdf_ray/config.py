@@ -205,6 +205,13 @@ class CDCConfig:
     #       grows. The write-amplification fix for high-frequency epochs.
     epoch_commits: str = "snapshot"
     drop_html_after_extract: bool = True     # project before shuffle: never shuffle html
+    # Dedup-at-ingest (cdc/dupindex.py): fold every content-bearing event's
+    # md5 fingerprint into a second, fp-partitioned keyspace at
+    # <lake>/fpindex through the same exactly-once commit log, enabling
+    # read-time dup_of attribution. Costs one extra materialize (the
+    # extracted stream feeds both keyspaces) + one slim fp-shuffle per epoch.
+    maintain_dup_index: bool = False
+    dup_index_partitions: Optional[int] = None  # default: num_partitions
 
 
 DEFAULT_EXTRACTOR_CONFIG = ExtractorConfig()

@@ -818,8 +818,114 @@ FROM ex JOIN est USING (event_type)
 """
 
 
+def cdc_dup_attribution(sf_dir: str):
+    """Dedup-at-ingest end-to-end through the REAL fingerprint index
+    (cdc/dupindex.py): derive a deterministic changelog from ``documents``
+    — every doc inserts its text at key ``u<doc_id>``; every ``doc_id%7==0``
+    doc also inserts a MIRROR copy of the same text at ``m<doc_id>`` one seq
+    later — fold it into a fresh index over 4 checkpoint epochs
+    (incremental + exactly-once commit log under /tmp), replay the first
+    epoch a second time (MUST be an all-skipped no-op — asserted), then
+    attribute every event key: ``dup_of`` = the first writer of identical
+    content. The SQL oracle recomputes the first-writer-wins state
+    algebraically, so this driver row gates the whole epoch-chunked index
+    machinery bit-for-bit."""
+    import os as _os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..cdc.dupindex import DupIndex
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        from ..fixtures.gen import BASE_TS_US
+
+        mirror = ids % 7 == 0
+        seqs = np.concatenate([ids * 2, ids[mirror] * 2 + 1])
+        keys = [f"u{i:06d}" for i in ids] + \
+               [f"m{i:06d}" for i in ids[mirror]]
+        txts = texts + [t for t, f in zip(texts, mirror) if f]
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "ts": pa.array(BASE_TS_US + seqs, pa.int64()),
+            "seq": pa.array(seqs, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+        })
+
+    def events_ds():
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"]
+        ).map_batches(to_events, batch_format="pyarrow")
+
+    # epoch extent from parquet FOOTER stats (no data read on the driver)
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    max_id = max(meta.row_group(rg).column(col).statistics.max
+                 for rg in range(meta.num_row_groups))
+    # fixed 4-epoch chunking at any scale (the FWW fold is chunking-
+    # invariant — tests/test_dupindex.py pins byte-equality across chunkings)
+    n_epochs = 4
+    epoch_size = (2 * max_id + 2 + n_epochs - 1) // n_epochs
+
+    root = "/tmp/odl_ray_dupindex_query"
+    shutil.rmtree(root, ignore_errors=True)
+    index = DupIndex(root, num_partitions=8, key_col="key", ts_col="ts",
+                     seq_col="seq", text_col="text")
+
+    def epoch_slice(epoch: int):
+        lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size
+
+        def fn(batch: pa.Table) -> pa.Table:
+            seq = batch["seq"]
+            return batch.filter(pc.and_(pc.greater_equal(seq, lo),
+                                        pc.less(seq, hi)))
+
+        return fn
+
+    for epoch in range(n_epochs):
+        index.update(events_ds().map_batches(epoch_slice(epoch),
+                                             batch_format="pyarrow"), epoch)
+    # exactly-once invariant: replaying a committed epoch must no-op
+    replay_lineage = index.update(
+        events_ds().map_batches(epoch_slice(0), batch_format="pyarrow"), 0)
+    if not all(r["skipped"] for r in replay_lineage):
+        raise AssertionError("dup-index epoch replay was not idempotent")
+
+    return index.attribute(events_ds(), keep_cols=["key"]).sort("key")
+
+
+CDC_DUP_ATTRIBUTION_SQL = """
+WITH ev AS (
+    SELECT doc_id * 2 AS seq, printf('u%06d', doc_id) AS key, text
+    FROM documents
+    UNION ALL
+    SELECT doc_id * 2 + 1 AS seq, printf('m%06d', doc_id) AS key, text
+    FROM documents WHERE doc_id % 7 = 0
+),
+own AS (
+    SELECT md5(text) AS fp, min(seq) AS own_seq FROM ev GROUP BY md5(text)
+),
+ownk AS (
+    SELECT o.fp, e.key AS own_key FROM own o JOIN ev e ON e.seq = o.own_seq
+)
+SELECT e.key,
+       CASE WHEN k.own_key <> e.key THEN k.own_key END AS dup_of,
+       (k.own_key <> e.key) AS is_dup
+FROM ev e JOIN ownk k ON md5(e.text) = k.fp
+ORDER BY e.key
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_asof_enrich": cdc_asof_enrich,
     "cdc_user_sessions": cdc_user_sessions,
     "cdc_latest_state": cdc_latest_state,
@@ -838,6 +944,7 @@ CDC_QUERIES = {
 }
 
 CDC_ORACLE_SQL = {
+    "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts

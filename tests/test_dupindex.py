@@ -1,0 +1,254 @@
+"""Dedup-at-ingest tests (cdc/dupindex.py): first-writer-wins fingerprint
+index — epoch-chunking invariance, exactly-once replay, attribution
+correctness vs a sequential reference, and CDC-ingest integration."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import DupIndex, Lake, dup_index_root, replay
+from opendataloader_pdf_ray.cdc.dupindex import first_per_fp
+from opendataloader_pdf_ray.config import CDCConfig
+
+
+def corpus_table(n: int = 60) -> pa.Table:
+    """n rows, ~1/3 of the texts duplicated across keys."""
+    keys, ts, seq, texts = [], [], [], []
+    for i in range(n):
+        keys.append(f"k{i:05d}")
+        ts.append(1_000_000 + i)
+        seq.append(i)
+        texts.append(f"content {i % (n // 3)} body")  # 3 writers per text
+    return pa.table({
+        "key": pa.array(keys, pa.string()),
+        "ts": pa.array(ts, pa.int64()),
+        "seq": pa.array(seq, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def sequential_owner(table: pa.Table) -> dict:
+    """Reference FWW: owner per md5(text) = min (ts, seq, key)."""
+    owners = {}
+    for row in table.to_pylist():
+        if row["text"] is None:
+            continue
+        fp = hashlib.md5(row["text"].encode()).digest()
+        cand = (row["ts"], row["seq"], row["key"])
+        if fp not in owners or cand < owners[fp]:
+            owners[fp] = cand
+    return {fp: k for fp, (_, _, k) in owners.items()}
+
+
+def ds_of(table: pa.Table, blocks: int = 4):
+    import ray.data
+
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+def new_index(root, **kw) -> DupIndex:
+    return DupIndex(str(root), num_partitions=4, key_col="key",
+                    ts_col="ts", seq_col="seq", text_col="text", **kw)
+
+
+def test_first_per_fp_matches_reference():
+    t = corpus_table(30)
+    fps = [hashlib.md5(x.encode()).digest() for x in t["text"].to_pylist()]
+    t = t.append_column("fp", pa.array(fps, pa.binary()))
+    out = first_per_fp(t, "key", "ts", "seq")
+    want = sequential_owner(t)
+    got = dict(zip(out["fp"].to_pylist(), out["key"].to_pylist()))
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupIndex:
+    def test_update_then_read_state(self, tmp_path):
+        t = corpus_table()
+        idx = new_index(tmp_path / "idx")
+        lineage = idx.update(ds_of(t), epoch=0)
+        assert sum(r["events_consumed"] for r in lineage) == t.num_rows
+        state = idx.read_state()
+        want = sequential_owner(t)
+        assert state.num_rows == len(want)
+        got = dict(zip(state["fp"].to_pylist(), state["key"].to_pylist()))
+        assert got == want
+        # canonical order: fp ascending, and new-fp accounting adds up
+        fps = state["fp"].to_pylist()
+        assert fps == sorted(fps)
+        assert sum(r["rows_upserted"] for r in lineage) == len(want)
+
+    def test_epoch_chunking_invariance(self, tmp_path):
+        """Final index bytes identical whether folded as 1, 2 or 5 epochs
+        (and whatever block count) — the determinism contract."""
+        t = corpus_table()
+        states = []
+        for chunks in (1, 2, 5):
+            idx = new_index(tmp_path / f"idx{chunks}")
+            per = (t.num_rows + chunks - 1) // chunks
+            for e in range(chunks):
+                sub = t.slice(e * per, per)
+                if sub.num_rows:
+                    idx.update(ds_of(sub, blocks=3), epoch=e)
+            states.append(idx.read_state())
+        assert states[0].equals(states[1])
+        assert states[0].equals(states[2])
+
+    def test_exactly_once_replay(self, tmp_path):
+        t = corpus_table()
+        idx = new_index(tmp_path / "idx")
+        idx.update(ds_of(t), epoch=0)
+        before = idx.read_state()
+        again = idx.update(ds_of(t), epoch=0)
+        assert all(r["skipped"] for r in again)
+        assert idx.read_state().equals(before)
+
+    def test_resume_after_partial_commit(self, tmp_path):
+        """Crash simulation: some fp-partitions committed for epoch 1, the
+        rest not — re-running epoch 1 completes exactly-once."""
+        t = corpus_table()
+        half, rest = t.slice(0, 30), t.slice(30)
+        idx = new_index(tmp_path / "idx")
+        idx.update(ds_of(half), epoch=0)
+        # partially apply epoch 1: only the rows landing in fp_part 0
+        from opendataloader_pdf_ray.cdc.dupindex import (fp_partition,
+                                                         md5_digests)
+
+        fps = md5_digests(rest["text"].to_pylist())
+        mask = pa.array(fp_partition(fps, idx.num_partitions) == 0)
+        idx.update(ds_of(rest.filter(mask)), epoch=1)
+        # full re-run of epoch 1 (the recovery path)
+        lineage = idx.update(ds_of(rest), epoch=1)
+        assert any(r["skipped"] for r in lineage)
+        assert not all(r["skipped"] for r in lineage)
+        want = sequential_owner(t)
+        got = dict(zip(idx.read_state()["fp"].to_pylist(),
+                       idx.read_state()["key"].to_pylist()))
+        assert got == want
+
+    def test_attribute(self, tmp_path):
+        t = corpus_table()
+        idx = new_index(tmp_path / "idx")
+        idx.update(ds_of(t), epoch=0)
+        out = (idx.attribute(ds_of(t), keep_cols=["key", "seq"])
+                  .sort("key").take_all())
+        owners = sequential_owner(t)
+        rows = t.to_pylist()
+        by_key = {r["key"]: r for r in rows}
+        assert len(out) == t.num_rows
+        for r in out:
+            own = owners[hashlib.md5(
+                by_key[r["key"]]["text"].encode()).digest()]
+            if own == r["key"]:
+                assert r["dup_of"] is None and not r["is_dup"]
+            else:
+                assert r["dup_of"] == own and r["is_dup"]
+
+    def test_attribute_unknown_fp_and_tombstones(self, tmp_path):
+        t = corpus_table(12)
+        idx = new_index(tmp_path / "idx")
+        idx.update(ds_of(t, blocks=2), epoch=0)
+        probe = pa.table({
+            "key": pa.array(["new", "gone"], pa.string()),
+            "ts": pa.array([1, 2], pa.int64()),
+            "seq": pa.array([900, 901], pa.int64()),
+            "text": pa.array(["never indexed before", None], pa.string()),
+        })
+        out = idx.attribute(ds_of(probe, blocks=1)).take_all()
+        # null-text row dropped; unseen fp → not a dup
+        assert [r["key"] for r in out] == ["new"]
+        assert out[0]["dup_of"] is None and not out[0]["is_dup"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIngestIntegration:
+    def test_maintain_dup_index_through_replay(self, tmp_path):
+        """cfg.maintain_dup_index=True folds every content-bearing event's
+        extracted-text fingerprint into <lake>/fpindex during replay; dup
+        content across urls attributes to its first writer."""
+        from opendataloader_pdf_ray.stages.extract_stage import HtmlExtractor
+
+        html_a = b"<html><body><p>shared body text</p></body></html>"
+        html_b = b"<html><body><p>unique body text</p></body></html>"
+        n = 24
+        events = pa.table({
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "op": pa.array(["I"] * n, pa.string()),
+            "url": pa.array([f"https://e.x/{i}" for i in range(n)],
+                            pa.string()),
+            "warc_ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                                 for i in range(n)], pa.timestamp("us")),
+            # every third url repeats html_a's content; one delete at the end
+            "html": pa.array([html_a if i % 3 == 0 else
+                              html_b.replace(b"unique", b"unique %d" % i)
+                              for i in range(n)], pa.binary()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+        # a delete event (null html) must be ignored by the index
+        tomb = pa.table({
+            "seq": pa.array([n], pa.int64()),
+            "op": pa.array(["D"], pa.string()),
+            "url": pa.array(["https://e.x/0"], pa.string()),
+            "warc_ts": pa.array([1_700_000_000_000_000 + n * 1_000_000],
+                                pa.timestamp("us")),
+            "html": pa.array([None], pa.binary()),
+            "lang": pa.array(["en"], pa.string()),
+        })
+        events = pa.concat_tables([events, tomb])
+        path = str(tmp_path / "events.parquet")
+        pq.write_table(events, path)
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=10,
+                        extract_batch_size=8, extract_concurrency=2,
+                        maintain_dup_index=True, dup_index_partitions=4)
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, cfg, mode="epoch")
+
+        idx = DupIndex(dup_index_root(lake_root))
+        # expected FWW over EXTRACTED text of all I events
+        ex = HtmlExtractor(cfg.extractor, include_blocks=False)
+        extracted = ex(events)
+        want = {}
+        for row in extracted.to_pylist():
+            if row["text"] is None:
+                continue
+            fp = hashlib.md5(row["text"].encode()).digest()
+            cand = (row["warc_ts"], row["seq"], row["url"])
+            if fp not in want or cand < want[fp]:
+                want[fp] = cand
+        state = idx.read_state()
+        got = dict(zip(state["fp"].to_pylist(), state["url"].to_pylist()))
+        assert got == {fp: u for fp, (_, _, u) in want.items()}
+        # read-time attribution over the live lake state
+        lake = Lake(lake_root)
+        out = idx.attribute(lake.read_dataset(), keep_cols=["url"]) \
+                 .sort("url").take_all()
+        dups = {r["url"]: r["dup_of"] for r in out if r["is_dup"]}
+        # urls 3,6,9,... share url 0's content (url 0 itself was deleted,
+        # but first-seen attribution survives deletion by design)
+        assert dups == {f"https://e.x/{i}": "https://e.x/0"
+                        for i in range(3, n, 3)}
+
+    def test_replay_idempotent_with_index(self, tmp_path):
+        """Re-running the whole ingest (backlog mode) over an already-built
+        lake+index is a no-op for both keyspaces."""
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        path = str(tmp_path / "events.parquet")
+        pq.write_table(gen_events(60, 20, seed=7), path)
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=30,
+                        extract_batch_size=8, extract_concurrency=2,
+                        maintain_dup_index=True)
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, cfg)
+        idx = DupIndex(dup_index_root(lake_root))
+        before = idx.read_state()
+        # epoch-done markers make a second replay() skip outright; force the
+        # ingest path to re-run by replaying a fresh pending computation
+        from opendataloader_pdf_ray.cdc import ingest_epochs
+
+        lake = Lake(lake_root)
+        lineage = ingest_epochs(path, lake, [0, 1], cfg)
+        assert all(r["skipped"] for r in lineage)
+        assert idx.read_state().equals(before)
