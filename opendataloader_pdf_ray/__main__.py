@@ -156,6 +156,7 @@ def cmd_ingest(args) -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8))
     cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size,
                     epoch_commits=args.commit_mode,
+                    maintain_dup_index=args.dup_index,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     if args.mode == "follow":
         from .cdc.ingest import follow
@@ -166,13 +167,19 @@ def cmd_ingest(args) -> int:
         lineage = replay(args.events, args.lake, cfg, mode=args.mode)
     lake = Lake(args.lake, cfg.num_partitions)
     state = lake.read_state()
-    print(json.dumps({
+    summary = {
         "partitions_committed": len(lineage),
         "events_consumed": sum(l["events_consumed"] for l in lineage),
         "rows_upserted": sum(l["rows_upserted"] for l in lineage),
         "rows_deleted": sum(l["rows_deleted"] for l in lineage),
         "live_rows": state.num_rows,
-    }))
+    }
+    if args.dup_index:
+        from .cdc import DupIndex, dup_index_root
+
+        summary["distinct_fingerprints"] = DupIndex(
+            dup_index_root(args.lake)).count_fingerprints()
+    print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
         ray.shutdown()
     return 0
@@ -223,6 +230,86 @@ def cmd_export(args) -> int:
     n = pads.dataset(args.out, format="parquet").count_rows()
     print(json.dumps({"rows": n, "out": args.out,
                       "partitions": lake.num_partitions}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
+def cmd_get(args) -> int:
+    """Point lookup: hash-route the urls to their partitions and read only
+    those (no Ray session needed — O(|urls|) partition reads)."""
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    t = lake.lookup(args.urls, as_of=args.as_of,
+                    include_tombstones=args.tombstones)
+    rows = [] if t is None else t.to_pylist()
+    for r in rows:  # timestamps → ISO strings for JSON
+        for k, v in r.items():
+            if hasattr(v, "isoformat"):
+                r[k] = v.isoformat()
+    print(json.dumps({"found": len(rows), "rows": rows}, default=str))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Right-to-be-forgotten: physically remove urls from every data file of
+    their partitions (all epochs); audit record stores url hashes only."""
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    print(json.dumps(lake.purge(args.urls)))
+    return 0
+
+
+def cmd_dups(args) -> int:
+    """Read-time duplicate attribution: annotate the live lake state with
+    dup_of/is_dup via the co-partitioned <lake>/fpindex lookup (built by
+    ``ingest --dup-index``). Streams — with ``--out`` the attributed rows go
+    to partitioned parquet; the summary never pulls lake-sized data to the
+    driver."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+
+    from .cdc import DupIndex, Lake, dup_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    index = DupIndex(dup_index_root(args.lake))
+    ds = index.attribute(lake.read_dataset(), keep_cols=["url"])
+    if args.out:
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(args.out, format="parquet")
+        live = written.count_rows()
+        # columnar scan of the one bool column — never the payload
+        dups = int(pa.Table.from_batches(
+            written.scanner(columns=["is_dup"]).to_batches()
+        )["is_dup"].cast(pa.int64()).combine_chunks().to_pandas().sum()) \
+            if live else 0
+    else:
+        from ray.data.aggregate import Count, Sum
+
+        def pre(t: pa.Table) -> pa.Table:
+            return pa.table({"is_dup": t["is_dup"].cast(pa.int64())})
+
+        agg = ds.map_batches(pre, batch_format="pyarrow").aggregate(
+            Count(alias_name="live"), Sum("is_dup", alias_name="dups"))
+        live, dups = int(agg["live"]), int(agg["dups"] or 0)
+    print(json.dumps({
+        "live_rows": live,
+        "dup_rows": dups,
+        "distinct_fingerprints": index.count_fingerprints(),
+        **({"out": args.out} if args.out else {}),
+    }))
     if started_ray:
         ray.shutdown()
     return 0
@@ -310,6 +397,10 @@ def main(argv=None) -> int:
                      help="epoch-mode commits: full CoW snapshots or "
                           "winner-set deltas (merge-on-read; run 'compact' "
                           "to re-materialize snapshots)")
+    ing.add_argument("--dup-index", action="store_true", dest="dup_index",
+                     help="maintain the first-writer-wins content-"
+                          "fingerprint index at <lake>/fpindex (dedup-at-"
+                          "ingest; query it with the dups command)")
     ing.set_defaults(fn=cmd_ingest)
 
     cpt = sub.add_parser("compact",
@@ -340,6 +431,34 @@ def main(argv=None) -> int:
     ex.add_argument("--as-of", type=int, default=None, dest="as_of")
     ex.add_argument("--tombstones", action="store_true")
     ex.set_defaults(fn=cmd_export)
+
+    gt = sub.add_parser("get", help="point-lookup urls in the lake "
+                                    "(partition-pruned, no Ray session)")
+    gt.add_argument("lake")
+    gt.add_argument("urls", nargs="+")
+    gt.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    gt.add_argument("--as-of", type=int, default=None, dest="as_of")
+    gt.add_argument("--tombstones", action="store_true")
+    gt.set_defaults(fn=cmd_get)
+
+    pg = sub.add_parser("purge", help="physically remove urls from all "
+                                      "epochs (right-to-be-forgotten)")
+    pg.add_argument("lake")
+    pg.add_argument("urls", nargs="+")
+    pg.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    pg.set_defaults(fn=cmd_purge)
+
+    dp = sub.add_parser("dups",
+                        help="attribute live lake rows against the "
+                             "fingerprint index (dup_of/is_dup)")
+    dp.add_argument("lake")
+    dp.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    dp.add_argument("--out", default=None,
+                    help="write attributed rows to this parquet dir")
+    dp.set_defaults(fn=cmd_dups)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

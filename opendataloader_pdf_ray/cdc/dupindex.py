@@ -256,5 +256,20 @@ class DupIndex:
             return pa.table({})
         return pa.concat_tables(tables).sort_by([("fp", "ascending")])
 
+    def count_fingerprints(self) -> int:
+        """Index cardinality from parquet FOOTERS only (metadata, no data
+        read — safe to call on an index of any size)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for part in range(self.num_partitions):
+            for e in reversed(self.lake.committed_epochs(part)):
+                path = self.lake._data_path(part, e)
+                if self.lake.fs.exists(path):
+                    total += pq.read_metadata(
+                        path, filesystem=self.lake.fs).num_rows
+                    break
+        return total
+
     def lineage(self) -> List[dict]:
         return self.lake.all_lineage()

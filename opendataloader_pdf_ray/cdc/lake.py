@@ -313,6 +313,101 @@ class Lake:
             files.append(self._data_path(part, epochs[chosen]))
         return files
 
+    def lookup(self, urls: List[str], as_of: Optional[int] = None,
+               include_tombstones: bool = False) -> Optional[pa.Table]:
+        """Point reads: hash-route each url to its partition and perform the
+        merge-on-read fold for ONLY those partitions — O(|urls|) partition
+        reads regardless of lake size (the url-hash partitioning IS the
+        index). Returns the current (or ``as_of``) row per found url; urls
+        never ingested (or tombstoned, unless ``include_tombstones``) are
+        simply absent. None when nothing matches."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .ingest import url_partition  # runtime import: ingest ← lake
+
+        parts = url_partition(np.array(urls, dtype=object),
+                              self.num_partitions)
+        by_part: Dict[int, List[str]] = {}
+        for url, part in zip(urls, parts):
+            by_part.setdefault(int(part), []).append(url)
+        out = []
+        for part in sorted(by_part):
+            t = self.read_partition(part, as_of)
+            if t is None or t.num_rows == 0:
+                continue
+            sub = t.filter(pc.is_in(t["url"],
+                                    value_set=pa.array(by_part[part])))
+            if not include_tombstones:
+                sub = live_view(sub)
+            if sub.num_rows:
+                out.append(sub)
+        if not out:
+            return None
+        return pa.concat_tables(out).sort_by([("url", "ascending")])
+
+    def purge(self, urls: List[str]) -> Dict:
+        """Right-to-be-forgotten: physically remove the given urls from
+        EVERY data file (snapshots and deltas, all epochs) of their
+        partitions, so no read at ANY ``as_of`` returns them again. A
+        content-rewriting maintenance op like compact/vacuum: idempotent
+        (re-purging removed urls rewrites nothing) and crash-safe (each file
+        is replaced via the atomic-write path — readers see old-complete or
+        new-complete bytes, never partial). Commit records are NOT touched:
+        lineage counters describe the historical ingest, which did happen.
+        An audit record holding url HASHES only (never the urls — that would
+        defeat the purpose) is written to the commit log.
+
+        Scope: committed state only. Events still pending in the source log
+        (or ingested into a DIFFERENT keyspace, e.g. the fpindex) are the
+        caller's to handle; a NEW event for a purged url re-inserts it —
+        purge erases history, it does not ban the key."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .ingest import url_partition  # runtime import: ingest ← lake
+
+        parts = url_partition(np.array(urls, dtype=object),
+                              self.num_partitions)
+        by_part: Dict[int, List[str]] = {}
+        for url, part in zip(urls, parts):
+            by_part.setdefault(int(part), []).append(url)
+        files_rewritten = rows_removed = 0
+        for part, part_urls in sorted(by_part.items()):
+            value_set = pa.array(part_urls)
+            try:
+                names = sorted(self.fs.ls(self._part_dir(part), detail=False))
+            except FileNotFoundError:
+                continue
+            for full in names:
+                name = posixpath.basename(full)
+                if not (name.startswith(("epoch=", "delta="))
+                        and name.endswith(".parquet")):
+                    continue
+                t = pq.read_table(full, filesystem=self.fs)
+                mask = pc.is_in(t["url"], value_set=value_set)
+                hits = int(pc.sum(mask.cast(pa.int64())).as_py() or 0)
+                if not hits:
+                    continue  # idempotence: untouched files stay byte-stable
+                self._write_table_atomic(t.filter(pc.invert(mask)), full)
+                files_rewritten += 1
+                rows_removed += hits
+        audit = {
+            "op": "purge",
+            "url_hashes": sorted(hashlib.sha256(u.encode()).hexdigest()
+                                 for u in urls),
+            "files_rewritten": files_rewritten,
+            "rows_removed": rows_removed,
+        }
+        batch_id = hashlib.sha256(
+            "".join(audit["url_hashes"]).encode()).hexdigest()[:16]
+        self._write_small_atomic(
+            posixpath.join(self._commits_dir(), f"purge-{batch_id}.json"),
+            json.dumps(audit).encode())
+        return audit
+
     def read_state(self, as_of: Optional[int] = None, include_tombstones: bool = False) -> pa.Table:
         """Whole-lake state as ONE pyarrow table (tests / small lakes only —
         big lakes should use partition_files() + ray.data.read_parquet).

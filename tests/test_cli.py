@@ -128,3 +128,50 @@ class TestExportCLI:
         assert rep["rows"] == want.num_rows == got.num_rows
         assert sorted(got.column_names) == sorted(want.column_names)
         assert sorted(got["url"].to_pylist()) == sorted(want["url"].to_pylist())
+
+
+class TestDupsCLI:
+    def test_ingest_dup_index_then_dups(self, tmp_path, capsys, ray_session):
+        """ingest --dup-index builds <lake>/fpindex; dups attributes the
+        live state against it (summary mode and --out parquet mode)."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        html_a = b"<html><body><p>same body everywhere</p></body></html>"
+        n = 12
+        events = pa.table({
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "op": pa.array(["I"] * n, pa.string()),
+            "url": pa.array([f"https://d.x/{i}" for i in range(n)],
+                            pa.string()),
+            "warc_ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                                 for i in range(n)], pa.timestamp("us")),
+            "html": pa.array([html_a if i % 4 == 0 else
+                              b"<p>only %d</p>" % i for i in range(n)],
+                             pa.binary()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+        events_path = tmp_path / "events.parquet"
+        pq.write_table(events, str(events_path))
+        lake_dir = tmp_path / "lake"
+        assert main(["ingest", str(events_path), str(lake_dir),
+                     "--epoch-size", "6", "--partitions", "4", "--mode",
+                     "epoch", "--dup-index"]) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # 12 events, 3 share one fingerprint → 10 distinct
+        assert stats["distinct_fingerprints"] == 10
+
+        assert main(["dups", str(lake_dir)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep == {"live_rows": 12, "dup_rows": 2,
+                       "distinct_fingerprints": 10}
+
+        out_dir = tmp_path / "attributed"
+        assert main(["dups", str(lake_dir), "--out", str(out_dir)]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["live_rows"] == 12 and rep2["dup_rows"] == 2
+        got = pads.dataset(str(out_dir), format="parquet").to_table()
+        dups = {r["url"]: r["dup_of"] for r in got.to_pylist() if r["is_dup"]}
+        assert dups == {"https://d.x/4": "https://d.x/0",
+                        "https://d.x/8": "https://d.x/0"}
