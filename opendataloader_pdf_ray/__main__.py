@@ -254,11 +254,17 @@ def cmd_get(args) -> int:
 
 def cmd_purge(args) -> int:
     """Right-to-be-forgotten: physically remove urls from every data file of
-    their partitions (all epochs); audit record stores url hashes only."""
-    from .cdc import Lake
+    their partitions (all epochs); audit records store url hashes only. When
+    the lake carries a fingerprint index (ingest --dup-index) its owner
+    records are scrubbed too — the index stores urls."""
+    from .cdc import DupIndex, Lake, dup_index_root
 
     lake = Lake(args.lake, args.partitions)
-    print(json.dumps(lake.purge(args.urls)))
+    report = lake.purge(args.urls)
+    idx_root = dup_index_root(args.lake)
+    if lake.fs.exists(idx_root):
+        report["fpindex"] = DupIndex(idx_root).purge_keys(args.urls)
+    print(json.dumps(report))
     return 0
 
 

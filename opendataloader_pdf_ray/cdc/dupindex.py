@@ -256,6 +256,60 @@ class DupIndex:
             return pa.table({})
         return pa.concat_tables(tables).sort_by([("fp", "ascending")])
 
+    def purge_keys(self, keys: List[str]) -> dict:
+        """Right-to-be-forgotten for the INDEX keyspace: remove every row
+        whose owner key matches (the index stores the owner's url — PII the
+        lake-side :meth:`~.lake.Lake.purge` alone would leave behind).
+        Unlike the lake purge this must scan ALL index partitions (rows are
+        fp-partitioned, so a key's rows can be anywhere) — a maintenance op,
+        not a serving path. Atomic-replace rewrites, idempotent; purged
+        fingerprints lose their first-writer record entirely, so the next
+        writer of that content becomes the new owner in a later epoch.
+        Audit semantics mirror the lake purge (hashes only, commit log
+        untouched)."""
+        import hashlib
+        import json
+        import posixpath
+
+        import pyarrow.parquet as pq
+
+        key_set = pa.array(keys)  # inferred type matches the stored key col
+        files_rewritten = rows_removed = 0
+        for part in range(self.num_partitions):
+            try:
+                names = sorted(self.lake.fs.ls(self.lake._part_dir(part),
+                                               detail=False))
+            except FileNotFoundError:
+                continue
+            for full in names:
+                name = posixpath.basename(full)
+                if not (name.startswith("epoch=")
+                        and name.endswith(".parquet")):
+                    continue
+                t = pq.read_table(full, filesystem=self.lake.fs)
+                mask = pc.is_in(t[self.key_col], value_set=key_set)
+                hits = int(pc.sum(mask.cast(pa.int64())).as_py() or 0)
+                if not hits:
+                    continue
+                self.lake._write_table_atomic(t.filter(pc.invert(mask)),
+                                              full)
+                files_rewritten += 1
+                rows_removed += hits
+        audit = {
+            "op": "purge_keys",
+            "key_hashes": sorted(hashlib.sha256(str(k).encode()).hexdigest()
+                                 for k in keys),
+            "files_rewritten": files_rewritten,
+            "rows_removed": rows_removed,
+        }
+        batch_id = hashlib.sha256(
+            "".join(audit["key_hashes"]).encode()).hexdigest()[:16]
+        self.lake._write_small_atomic(
+            posixpath.join(self.lake._commits_dir(),
+                           f"purge-{batch_id}.json"),
+            json.dumps(audit).encode())
+        return audit
+
     def count_fingerprints(self) -> int:
         """Index cardinality from parquet FOOTERS only (metadata, no data
         read — safe to call on an index of any size)."""

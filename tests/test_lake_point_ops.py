@@ -135,3 +135,66 @@ class TestPurge:
         assert main(["get", lake_root, victim, "--tombstones"]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["found"] == 0
+
+
+class TestIndexPurge:
+    def test_purge_scrubs_fpindex_owner_records(self, tmp_path, capsys,
+                                                ray_session):
+        """CLI purge on a --dup-index lake also erases the victims' owner
+        rows from <lake>/fpindex (the index stores urls)."""
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import DupIndex, dup_index_root
+
+        html = b"<html><body><p>owner content</p></body></html>"
+        n = 9
+        events = pa.table({
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "op": pa.array(["I"] * n, pa.string()),
+            "url": pa.array([f"https://p.x/{i}" for i in range(n)],
+                            pa.string()),
+            "warc_ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                                 for i in range(n)], pa.timestamp("us")),
+            "html": pa.array([html if i % 3 == 0 else
+                              b"<p>body %d</p>" % i for i in range(n)],
+                             pa.binary()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+        events_path = tmp_path / "events.parquet"
+        pq.write_table(events, str(events_path))
+        lake_root = str(tmp_path / "lake")
+        assert main(["ingest", str(events_path), lake_root, "--epoch-size",
+                     "5", "--partitions", "4", "--mode", "epoch",
+                     "--dup-index"]) == 0
+        capsys.readouterr()
+
+        victim = "https://p.x/0"  # owner of the shared-content fingerprint
+        assert main(["purge", lake_root, victim]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["fpindex"]["rows_removed"] >= 1
+        assert victim not in json.dumps(rep)  # hashes only
+        idx = DupIndex(dup_index_root(lake_root))
+        state = idx.read_state()
+        assert victim not in state["url"].to_pylist()
+        # idempotent
+        assert idx.purge_keys([victim])["rows_removed"] == 0
+        # dups after purge: urls 3,6 no longer attribute to the purged owner
+        assert main(["dups", lake_root]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["dup_rows"] == 0
+
+    def test_purge_without_index_has_no_fpindex_key(self, tmp_path, capsys,
+                                                    ray_session):
+        events_path = str(tmp_path / "events.parquet")
+        pq.write_table(gen_events(60, 20, seed=5), events_path)
+        lake_root = str(tmp_path / "lake")
+        assert main(["ingest", events_path, lake_root, "--epoch-size", "60",
+                     "--partitions", "4", "--mode", "epoch"]) == 0
+        capsys.readouterr()
+        url = gen_events(60, 20, seed=5)["url"][0].as_py()
+        assert main(["purge", lake_root, url]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "fpindex" not in rep
+        import os
+
+        assert not os.path.exists(os.path.join(lake_root, "fpindex"))
