@@ -157,6 +157,7 @@ def cmd_ingest(args) -> int:
     cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size,
                     epoch_commits=args.commit_mode,
                     maintain_dup_index=args.dup_index,
+                    dup_index_commits=args.dup_index_commits,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     if args.mode == "follow":
         from .cdc.ingest import follow
@@ -186,13 +187,19 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from .cdc import Lake
+    from .cdc import DupIndex, Lake, dup_index_root
 
     lake = Lake(args.lake, args.partitions)
     compacted = lake.compact()
     removed = lake.vacuum(keep_snapshots=args.keep_snapshots)
-    print(json.dumps({"partitions_compacted": compacted,
-                      "files_reclaimed": removed}))
+    report = {"partitions_compacted": compacted, "files_reclaimed": removed}
+    idx_root = dup_index_root(args.lake)
+    if lake.fs.exists(idx_root):  # fold the fingerprint keyspace too
+        index = DupIndex(idx_root)
+        report["fpindex_compacted"] = index.compact()
+        report["fpindex_reclaimed"] = index.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
+    print(json.dumps(report))
     return 0
 
 
@@ -407,6 +414,11 @@ def main(argv=None) -> int:
                      help="maintain the first-writer-wins content-"
                           "fingerprint index at <lake>/fpindex (dedup-at-"
                           "ingest; query it with the dups command)")
+    ing.add_argument("--dup-index-commits", default="snapshot",
+                     choices=("snapshot", "delta"), dest="dup_index_commits",
+                     help="index commit mode: CoW snapshot per epoch, or "
+                          "winners-only deltas folded merge-on-read "
+                          "(compact folds them)")
     ing.set_defaults(fn=cmd_ingest)
 
     cpt = sub.add_parser("compact",

@@ -24,6 +24,12 @@ Design (SURVEY.md §2.7 dedup + §2.9 streaming):
   (tested), the same determinism contract as the LWW lake fold (merge.py).
   Tombstone events carry no content (null text) and are ignored: the index
   answers "who wrote this content FIRST", which deletion never un-answers.
+- **commit modes**: ``snapshot`` (CoW per epoch) or ``delta`` (winners-only
+  append; readers fold the chain FWW merge-on-read and
+  :meth:`DupIndex.compact` re-materializes a snapshot) — the same
+  write-amplification trade the url keyspace makes with
+  ``CDCConfig.epoch_commits``, because a high-frequency tail would
+  otherwise rewrite every index partition every epoch.
 - **attribution**: :meth:`DupIndex.attribute` co-partitions input rows into
   fp-space (one shuffle, text dropped) and each group task loads ITS index
   partition once — a co-located lookup, not a Dataset.join and not a
@@ -92,21 +98,58 @@ def first_per_fp(table: pa.Table, key_col: str, ts_col: str, seq_col: str,
     return out
 
 
+def read_index_partition(lake: Lake, part: int, key_col: str, ts_col: str,
+                         seq_col: str,
+                         as_of: Optional[int] = None) -> Optional[pa.Table]:
+    """FWW merge-on-read for an INDEX partition: newest snapshot ≤ as_of is
+    the base, committed delta files after it fold on top with
+    :func:`first_per_fp` (the fp-keyspace dual of ``Lake.read_partition``,
+    whose LWW-per-url fold would be the wrong semantics here)."""
+    import pyarrow.parquet as pq
+
+    epochs = lake.committed_epochs(part)
+    if as_of is not None:
+        epochs = [e for e in epochs if e <= as_of]
+    pieces: List[pa.Table] = []
+    base_idx = -1
+    for i in range(len(epochs) - 1, -1, -1):
+        path = lake._data_path(part, epochs[i])
+        if lake.fs.exists(path):
+            pieces.append(pq.read_table(path, filesystem=lake.fs))
+            base_idx = i
+            break
+    for epoch in epochs[base_idx + 1:]:
+        dpath = lake._delta_path(part, epoch)
+        if lake.fs.exists(dpath):
+            pieces.append(pq.read_table(dpath, filesystem=lake.fs))
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return pieces[0]
+    merged = first_per_fp(pa.concat_tables(pieces), key_col, ts_col, seq_col)
+    return merged.sort_by([("fp", "ascending")])
+
+
 class _ApplyIndexPartition:
-    """One call per fp-partition group: read the base index partition, FWW-
-    fold the epoch's candidates in, commit through the idempotent commit
-    log. A retried / re-run task sees the (part, epoch) commit record and
-    no-ops (reports ``skipped``) — exactly-once, same protocol as
-    :class:`~.ingest.ApplyPartition`."""
+    """One call per fp-partition group: FWW-fold the epoch's candidates into
+    the index partition, commit through the idempotent commit log. A
+    retried / re-run task sees the (part, epoch) commit record and no-ops
+    (reports ``skipped``) — exactly-once, same protocol as
+    :class:`~.ingest.ApplyPartition`. ``commit_mode="delta"`` writes ONLY
+    this epoch's candidate set (no base read-modify-write — the streaming-
+    tail write-amplification fix, mirroring the lake's delta commits);
+    readers fold the chain FWW merge-on-read."""
 
     __name__ = "_ApplyIndexPartition"  # map_groups wraps plain callables by name
 
     def __init__(self, root: str, num_partitions: int, epoch: int,
-                 key_col: str, ts_col: str, seq_col: str):
+                 key_col: str, ts_col: str, seq_col: str,
+                 commit_mode: str = "snapshot"):
         self.root = root
         self.num_partitions = num_partitions
         self.epoch = epoch
         self.key_col, self.ts_col, self.seq_col = key_col, ts_col, seq_col
+        self.commit_mode = commit_mode
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lake = Lake(self.root, self.num_partitions)
@@ -119,20 +162,33 @@ class _ApplyIndexPartition:
             seq_min = int(pc.min(group[self.seq_col]).as_py())
             seq_max = int(pc.max(group[self.seq_col]).as_py())
             updates = group.drop_columns(list(_HELPER_COLS))
-            base = lake.read_partition(part, as_of=self.epoch - 1)
-            merged = updates if base is None \
-                else pa.concat_tables([base, updates])
-            merged = first_per_fp(merged, self.key_col, self.ts_col,
-                                  self.seq_col)
             # canonical order: fp ascending → commit bytes are a pure
             # function of the folded event SET (determinism invariant)
-            merged = merged.sort_by([("fp", "ascending")])
-            lineage = Lineage(
-                part=part, epoch=self.epoch, events_consumed=events,
-                rows_upserted=merged.num_rows
-                - (base.num_rows if base is not None else 0),
-                rows_deleted=0, seq_min=seq_min, seq_max=seq_max)
-            out = lake.commit_partition(part, self.epoch, merged, lineage)
+            if self.commit_mode == "delta":
+                winners = first_per_fp(updates, self.key_col, self.ts_col,
+                                       self.seq_col) \
+                    .sort_by([("fp", "ascending")])
+                lineage = Lineage(
+                    part=part, epoch=self.epoch, events_consumed=events,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=seq_min, seq_max=seq_max)
+                out = lake.commit_delta(part, self.epoch, winners, lineage)
+            else:
+                base = read_index_partition(lake, part, self.key_col,
+                                            self.ts_col, self.seq_col,
+                                            as_of=self.epoch - 1)
+                merged = updates if base is None \
+                    else pa.concat_tables([base, updates])
+                merged = first_per_fp(merged, self.key_col, self.ts_col,
+                                      self.seq_col)
+                merged = merged.sort_by([("fp", "ascending")])
+                lineage = Lineage(
+                    part=part, epoch=self.epoch, events_consumed=events,
+                    rows_upserted=merged.num_rows
+                    - (base.num_rows if base is not None else 0),
+                    rows_deleted=0, seq_min=seq_min, seq_max=seq_max)
+                out = lake.commit_partition(part, self.epoch, merged,
+                                            lineage)
         return pa.table({
             "part": pa.array([out.part], pa.int32()),
             "epoch": pa.array([out.epoch], pa.int32()),
@@ -156,11 +212,45 @@ class DupIndex:
 
     def __init__(self, root: str, num_partitions: Optional[int] = None,
                  key_col: str = "url", ts_col: str = "warc_ts",
-                 seq_col: str = "seq", text_col: str = "text"):
+                 seq_col: str = "seq", text_col: str = "text",
+                 commit_mode: str = "snapshot"):
+        if commit_mode not in ("snapshot", "delta"):
+            raise ValueError(commit_mode)
         self.lake = Lake(root, num_partitions)
         self.num_partitions = self.lake.num_partitions
         self.key_col, self.ts_col = key_col, ts_col
         self.seq_col, self.text_col = seq_col, text_col
+        self.commit_mode = commit_mode
+
+    def read_partition(self, part: int,
+                       as_of: Optional[int] = None) -> Optional[pa.Table]:
+        return read_index_partition(self.lake, part, self.key_col,
+                                    self.ts_col, self.seq_col, as_of=as_of)
+
+    def compact(self, parts: Optional[List[int]] = None) -> int:
+        """Materialize the FWW merge-on-read state as a snapshot at each
+        partition's newest committed epoch (same no-new-commit-record
+        contract as ``Lake.compact``: a snapshot is a cached view of
+        already-committed history — idempotent, crash-safe via the atomic
+        write). Follow with ``self.lake.vacuum()`` to reclaim folded
+        deltas (vacuum is content-agnostic, so the lake's works as-is)."""
+        done = 0
+        for part in (parts if parts is not None
+                     else range(self.num_partitions)):
+            epochs = self.lake.committed_epochs(part)
+            if not epochs:
+                continue
+            newest = epochs[-1]
+            if self.lake.fs.exists(self.lake._data_path(part, newest)):
+                continue
+            state = self.read_partition(part)
+            if state is None:
+                continue
+            self.lake.fs.makedirs(self.lake._part_dir(part), exist_ok=True)
+            self.lake._write_table_atomic(
+                state, self.lake._data_path(part, newest))
+            done += 1
+        return done
 
     # ------------------------------------------------------------ update
     def _partial(self):
@@ -196,7 +286,8 @@ class DupIndex:
         candidates = ds.map_batches(self._partial(), batch_format="pyarrow")
         lineage = candidates.groupby("fp_part").map_groups(
             _ApplyIndexPartition(self.lake.root, self.num_partitions, epoch,
-                                 self.key_col, self.ts_col, self.seq_col),
+                                 self.key_col, self.ts_col, self.seq_col,
+                                 commit_mode=self.commit_mode),
             batch_format="pyarrow")
         return lineage.take_all()  # ≤ P tiny rows
 
@@ -209,6 +300,7 @@ class DupIndex:
         its own index partition once — co-located lookup, no join/broadcast.
         Rows whose fp the index has never seen get dup_of=null."""
         key_col, text_col = self.key_col, self.text_col
+        ts_col, seq_col = self.ts_col, self.seq_col
         keep = list(keep_cols) if keep_cols else [key_col]
         if key_col not in keep:
             keep.insert(0, key_col)
@@ -226,7 +318,8 @@ class DupIndex:
         def attach(group: pa.Table) -> pa.Table:
             lake = Lake(root, num_partitions)
             part = int(group["fp_part"][0].as_py())
-            idx = lake.read_partition(part, as_of=as_of)
+            idx = read_index_partition(lake, part, key_col, ts_col, seq_col,
+                                       as_of=as_of)
             owners = {} if idx is None else dict(
                 zip(idx["fp"].to_pylist(), idx[key_col].to_pylist()))
             keys = group[key_col].to_pylist()
@@ -249,7 +342,7 @@ class DupIndex:
         scale reads go through attribute()'s per-partition tasks)."""
         tables = []
         for part in range(self.num_partitions):
-            t = self.lake.read_partition(part, as_of=as_of)
+            t = self.read_partition(part, as_of=as_of)
             if t is not None and t.num_rows:
                 tables.append(t)
         if not tables:
@@ -283,7 +376,7 @@ class DupIndex:
                 continue
             for full in names:
                 name = posixpath.basename(full)
-                if not (name.startswith("epoch=")
+                if not (name.startswith(("epoch=", "delta="))
                         and name.endswith(".parquet")):
                     continue
                 t = pq.read_table(full, filesystem=self.lake.fs)
@@ -311,18 +404,24 @@ class DupIndex:
         return audit
 
     def count_fingerprints(self) -> int:
-        """Index cardinality from parquet FOOTERS only (metadata, no data
-        read — safe to call on an index of any size)."""
+        """Index cardinality — parquet FOOTERS only (metadata, no data read)
+        wherever a partition's tip is a snapshot; partitions with a live
+        delta chain need the FWW fold (a delta can re-own an existing fp, so
+        chain row counts don't add)."""
         import pyarrow.parquet as pq
 
         total = 0
         for part in range(self.num_partitions):
-            for e in reversed(self.lake.committed_epochs(part)):
-                path = self.lake._data_path(part, e)
-                if self.lake.fs.exists(path):
-                    total += pq.read_metadata(
-                        path, filesystem=self.lake.fs).num_rows
-                    break
+            epochs = self.lake.committed_epochs(part)
+            if not epochs:
+                continue
+            tip = self.lake._data_path(part, epochs[-1])
+            if self.lake.fs.exists(tip):
+                total += pq.read_metadata(
+                    tip, filesystem=self.lake.fs).num_rows
+            else:
+                t = self.read_partition(part)
+                total += t.num_rows if t is not None else 0
         return total
 
     def lineage(self) -> List[dict]:

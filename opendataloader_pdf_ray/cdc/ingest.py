@@ -63,7 +63,8 @@ def _maintain_dup_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
     from .dupindex import DupIndex
 
     index = DupIndex(dup_index_root(lake.root),
-                     cfg.dup_index_partitions or cfg.num_partitions)
+                     cfg.dup_index_partitions or cfg.num_partitions,
+                     commit_mode=cfg.dup_index_commits)
     return index.update(ds, epoch)
 
 

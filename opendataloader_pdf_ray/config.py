@@ -212,6 +212,10 @@ class CDCConfig:
     # extracted stream feeds both keyspaces) + one slim fp-shuffle per epoch.
     maintain_dup_index: bool = False
     dup_index_partitions: Optional[int] = None  # default: num_partitions
+    # "snapshot" (CoW per epoch) | "delta" (winners-only append + FWW
+    # merge-on-read + DupIndex.compact — the write-amplification fix for
+    # high-frequency epochs, mirroring epoch_commits on the url keyspace)
+    dup_index_commits: str = "snapshot"
 
 
 DEFAULT_EXTRACTOR_CONFIG = ExtractorConfig()

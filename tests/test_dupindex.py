@@ -252,3 +252,92 @@ class TestIngestIntegration:
         lineage = ingest_epochs(path, lake, [0, 1], cfg)
         assert all(r["skipped"] for r in lineage)
         assert idx.read_state().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeltaCommits:
+    def test_delta_equals_snapshot_state(self, tmp_path):
+        """Delta-mode chain folds to byte-identical state vs CoW snapshots,
+        at any epoch chunking; compact materializes the same bytes and
+        vacuum reclaims the folded chain without changing reads."""
+        t = corpus_table()
+        snap = new_index(tmp_path / "snap")
+        delta = new_index(tmp_path / "delta", commit_mode="delta")
+        per = 20
+        for e in range((t.num_rows + per - 1) // per):
+            sub = t.slice(e * per, per)
+            snap.update(ds_of(sub, blocks=3), epoch=e)
+            delta.update(ds_of(sub, blocks=2), epoch=e)
+        want = snap.read_state()
+        assert delta.read_state().equals(want)
+        # delta files are winners-only appends, not full partitions
+        kinds = {r["kind"] for r in delta.lineage()}
+        assert kinds == {"delta"}
+        # compact + vacuum: same reads, chain reclaimed
+        assert delta.compact() > 0
+        removed = delta.lake.vacuum()
+        assert removed > 0
+        assert delta.read_state().equals(want)
+        # count_fingerprints agrees before/after compaction paths
+        assert delta.count_fingerprints() == want.num_rows
+
+    def test_delta_exactly_once_and_attribute(self, tmp_path):
+        t = corpus_table()
+        idx = new_index(tmp_path / "idx", commit_mode="delta")
+        idx.update(ds_of(t), epoch=0)
+        again = idx.update(ds_of(t), epoch=0)
+        assert all(r["skipped"] for r in again)
+        owners = sequential_owner(t)
+        out = idx.attribute(ds_of(t), keep_cols=["key"]).take_all()
+        got = {r["key"]: r["dup_of"] for r in out}
+        for row in t.to_pylist():
+            own = owners[hashlib.md5(row["text"].encode()).digest()]
+            assert got[row["key"]] == (None if own == row["key"] else own)
+
+    def test_delta_out_of_order_reowns_fp(self, tmp_path):
+        """A later epoch carrying an EARLIER (ts, seq) event must take
+        ownership through the merge-on-read fold (FWW is not append-only)."""
+        first = pa.table({
+            "key": pa.array(["b"], pa.string()),
+            "ts": pa.array([100], pa.int64()),
+            "seq": pa.array([10], pa.int64()),
+            "text": pa.array(["shared"], pa.string()),
+        })
+        late = pa.table({
+            "key": pa.array(["a"], pa.string()),
+            "ts": pa.array([50], pa.int64()),
+            "seq": pa.array([5], pa.int64()),
+            "text": pa.array(["shared"], pa.string()),
+        })
+        idx = new_index(tmp_path / "idx", commit_mode="delta")
+        idx.update(ds_of(first, blocks=1), epoch=0)
+        assert idx.read_state()["key"].to_pylist() == ["b"]
+        idx.update(ds_of(late, blocks=1), epoch=1)
+        assert idx.read_state()["key"].to_pylist() == ["a"]
+        # time travel: at epoch 0 ownership was still b's
+        assert idx.read_state(as_of=0)["key"].to_pylist() == ["b"]
+
+    def test_ingest_delta_mode_and_cli_compact(self, tmp_path, capsys):
+        """replay with dup_index_commits='delta', then CLI compact folds the
+        fpindex chain alongside the lake."""
+        import json as _json
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc import dup_index_root, replay
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        path = str(tmp_path / "events.parquet")
+        pq.write_table(gen_events(120, 30, seed=9), path)
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=30,
+                        extract_batch_size=8, extract_concurrency=2,
+                        maintain_dup_index=True, dup_index_commits="delta")
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, cfg, mode="epoch")
+        idx = DupIndex(dup_index_root(lake_root))
+        before = idx.read_state()
+        assert before.num_rows > 0
+        assert main(["compact", lake_root]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["fpindex_compacted"] > 0
+        assert rep["fpindex_reclaimed"] > 0
+        assert DupIndex(dup_index_root(lake_root)).read_state().equals(before)
