@@ -204,12 +204,16 @@ def cmd_compact(args) -> int:
 
 
 def cmd_fsck(args) -> int:
-    from .cdc import Lake
+    from .cdc import DupIndex, Lake, dup_index_root
 
     lake = Lake(args.lake, args.partitions)
     report = lake.verify(deep=args.deep)
+    idx_root = dup_index_root(args.lake)
+    if lake.fs.exists(idx_root):  # audit the fingerprint keyspace too
+        report["fpindex"] = DupIndex(idx_root).verify(deep=args.deep)
     print(json.dumps(report))
-    return 0 if report["ok"] else 1
+    ok = report["ok"] and report.get("fpindex", {"ok": True})["ok"]
+    return 0 if ok else 1
 
 
 def cmd_export(args) -> int:

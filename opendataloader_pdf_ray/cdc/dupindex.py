@@ -424,5 +424,32 @@ class DupIndex:
                 total += t.num_rows if t is not None else 0
         return total
 
+    def verify(self, deep: bool = False) -> dict:
+        """fsck for the index keyspace: the lake's generic commit-log ↔
+        data-file audit (readability of every partition's current chain),
+        minus its url-keyspace deep checks, plus index-specific deep ones —
+        the tip state of each partition must be fp-sorted and fp-unique
+        (the FWW fold's canonical form; a violation means a corrupted or
+        foreign file)."""
+        report = self.lake.verify(deep=False)
+        if deep:
+            for part in range(self.num_partitions):
+                t = self.read_partition(part)
+                if t is None:
+                    continue
+                fps = t["fp"].to_pylist()
+                if fps != sorted(fps):
+                    report["issues"].append(
+                        f"fpindex part {part}: state not fp-sorted")
+                if len(set(fps)) != len(fps):
+                    report["issues"].append(
+                        f"fpindex part {part}: duplicate fps")
+                for col in ("fp", self.key_col, self.ts_col, self.seq_col):
+                    if col not in t.column_names:
+                        report["issues"].append(
+                            f"fpindex part {part}: column {col} missing")
+            report["ok"] = not report["issues"]
+        return report
+
     def lineage(self) -> List[dict]:
         return self.lake.all_lineage()

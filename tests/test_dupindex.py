@@ -341,3 +341,51 @@ class TestDeltaCommits:
         assert rep["fpindex_compacted"] > 0
         assert rep["fpindex_reclaimed"] > 0
         assert DupIndex(dup_index_root(lake_root)).read_state().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexFsck:
+    def test_verify_healthy_and_corrupted(self, tmp_path, capsys):
+        import json as _json
+
+        from opendataloader_pdf_ray.__main__ import main
+
+        idx = new_index(tmp_path / "lake" / "fpindex", commit_mode="delta")
+        t = corpus_table(30)
+        idx.update(ds_of(t, blocks=2), epoch=0)
+        idx.update(ds_of(corpus_table(45).slice(30), blocks=2), epoch=1)
+        rep = idx.verify(deep=True)
+        assert rep["ok"] and not rep["issues"]
+        # a missing delta in the live chain must be caught
+        victim_part = next(p for p in range(idx.num_partitions)
+                           if idx.lake.fs.exists(idx.lake._delta_path(p, 1)))
+        idx.lake.fs.rm_file(idx.lake._delta_path(victim_part, 1))
+        bad = idx.verify()
+        assert not bad["ok"] and any("delta file" in i or "data files" in i
+                                     for i in bad["issues"])
+
+    def test_cli_fsck_includes_fpindex(self, tmp_path, capsys):
+        import json as _json
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc import replay
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        path = str(tmp_path / "events.parquet")
+        pq.write_table(gen_events(60, 20, seed=4), path)
+        lake_root = str(tmp_path / "lake")
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=30,
+                        extract_batch_size=8, extract_concurrency=2,
+                        maintain_dup_index=True)
+        replay(path, lake_root, cfg, mode="epoch")
+        assert main(["fsck", lake_root, "--deep"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["ok"] and rep["fpindex"]["ok"]
+        # corrupt the index chain → nonzero exit through the same command
+        idx = DupIndex(dup_index_root(lake_root))
+        part = next(p for p in range(idx.num_partitions)
+                    if idx.lake.committed_epochs(p))
+        tip = idx.lake.committed_epochs(part)[-1]
+        idx.lake.fs.rm_file(idx.lake._data_path(part, tip))
+        assert main(["fsck", lake_root]) == 1
+        capsys.readouterr()
