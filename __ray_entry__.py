@@ -47,6 +47,8 @@ _GATE_TAIL = [
     "union_key_counts",        # union — exercised inside dedup_minhash_clusters
     "dedup_exact",             # exact dedup — cdc_dup_attribution gates the
                                # same FWW fold through the full index machinery
+    "customers_without_orders",  # hash anti-join — parts_never_shipped_bloom
+                                 # keeps the anti-join family in the gate
 ]
 
 

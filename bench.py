@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "semantic_dup_cross_source", "doc_top_per_source", "doc_top_words_mg",
     "parts_never_shipped_bloom", "events_user_running_total",
     "events_value_median_by_type", "doc_weighted_sample",
-    "events_range_join", "cdc_dup_attribution",
+    "events_range_join", "cdc_dup_attribution", "doc_unigram_logprob",
 ]
 
 

@@ -912,6 +912,86 @@ FROM ranked WHERE rn <= 3
 """
 
 
+def doc_unigram_logprob(sf_dir: str, max_vocab: int = 1000):
+    """CCNet-style LM quality score (the perplexity filter of corpus
+    pipelines, with a unigram model standing in for KenLM): pass 1 fits the
+    model — global unigram counts (per-batch Counter pre-aggregation → one
+    word groupby; the shuffle carries the DISTINCT-word vocabulary, which is
+    Zipf-bounded, not corpus-sized), capped at ``max_vocab`` words by
+    (count desc, word asc) with add-one smoothing; pass 2 broadcasts the
+    model via ``ray.put`` once and scores every doc locally:
+    ``logprob_avg = mean over tokens of ln p(w)``, OOV words at the floor
+    probability. Low scores = far from the corpus distribution — the drop
+    candidates. Same two-pass broadcast shape as doc_tfidf_top_terms."""
+    import math
+
+    import ray as _ray
+
+    from .common import round_half_away
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(t.split(" "))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    # one pass over text; the distinct-word frame feeds both the corpus
+    # total and the capped vocab (bounded by vocabulary size, spillable)
+    counts = (ds.map_batches(word_counts, batch_format="pyarrow")
+                .groupby("word")
+                .aggregate(Sum("c", alias_name="c"))
+                .materialize())
+    total = counts.aggregate(Sum("c", alias_name="c"))["c"]
+    vocab_rows = (counts.sort(["c", "word"], descending=[True, False])
+                        .limit(max_vocab).take_all())  # ≤ max_vocab rows
+    model = {r["word"]: r["c"] for r in vocab_rows}
+    denom = float(total + len(model) + 1)
+    model_ref = _ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = ray.get(model_ref)
+        ids, ntoks, lps = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            ws = t.split(" ")
+            s = 0.0
+            for w in ws:
+                s += math.log((m.get(w, 0) + 1) / denom)
+            ids.append(did)
+            ntoks.append(len(ws))
+            lps.append(s / len(ws))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "logprob_avg": pa.array(
+                round_half_away(np.array(lps, np.float64), 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+DOC_UNIGRAM_LOGPROB_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM w),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+vocab AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 1000),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM vocab),
+p AS (SELECT w.doc_id,
+             ln((COALESCE(vocab.c, 0) + 1) / (tot.T + v.V + 1)) AS lp
+      FROM w LEFT JOIN vocab USING (word) CROSS JOIN tot CROSS JOIN v)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS logprob_avg
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def doc_passage_chunks(sf_dir: str, window: int = 50, stride: int = 25):
     """Sliding-window passage chunking (the RAG/training-data fan-out op):
     each doc flat-maps into overlapping token windows with deterministic
@@ -1198,6 +1278,7 @@ DOC_QUERIES = {
     "doc_frequent_ngrams": doc_frequent_ngrams,
     "doc_length_percentiles": doc_length_percentiles,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "doc_passage_chunks": doc_passage_chunks,
     "doc_source_quota_sample": doc_source_quota_sample,
     "doc_top_per_source": doc_top_per_source,
@@ -1226,6 +1307,7 @@ DOC_ORACLE_SQL = {
     "doc_frequent_ngrams": DOC_FREQUENT_NGRAMS_SQL,
     "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
     "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
     "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,

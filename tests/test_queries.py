@@ -28,7 +28,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "semantic_dup_cross_source", "doc_top_per_source",
           "doc_top_words_mg", "parts_never_shipped_bloom",
           "events_user_running_total", "events_value_median_by_type",
-          "doc_weighted_sample"]
+          "doc_weighted_sample", "cdc_dup_attribution",
+          "doc_unigram_logprob"]
 
 
 @pytest.fixture(scope="module")
