@@ -160,30 +160,42 @@ def events_sliding_window(sf_dir: str):
                .aggregate(Sum("n", alias_name="n"),
                           Sum("v_i", alias_name="v_i")))
 
-    def window(group: pa.Table) -> pa.Table:
-        idx = np.argsort(group["epoch_day"].to_numpy(zero_copy_only=False),
-                         kind="stable")
-        n = group["n"].to_numpy(zero_copy_only=False)[idx]
-        v = group["v_i"].to_numpy(zero_copy_only=False)[idx]
+    def window(t: pa.Table) -> pa.Table:
+        # One vectorized pass over the WHOLE (type, day) frame: lexsort by
+        # (event_type, epoch_day), cumsum with resets at type boundaries —
+        # same reset trick as events_user_running_total. Keys are unique per
+        # row, so the permutation (hence every output byte) is deterministic
+        # regardless of input block order.
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        days = t["epoch_day"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((days, types))
+        st, sd = types[idx], days[idx]
+        n = t["n"].to_numpy(zero_copy_only=False)[idx]
+        v = t["v_i"].to_numpy(zero_copy_only=False)[idx]
         cn = np.concatenate([[0], np.cumsum(n)])
         cv = np.concatenate([[0], np.cumsum(v)])
-        lo = np.maximum(np.arange(len(n)) - 2, 0)
-        mov_n = cn[1 + np.arange(len(n))] - cn[lo]
-        mov_v = (cv[1 + np.arange(len(n))] - cv[lo]) / 100.0
+        pos = np.arange(len(n))
+        # window start: max(row-2, first row of this type's segment)
+        starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+        seg_first = np.repeat(starts, np.diff(np.append(starts, len(n))))
+        lo = np.maximum(pos - 2, seg_first)
+        mov_n = cn[pos + 1] - cn[lo]
+        mov_v = (cv[pos + 1] - cv[lo]) / 100.0
         return pa.table({
-            "event_type": group["event_type"].take(pa.array(idx)),
-            "epoch_day": group["epoch_day"].take(pa.array(idx)),
+            "event_type": pa.array(st.tolist(), pa.string()),
+            "epoch_day": pa.array(sd, pa.int64()),
             "n": pa.array(n),
             "mov_n": pa.array(mov_n, pa.int64()),
             "mov_sum_value": pa.array(round_half_away(mov_v, 2)),
         })
 
-    # Canonical row order + BIGINT-cast oracle window sum: the driver hashes
-    # value bytes, so the tiny (type, day) result is emitted fully sorted and
-    # the SQL casts ``sum(n) OVER w`` (HUGEINT in DuckDB) back to int64.
-    return (daily.groupby("event_type")
-            .map_groups(window, batch_format="pyarrow")
-            .sort(["event_type", "epoch_day"]))
+    # Canonical tail: the aggregated frame is tiny (n_types × n_days), so
+    # coalesce to ONE block and window it there — a 5-key Dataset groupby
+    # here emits schema-less empty blocks under wide parallelism (the round-2
+    # driver hash mismatch), and a trailing Dataset sort re-shuffles for
+    # nothing. The SQL casts ``sum(n) OVER w`` (HUGEINT) back to int64.
+    return (daily.repartition(1)
+            .map_batches(window, batch_format="pyarrow", batch_size=None))
 
 
 def events_range_join(sf_dir: str, n_windows: int = 10, span_days: int = 7,
