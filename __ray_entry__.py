@@ -39,6 +39,7 @@ _GATE_TAIL = [
     "doc_adjacent_levenshtein",  # adjacent pair join — word_jaccard covers
     "lang_id_accuracy",        # lang-ID — lang_quality covers
     "cdc_first_seen",          # groupby min — cdc_latest_state covers
+    "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
     "doc_token_stats",         # token counts — doc_repetition_stats covers
     "doc_length_percentiles",  # quantiles — events_value_median_by_type
     "events_user_running_total",  # window — events_sliding_window covers

@@ -158,6 +158,8 @@ def cmd_ingest(args) -> int:
                     epoch_commits=args.commit_mode,
                     maintain_dup_index=args.dup_index,
                     dup_index_commits=args.dup_index_commits,
+                    maintain_near_index=args.near_index,
+                    near_index_commits=args.near_index_commits,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     if args.mode == "follow":
         from .cdc.ingest import follow
@@ -180,6 +182,12 @@ def cmd_ingest(args) -> int:
 
         summary["distinct_fingerprints"] = DupIndex(
             dup_index_root(args.lake)).count_fingerprints()
+    if args.near_index:
+        from .cdc.ingest import near_index_root
+        from .cdc.neardup import NearDupIndex
+
+        summary["near_index_band_entries"] = NearDupIndex(
+            near_index_root(args.lake)).count_fingerprints()
     print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
         ray.shutdown()
@@ -199,6 +207,15 @@ def cmd_compact(args) -> int:
         report["fpindex_compacted"] = index.compact()
         report["fpindex_reclaimed"] = index.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
+    from .cdc.ingest import near_index_root
+    from .cdc.neardup import NearDupIndex
+
+    near_root = near_index_root(args.lake)
+    if lake.fs.exists(near_root):  # and the SimHash band keyspace
+        nindex = NearDupIndex(near_root)
+        report["nearidx_compacted"] = nindex.compact()
+        report["nearidx_reclaimed"] = nindex.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
     print(json.dumps(report))
     return 0
 
@@ -211,8 +228,15 @@ def cmd_fsck(args) -> int:
     idx_root = dup_index_root(args.lake)
     if lake.fs.exists(idx_root):  # audit the fingerprint keyspace too
         report["fpindex"] = DupIndex(idx_root).verify(deep=args.deep)
+    from .cdc.ingest import near_index_root
+    from .cdc.neardup import NearDupIndex
+
+    near_root = near_index_root(args.lake)
+    if lake.fs.exists(near_root):  # and the SimHash band keyspace
+        report["nearidx"] = NearDupIndex(near_root).verify(deep=args.deep)
     print(json.dumps(report))
-    ok = report["ok"] and report.get("fpindex", {"ok": True})["ok"]
+    ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
+          and report.get("nearidx", {"ok": True})["ok"])
     return 0 if ok else 1
 
 
@@ -275,6 +299,12 @@ def cmd_purge(args) -> int:
     idx_root = dup_index_root(args.lake)
     if lake.fs.exists(idx_root):
         report["fpindex"] = DupIndex(idx_root).purge_keys(args.urls)
+    from .cdc.ingest import near_index_root
+    from .cdc.neardup import NearDupIndex
+
+    near_root = near_index_root(args.lake)
+    if lake.fs.exists(near_root):  # band index stores owner urls too
+        report["nearidx"] = NearDupIndex(near_root).purge_keys(args.urls)
     print(json.dumps(report))
     return 0
 
@@ -297,9 +327,16 @@ def cmd_dups(args) -> int:
     import pyarrow as pa
 
     from .cdc import DupIndex, Lake, dup_index_root
+    from .cdc.ingest import near_index_root
+    from .cdc.neardup import NearDupIndex
 
     lake = Lake(args.lake, args.partitions)
-    index = DupIndex(dup_index_root(args.lake))
+    if args.near:
+        index = NearDupIndex(near_index_root(args.lake))
+        flag_col = "is_near_dup"
+    else:
+        index = DupIndex(dup_index_root(args.lake))
+        flag_col = "is_dup"
     ds = index.attribute(lake.read_dataset(), keep_cols=["url"])
     if args.out:
         ds.write_parquet(args.out)
@@ -309,21 +346,21 @@ def cmd_dups(args) -> int:
         live = written.count_rows()
         # columnar scan of the one bool column — never the payload
         dups = int(pa.Table.from_batches(
-            written.scanner(columns=["is_dup"]).to_batches()
-        )["is_dup"].cast(pa.int64()).combine_chunks().to_pandas().sum()) \
+            written.scanner(columns=[flag_col]).to_batches()
+        )[flag_col].cast(pa.int64()).combine_chunks().to_pandas().sum()) \
             if live else 0
     else:
         from ray.data.aggregate import Count, Sum
 
         def pre(t: pa.Table) -> pa.Table:
-            return pa.table({"is_dup": t["is_dup"].cast(pa.int64())})
+            return pa.table({flag_col: t[flag_col].cast(pa.int64())})
 
         agg = ds.map_batches(pre, batch_format="pyarrow").aggregate(
-            Count(alias_name="live"), Sum("is_dup", alias_name="dups"))
+            Count(alias_name="live"), Sum(flag_col, alias_name="dups"))
         live, dups = int(agg["live"]), int(agg["dups"] or 0)
     print(json.dumps({
         "live_rows": live,
-        "dup_rows": dups,
+        ("near_dup_rows" if args.near else "dup_rows"): dups,
         "distinct_fingerprints": index.count_fingerprints(),
         **({"out": args.out} if args.out else {}),
     }))
@@ -423,6 +460,12 @@ def main(argv=None) -> int:
                      help="index commit mode: CoW snapshot per epoch, or "
                           "winners-only deltas folded merge-on-read "
                           "(compact folds them)")
+    ing.add_argument("--near-index", action="store_true", dest="near_index",
+                     help="maintain the SimHash band index at <lake>/nearidx"
+                          " (near-dup-at-ingest; query it with dups --near)")
+    ing.add_argument("--near-index-commits", default="snapshot",
+                     choices=("snapshot", "delta"), dest="near_index_commits",
+                     help="near-index commit mode (see --dup-index-commits)")
     ing.set_defaults(fn=cmd_ingest)
 
     cpt = sub.add_parser("compact",
@@ -480,6 +523,10 @@ def main(argv=None) -> int:
                     help="override only for pre-metadata lakes")
     dp.add_argument("--out", default=None,
                     help="write attributed rows to this parquet dir")
+    dp.add_argument("--near", action="store_true",
+                    help="attribute against the SimHash band index at "
+                         "<lake>/nearidx (near_dup_of/is_near_dup, "
+                         "Hamming <= 3) instead of the exact fp index")
     dp.set_defaults(fn=cmd_dups)
 
     vw = sub.add_parser("view",

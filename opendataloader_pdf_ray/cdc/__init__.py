@@ -1,7 +1,8 @@
 from .dupindex import DupIndex
 from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
-                     ingest_epoch, ingest_epochs, num_epochs_in, replay,
-                     url_partition)
+                     ingest_epoch, ingest_epochs, near_index_root,
+                     num_epochs_in, replay, url_partition)
+from .neardup import NearDupIndex
 from .lake import Lake, Lineage
 from .merge import (
     ensure_deleted_col,
@@ -15,7 +16,7 @@ from .oracle import oracle_final_state, oracle_live_texts
 from .views import MaterializedView, group_lang, value_text_len
 
 __all__ = [
-    "DupIndex", "dup_index_root",
+    "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
     "num_epochs_in", "replay", "url_partition",
     "Lake", "Lineage", "ensure_deleted_col", "latest_per_key", "live_view",

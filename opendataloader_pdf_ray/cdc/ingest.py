@@ -68,6 +68,26 @@ def _maintain_dup_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
     return index.update(ds, epoch)
 
 
+def near_index_root(lake_root: str) -> str:
+    """The SimHash band keyspace — same in-lake placement rationale as
+    :func:`dup_index_root`."""
+    return lake_root.rstrip("/") + "/nearidx"
+
+
+def _maintain_near_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
+    """Fork the (materialized) extracted stream into the SimHash band
+    keyspace: nbands slim rows per content version, exactly-once per
+    (fp_part, epoch) — see cdc/neardup.py."""
+    from .neardup import NearDupIndex
+
+    index = NearDupIndex(near_index_root(lake.root),
+                         cfg.near_index_partitions or cfg.num_partitions,
+                         commit_mode=cfg.near_index_commits,
+                         max_hamming=cfg.near_index_max_hamming,
+                         ngram=cfg.near_index_ngram)
+    return index.update(ds, epoch)
+
+
 def url_partition(urls, num_partitions: int) -> np.ndarray:
     """Deterministic url→partition hash (process-independent: pandas
     hash_array uses a fixed key, unlike Python's salted hash())."""
@@ -334,12 +354,15 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
-    if cfg.maintain_dup_index:
+    if cfg.maintain_dup_index or cfg.maintain_near_index:
         # fork point: materialize the extracted stream once so the url
-        # keyspace (LWW merge below) and the fp keyspace (index fold) both
-        # consume it without a second extraction pass
+        # keyspace (LWW merge below) and the index keyspaces (FWW folds)
+        # all consume it without a second extraction pass
         ds = ds.materialize()
-        _maintain_dup_index(ds, lake, epoch, cfg)
+        if cfg.maintain_dup_index:
+            _maintain_dup_index(ds, lake, epoch, cfg)
+        if cfg.maintain_near_index:
+            _maintain_near_index(ds, lake, epoch, cfg)
     ds = ds.map_batches(_add_keys(cfg), batch_format="pyarrow")
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:
@@ -387,13 +410,16 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
-    if cfg.maintain_dup_index:
+    if cfg.maintain_dup_index or cfg.maintain_near_index:
         # backlog replay folds the whole pending range as ONE index epoch
         # (the last one) — the FWW fold is commutative+idempotent, so the
         # result is byte-identical to per-epoch folds, and a crashed rerun
         # of the same range hits the same (fp_part, last-epoch) commits
         ds = ds.materialize()
-        _maintain_dup_index(ds, lake, epochs[-1], cfg)
+        if cfg.maintain_dup_index:
+            _maintain_dup_index(ds, lake, epochs[-1], cfg)
+        if cfg.maintain_near_index:
+            _maintain_near_index(ds, lake, epochs[-1], cfg)
     # "final" snapshot mode may merge across epochs everywhere (no
     # intermediate snapshots to preserve) → ~K× less shuffle payload
     final_mode = cfg.backlog_snapshots == "final"

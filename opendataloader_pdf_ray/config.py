@@ -216,6 +216,15 @@ class CDCConfig:
     # merge-on-read + DupIndex.compact — the write-amplification fix for
     # high-frequency epochs, mirroring epoch_commits on the url keyspace)
     dup_index_commits: str = "snapshot"
+    # Near-dup-at-ingest (cdc/neardup.py): the SimHash band keyspace at
+    # <lake>/nearidx — same machinery as the exact index, nbands slim rows
+    # per content version, enabling read-time near_dup_of attribution
+    # (Hamming ≤ near_index_max_hamming).
+    maintain_near_index: bool = False
+    near_index_partitions: Optional[int] = None  # default: num_partitions
+    near_index_commits: str = "snapshot"
+    near_index_max_hamming: int = 3
+    near_index_ngram: int = 2
 
 
 DEFAULT_EXTRACTOR_CONFIG = ExtractorConfig()

@@ -913,6 +913,136 @@ def cdc_dup_attribution(sf_dir: str):
     return index.attribute(events_ds(), keep_cols=["key"]).sort("key")
 
 
+def cdc_near_dup_attribution(sf_dir: str):
+    """NEAR-dup-at-ingest end-to-end through the REAL SimHash band index
+    (cdc/neardup.py — the Hamming-≤-3 sibling of ``cdc_dup_attribution``):
+    derive a deterministic changelog from ``documents`` — every doc inserts
+    its text at ``u<doc_id>``; every ``doc_id%7==0`` doc also inserts an
+    EXACT mirror at ``m<doc_id>``; every ``doc_id%5==0`` doc inserts a NEAR
+    mirror (four words appended) at ``n<doc_id>`` — fold it into a fresh
+    band index over 3 checkpoint epochs (incremental + exactly-once commit
+    log under /tmp), replay the first epoch a second time (MUST be an
+    all-skipped no-op — asserted), then attribute every key:
+    ``near_dup_of`` = the first writer within Hamming ≤ 3 of the row's
+    64-bit SimHash. The signature is md5-gram based, so the SQL oracle
+    recomputes every signature and every pairwise Hamming distance
+    bit-for-bit — banded candidate recall is provably 1 at h+1 bands, so
+    index output ≡ the oracle's exhaustive neighbor scan."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..cdc.neardup import NearDupIndex
+    from ..fixtures.gen import BASE_TS_US
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    NEAR_TAIL = " almost identical trailing marker"
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        mirror = ids % 7 == 0
+        near = ids % 5 == 0
+        seqs = np.concatenate([ids * 3, ids[mirror] * 3 + 1,
+                               ids[near] * 3 + 2])
+        keys = [f"u{i:06d}" for i in ids] + \
+               [f"m{i:06d}" for i in ids[mirror]] + \
+               [f"n{i:06d}" for i in ids[near]]
+        txts = texts + [t for t, f in zip(texts, mirror) if f] + \
+               [t + NEAR_TAIL for t, f in zip(texts, near) if f]
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "ts": pa.array(BASE_TS_US + seqs, pa.int64()),
+            "seq": pa.array(seqs, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+        })
+
+    def events_ds():
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"]
+        ).map_batches(to_events, batch_format="pyarrow")
+
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    max_id = max(meta.row_group(rg).column(col).statistics.max
+                 for rg in range(meta.num_row_groups))
+    n_epochs = 3
+    epoch_size = (3 * max_id + 3 + n_epochs - 1) // n_epochs
+
+    root = "/tmp/odl_ray_nearidx_query"
+    shutil.rmtree(root, ignore_errors=True)
+    index = NearDupIndex(root, num_partitions=8, key_col="key", ts_col="ts",
+                         seq_col="seq", text_col="text")
+
+    def epoch_slice(epoch: int):
+        lo, hi = epoch * epoch_size, (epoch + 1) * epoch_size
+
+        def fn(batch: pa.Table) -> pa.Table:
+            seq = batch["seq"]
+            return batch.filter(pc.and_(pc.greater_equal(seq, lo),
+                                        pc.less(seq, hi)))
+
+        return fn
+
+    for epoch in range(n_epochs):
+        index.update(events_ds().map_batches(epoch_slice(epoch),
+                                             batch_format="pyarrow"), epoch)
+    replay_lineage = index.update(
+        events_ds().map_batches(epoch_slice(0), batch_format="pyarrow"), 0)
+    if not all(r["skipped"] for r in replay_lineage):
+        raise AssertionError("near-index epoch replay was not idempotent")
+
+    return (index.attribute(events_ds(), keep_cols=["key"])
+            .select_columns(["key", "near_dup_of", "is_near_dup"])
+            .sort("key"))
+
+
+CDC_NEAR_DUP_ATTRIBUTION_SQL = """
+WITH ev AS (
+    SELECT doc_id * 3 AS seq, printf('u%06d', doc_id) AS key, text
+    FROM documents
+    UNION ALL
+    SELECT doc_id * 3 + 1, printf('m%06d', doc_id), text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id * 3 + 2, printf('n%06d', doc_id),
+           text || ' almost identical trailing marker'
+    FROM documents WHERE doc_id % 5 = 0
+),
+w AS (SELECT seq, regexp_extract_all(lower(text), '\\w+') AS ws FROM ev),
+gl AS (SELECT seq,
+              CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [list_aggregate(ws, 'string_agg', ' ')] END AS gs
+       FROM w WHERE len(ws) >= 1),
+g AS (SELECT seq, unnest(gs) AS gm FROM gl),
+h AS (SELECT seq, md5_number_lower(gm) AS hv FROM g),
+acc AS (SELECT seq, b,
+               sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS a
+        FROM h, range(64) t(b) GROUP BY seq, b),
+sigbits AS (SELECT e.seq, t.b, COALESCE(acc.a, 0) > 0 AS s
+            FROM ev e CROSS JOIN range(64) t(b)
+            LEFT JOIN acc ON acc.seq = e.seq AND acc.b = t.b),
+ham AS (SELECT x.seq AS seq_a, y.seq AS seq_b,
+               sum(CASE WHEN x.s <> y.s THEN 1 ELSE 0 END) AS hm
+        FROM sigbits x JOIN sigbits y ON x.b = y.b
+        GROUP BY x.seq, y.seq),
+own AS (SELECT seq_a AS seq, min(seq_b) AS own_seq
+        FROM ham WHERE hm <= 3 GROUP BY seq_a),
+ownk AS (SELECT o.seq, e.key AS own_key
+         FROM own o JOIN ev e ON e.seq = o.own_seq)
+SELECT e.key,
+       CASE WHEN k.own_key <> e.key THEN k.own_key END AS near_dup_of,
+       (k.own_key <> e.key) AS is_near_dup
+FROM ev e JOIN ownk k ON k.seq = e.seq
+ORDER BY e.key
+"""
+
+
 CDC_DUP_ATTRIBUTION_SQL = """
 WITH ev AS (
     SELECT doc_id * 2 AS seq, printf('u%06d', doc_id) AS key, text
@@ -938,6 +1068,7 @@ ORDER BY e.key
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_dup_attribution": cdc_dup_attribution,
+    "cdc_near_dup_attribution": cdc_near_dup_attribution,
     "cdc_asof_enrich": cdc_asof_enrich,
     "cdc_user_sessions": cdc_user_sessions,
     "cdc_latest_state": cdc_latest_state,
@@ -957,6 +1088,7 @@ CDC_QUERIES = {
 
 CDC_ORACLE_SQL = {
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
+    "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
