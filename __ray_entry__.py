@@ -40,6 +40,8 @@ _GATE_TAIL = [
     "lang_id_accuracy",        # lang-ID — lang_quality covers
     "cdc_first_seen",          # groupby min — cdc_latest_state covers
     "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
+    "cdc_epoch_windows",       # tumbling window — events_sliding_window
+                               # exercises the same partial→window machinery
     "doc_token_stats",         # token counts — doc_repetition_stats covers
     "doc_length_percentiles",  # quantiles — events_value_median_by_type
     "events_user_running_total",  # window — events_sliding_window covers

@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "parts_never_shipped_bloom", "events_user_running_total",
     "events_value_median_by_type", "doc_weighted_sample",
     "events_range_join", "cdc_dup_attribution", "doc_unigram_logprob",
-    "cdc_near_dup_attribution",
+    "cdc_near_dup_attribution", "cdc_backfill_token_stats",
 ]
 
 

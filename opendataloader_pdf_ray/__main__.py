@@ -369,6 +369,43 @@ def cmd_dups(args) -> int:
     return 0
 
 
+def cmd_backfill(args) -> int:
+    """Recompute / add derived columns across every live lake row as one
+    exactly-once epoch (cdc/backfill.py): resumable per partition, time
+    travel across the rewrite preserved. Transforms are the named built-ins
+    below (library users pass any callable to ``cdc.backfill``)."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake, backfill
+    from .functions import text_stats
+
+    transforms = {
+        "token-stats": text_stats.token_stats,     # n_tokens / n_bpe_tokens…
+        "quality-score": text_stats.quality_score,  # punct/stopword ratios…
+    }
+    lake = Lake(args.lake, args.partitions)
+    lineage = backfill(lake, transforms[args.transform],
+                       name=args.transform)
+    print(json.dumps({
+        "transform": args.transform,
+        "epoch": lineage[0]["epoch"] if lineage else None,
+        "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
+        "partitions_skipped": sum(1 for l in lineage if l["skipped"]),
+        "rows_rewritten": sum(l["rows_upserted"] for l in lineage
+                              if not l["skipped"]),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -528,6 +565,17 @@ def main(argv=None) -> int:
                          "<lake>/nearidx (near_dup_of/is_near_dup, "
                          "Hamming <= 3) instead of the exact fp index")
     dp.set_defaults(fn=cmd_dups)
+
+    bf = sub.add_parser("backfill",
+                        help="recompute/add derived columns across every "
+                             "live lake row as one exactly-once epoch "
+                             "(resumable; time travel preserved)")
+    bf.add_argument("lake")
+    bf.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    bf.add_argument("--transform", default="token-stats",
+                    choices=("token-stats", "quality-score"))
+    bf.set_defaults(fn=cmd_backfill)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

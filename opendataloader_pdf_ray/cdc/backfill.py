@@ -1,0 +1,169 @@
+"""Backfill / reprocess: rewrite derived columns across a lake as ONE new
+exactly-once epoch.
+
+The lakehouse maintenance op the CDC path doesn't cover: a new extractor /
+scorer version needs a derived column recomputed (or added) for EVERY live
+row, without replaying the binlog and without breaking time travel. A
+backfill here is an ordinary lake epoch:
+
+- **epoch choice**: one global backfill epoch E = max committed epoch + 1,
+  recorded in an idempotent marker (``commits/backfill-<E>.json``, carrying
+  the transform name) BEFORE any partition work. A crashed backfill leaves
+  the marker + a partial set of ``(part, E)`` commits; re-running resumes —
+  partitions already committed for E skip via the standard commit-record
+  check, the rest complete. A marker whose partitions are all committed is
+  finished, and the next backfill gets a fresh epoch.
+- **per-partition task**: read the partition's pre-backfill state
+  (merge-on-read ``as_of=E-1`` — works on delta-mode lakes), apply the
+  transform, commit the result as the epoch-E SNAPSHOT through the same
+  protocol CDC ingest uses. Partitions are the unit of parallelism and of
+  resume; nothing lake-sized touches the driver (the driver handles
+  partition IDS and ≤P lineage rows only).
+- **transform contract**: ``fn(table) -> table`` must preserve row count
+  and the key column byte-for-byte (asserted) — a backfill rewrites
+  DERIVED columns; inserts/deletes belong to the CDC path. Tombstone rows
+  pass through the transform like any other row (their derived columns are
+  recomputed too; a transform may branch on the deleted flag if not).
+- **time travel / views**: reads ``as_of < E`` see the pre-backfill state
+  unchanged; incremental materialized views fold the backfill epoch as a
+  normal retract-and-apply commit. ``fsck`` and ``vacuum`` treat backfill
+  snapshots like any other epoch.
+
+Determinism: E, the marker, and every task decision derive from the commit
+log alone; the transform sees each partition's canonical merged state, so
+equal input lakes + equal transforms give byte-equal epoch-E snapshots at
+any concurrency (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from dataclasses import asdict
+from typing import Callable, List, Optional
+
+import pyarrow as pa
+
+from .lake import Lake, Lineage
+
+_MARKER_PREFIX = "backfill-"
+
+
+def _marker_path(lake: Lake, epoch: int) -> str:
+    return posixpath.join(lake._commits_dir(),
+                          f"{_MARKER_PREFIX}{epoch}.json")
+
+
+def _live_parts(lake: Lake) -> List[int]:
+    return [p for p in range(lake.num_partitions) if lake.committed_epochs(p)]
+
+
+def resolve_backfill_epoch(lake: Lake, name: str) -> int:
+    """The resume-or-new decision, from the commit log alone: the newest
+    backfill marker with any uncommitted live partition resumes (the name
+    must match — mixing transforms within one epoch would corrupt the
+    snapshot set); otherwise a fresh epoch = global max + 1 is claimed by
+    writing its marker."""
+    markers = []
+    for full in lake.fs.ls(lake._commits_dir(), detail=False):
+        base = posixpath.basename(full)
+        if base.startswith(_MARKER_PREFIX) and base.endswith(".json"):
+            markers.append(int(base[len(_MARKER_PREFIX):-5]))
+    parts = _live_parts(lake)
+    for epoch in sorted(markers, reverse=True):
+        if any(not lake.is_committed(p, epoch) for p in parts):
+            with lake.fs.open(_marker_path(lake, epoch)) as f:
+                rec = json.loads(f.read())
+            if rec.get("name") != name:
+                raise ValueError(
+                    f"unfinished backfill epoch {epoch} belongs to "
+                    f"transform {rec.get('name')!r}, not {name!r} — finish "
+                    f"or vacuum it first")
+            return epoch
+        break  # newest marker finished → no resume candidate below it
+    newest = max((e for p in parts for e in lake.committed_epochs(p)),
+                 default=-1)
+    epoch = newest + 1
+    lake._write_small_atomic(_marker_path(lake, epoch),
+                             json.dumps({"name": name,
+                                         "epoch": epoch}).encode())
+    return epoch
+
+
+class _BackfillPartition:
+    """One call per partition id: transform + exactly-once commit. A retried
+    or resumed task sees the (part, epoch) commit record and no-ops."""
+
+    def __init__(self, root: str, num_partitions: int, epoch: int,
+                 fn: Callable[[pa.Table], pa.Table], key_col: str):
+        self.root = root
+        self.num_partitions = num_partitions
+        self.epoch = epoch
+        self.fn = fn
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lake = Lake(self.root, self.num_partitions)
+        out: List[Lineage] = []
+        for part in batch["part"].to_pylist():
+            part = int(part)
+            if lake.is_committed(part, self.epoch):
+                lin = lake.read_lineage(part, self.epoch)
+                lin.skipped = True
+                out.append(lin)
+                continue
+            state = lake.read_partition(part, as_of=self.epoch - 1)
+            if state is None:
+                continue
+            new = self.fn(state)
+            if new.num_rows != state.num_rows:
+                raise ValueError(
+                    f"backfill transform changed row count on part {part}: "
+                    f"{state.num_rows} -> {new.num_rows} (inserts/deletes "
+                    f"belong to the CDC path)")
+            if not new[self.key_col].equals(state[self.key_col]):
+                raise ValueError(
+                    f"backfill transform altered key column "
+                    f"{self.key_col!r} on part {part}")
+            seqs = state["seq"].to_pylist() if "seq" in state.column_names \
+                else [0]
+            lin = Lineage(part=part, epoch=self.epoch, events_consumed=0,
+                          rows_upserted=new.num_rows, rows_deleted=0,
+                          seq_min=min(seqs), seq_max=max(seqs),
+                          kind="snapshot")
+            out.append(lake.commit_partition(part, self.epoch, new, lin))
+        if not out:
+            return pa.table({k: pa.array([], t) for k, t in _LINEAGE_SCHEMA})
+        return pa.table({k: pa.array([getattr(l, k) for l in out], t)
+                         for k, t in _LINEAGE_SCHEMA})
+
+
+_LINEAGE_SCHEMA = [
+    ("part", pa.int32()), ("epoch", pa.int32()),
+    ("events_consumed", pa.int64()), ("rows_upserted", pa.int64()),
+    ("rows_deleted", pa.int64()), ("seq_min", pa.int64()),
+    ("seq_max", pa.int64()), ("skipped", pa.bool_()),
+]
+
+
+def backfill(lake: Lake, fn: Callable[[pa.Table], pa.Table],
+             name: str = "backfill", key_col: str = "url",
+             epoch: Optional[int] = None) -> List[dict]:
+    """Apply ``fn`` to every live partition's current state and commit the
+    results as one new exactly-once epoch (module docstring). Returns ≤P
+    tiny lineage dicts; re-running a finished backfill starts a NEW epoch,
+    re-running a crashed one resumes it."""
+    import ray.data
+
+    if epoch is None:
+        epoch = resolve_backfill_epoch(lake, name)
+    parts = _live_parts(lake)
+    if not parts:
+        return []
+    ds = ray.data.from_items([{"part": p} for p in parts],
+                             override_num_blocks=len(parts))
+    lineage = ds.map_batches(
+        _BackfillPartition(lake.root, lake.num_partitions, epoch, fn,
+                           key_col),
+        batch_format="pyarrow", batch_size=None)
+    return lineage.take_all()  # ≤ P tiny rows

@@ -89,7 +89,7 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     mean_tok_len = np.zeros(len(texts))
     stop_ratio = np.zeros(len(texts))
     for i, t in enumerate(texts):
-        toks = _TOKEN_RE.findall(t)
+        toks = _TOKEN_RE.findall(t) if t else []  # null-safe: tombstone rows
         if toks:
             mean_tok_len[i] = sum(map(len, toks)) / len(toks)
             stop_ratio[i] = sum(1 for w in toks if w.lower() in stop) / len(toks)

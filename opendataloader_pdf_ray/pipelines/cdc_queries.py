@@ -1000,6 +1000,90 @@ def cdc_near_dup_attribution(sf_dir: str):
             .sort("key"))
 
 
+def cdc_backfill_token_stats(sf_dir: str):
+    """Backfill / reprocess end-to-end through the REAL lake machinery
+    (cdc/backfill.py): seed a lake from ``documents`` (one distributed
+    commit per url-hash partition, epoch 0), then run a BACKFILL that adds
+    derived token-count columns to every live row as exactly-once epoch 1
+    (resume marker + per-partition commit records; crash/resume and
+    time-travel-across-the-backfill are pinned by tests/test_backfill.py).
+    Returns the post-backfill live state's (url, n_tokens, n_bpe_tokens) —
+    the SQL oracle recomputes both counts with the parity regexes, so this
+    row gates the whole seed → marker → transform → commit → merge-on-read
+    path bit-for-bit."""
+    import shutil
+
+    from ..cdc.backfill import backfill
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..fixtures.gen import BASE_TS_US
+    from ..functions.text_stats import token_stats
+
+    root = "/tmp/odl_ray_backfill_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    lake = Lake(root, num_partitions)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"u{i:06d}" for i in ids]
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + ids, pa.int64()),
+            "seq": pa.array(ids, pa.int64()),
+            "text": batch["text"],
+            "deleted": pa.array(np.zeros(len(ids), bool)),
+        })
+        parts = url_partition(urls, num_partitions)
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    class SeedPartition:
+        """Distributed seed: one canonical epoch-0 snapshot per partition."""
+
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, num_partitions)
+            part = int(group["part"][0].as_py())
+            state = group.drop_columns(["part"]).sort_by(
+                [("url", "ascending")])
+            seqs = state["seq"].to_pylist()
+            lk.commit_partition(part, 0, state, Lineage(
+                part=part, epoch=0, events_consumed=state.num_rows,
+                rows_upserted=state.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    seeded = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow"))
+    seeded.take_all()  # ≤ P tiny rows — drives the seed commits
+
+    lineage = backfill(lake, token_stats, name="token-stats")
+    if not all(l["rows_upserted"] > 0 for l in lineage):
+        raise AssertionError("backfill committed an empty partition")
+
+    state = lake.read_dataset()
+    return (state.select_columns(["url", "n_tokens", "n_bpe_tokens"])
+            .sort("url"))
+
+
+CDC_BACKFILL_TOKEN_STATS_SQL = """
+SELECT printf('u%06d', doc_id) AS url,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
+           AS n_bpe_tokens
+FROM documents
+ORDER BY url
+"""
+
+
 CDC_NEAR_DUP_ATTRIBUTION_SQL = """
 WITH ev AS (
     SELECT doc_id * 3 AS seq, printf('u%06d', doc_id) AS key, text
@@ -1069,6 +1153,7 @@ CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_near_dup_attribution": cdc_near_dup_attribution,
+    "cdc_backfill_token_stats": cdc_backfill_token_stats,
     "cdc_asof_enrich": cdc_asof_enrich,
     "cdc_user_sessions": cdc_user_sessions,
     "cdc_latest_state": cdc_latest_state,
@@ -1089,6 +1174,7 @@ CDC_QUERIES = {
 CDC_ORACLE_SQL = {
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
+    "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
