@@ -204,10 +204,22 @@ class Lake:
         return epochs[-1] if epochs else None
 
     # -------------------------------------------------------------------- read
-    def read_partition(self, part: int, as_of: Optional[int] = None) -> Optional[pa.Table]:
+    def read_partition(self, part: int, as_of: Optional[int] = None,
+                       url_filter: Optional[List[str]] = None) -> Optional[pa.Table]:
         """Merge-on-read: newest epoch ≤ as_of whose SNAPSHOT file exists is
         the base; committed delta files after it fold on top in epoch order
-        (associative LWW, so this equals the eager CoW state)."""
+        (associative LWW, so this equals the eager CoW state).
+
+        ``url_filter`` pushes a url value-set predicate into every parquet
+        read — snapshots and winner deltas are written url-sorted, so
+        row-group min/max stats prune the scan to the groups containing the
+        requested keys (point lookups decode O(matching row groups), not the
+        partition). Safe before the fold: the LWW merge is per-url, so
+        dropping OTHER urls at scan time cannot change the selected urls'
+        fold."""
+        filters = None
+        if url_filter is not None:
+            filters = [("url", "in", list(url_filter))]
         epochs = self.committed_epochs(part)
         if as_of is not None:
             epochs = [e for e in epochs if e <= as_of]
@@ -218,13 +230,15 @@ class Lake:
         for i in range(len(epochs) - 1, -1, -1):
             path = self._data_path(part, epochs[i])
             if self.fs.exists(path):
-                base = pq.read_table(path, filesystem=self.fs)
+                base = pq.read_table(path, filesystem=self.fs,
+                                     filters=filters)
                 base_idx = i
                 break
         for epoch in epochs[base_idx + 1:]:
             dpath = self._delta_path(part, epoch)
             if self.fs.exists(dpath):
-                delta = pq.read_table(dpath, filesystem=self.fs)
+                delta = pq.read_table(dpath, filesystem=self.fs,
+                                      filters=filters)
                 base = merge_base_with_updates(base, delta)
         return base
 
@@ -333,7 +347,9 @@ class Lake:
             by_part.setdefault(int(part), []).append(url)
         out = []
         for part in sorted(by_part):
-            t = self.read_partition(part, as_of)
+            # url pushdown: row-group-pruned scan of the target partition
+            # (is_in re-filter kept: pushdown is row-group-granular)
+            t = self.read_partition(part, as_of, url_filter=by_part[part])
             if t is None or t.num_rows == 0:
                 continue
             sub = t.filter(pc.is_in(t["url"],

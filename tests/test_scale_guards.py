@@ -56,6 +56,8 @@ GUARDED_QUERIES = [
     "parts_never_shipped_bloom",  # 32KB bitmap + match-sized key sets only
     "events_value_median_by_type",  # driver folds the bounded histogram only
     "doc_weighted_sample",    # driver sees <=k rows per batch (A-ES top-k)
+    "cdc_near_dup_attribution",  # driver sees <=P lineage rows per epoch
+    "cdc_backfill_token_stats",  # driver sees <=P lineage/seed rows
 ]
 
 SF = "/root/testdata/sf0.001"
