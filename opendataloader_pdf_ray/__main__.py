@@ -257,14 +257,28 @@ def cmd_export(args) -> int:
     from .cdc import Lake
 
     lake = Lake(args.lake, args.partitions)
-    ds = lake.read_dataset(as_of=args.as_of,
-                           include_tombstones=args.tombstones)
-    ds.write_parquet(args.out)
-    import pyarrow.dataset as pads
+    if args.stream:
+        ds = lake.read_dataset(as_of=args.as_of,
+                               include_tombstones=args.tombstones)
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
 
-    n = pads.dataset(args.out, format="parquet").count_rows()
-    print(json.dumps({"rows": n, "out": args.out,
-                      "partitions": lake.num_partitions}))
+        n = pads.dataset(args.out, format="parquet").count_rows()
+        print(json.dumps({"rows": n, "out": args.out,
+                          "partitions": lake.num_partitions}))
+    else:
+        # default: resumable per-partition export — a re-run after a crash
+        # skips every part=NNNN.parquet that already exists (atomic writes
+        # make existence mean complete)
+        summary = lake.export_resumable(args.out, as_of=args.as_of,
+                                        include_tombstones=args.tombstones)
+        print(json.dumps({
+            "rows": sum(s["rows"] for s in summary),
+            "out": args.out,
+            "partitions": lake.num_partitions,
+            "files_written": sum(1 for s in summary if not s["skipped"]),
+            "files_skipped": sum(1 for s in summary if s["skipped"]),
+        }))
     if started_ray:
         ray.shutdown()
     return 0
@@ -532,6 +546,10 @@ def main(argv=None) -> int:
                     help="override; the lake's persisted metadata wins")
     ex.add_argument("--as-of", type=int, default=None, dest="as_of")
     ex.add_argument("--tombstones", action="store_true")
+    ex.add_argument("--stream", action="store_true",
+                    help="one streaming write_parquet instead of the "
+                         "default resumable per-partition files (a crashed "
+                         "default export re-run skips finished partitions)")
     ex.set_defaults(fn=cmd_export)
 
     gt = sub.add_parser("get", help="point-lookup urls in the lake "

@@ -242,20 +242,10 @@ class Lake:
                 base = merge_base_with_updates(base, delta)
         return base
 
-    def read_dataset(self, as_of: Optional[int] = None,
-                     include_tombstones: bool = False) -> "object":
-        """Whole-lake state as a STREAMING ``ray.data.Dataset`` — the
-        100-TB read path, and unlike :meth:`partition_files` it works on
-        delta-mode (un-compacted) lakes: one task per partition performs the
-        merge-on-read fold for ITS partition (memory bounded by partition
-        size, the lake's unit of parallelism), so nothing lake-sized ever
-        touches the driver. Schema evolution is handled scale-right: the
-        driver unifies only parquet FOOTER schemas across partitions (bytes,
-        not data) and every task null-backfills to that target schema, so
-        the Dataset has one consistent schema."""
-        import ray.data as _rd
-
-        # driver-side: footers only
+    def _unified_live(self, as_of: Optional[int] = None):
+        """Driver-side metadata pass shared by :meth:`read_dataset` and
+        :meth:`export_resumable`: live partition ids + the schema unified
+        across every partition's parquet FOOTERS (bytes, not data)."""
         target: Optional[pa.Schema] = None
         live_parts: List[int] = []
         for part in range(self.num_partitions):
@@ -273,6 +263,22 @@ class Lake:
                             else unified_schema(target, sch)
             if has_any:
                 live_parts.append(part)
+        return live_parts, target
+
+    def read_dataset(self, as_of: Optional[int] = None,
+                     include_tombstones: bool = False) -> "object":
+        """Whole-lake state as a STREAMING ``ray.data.Dataset`` — the
+        100-TB read path, and unlike :meth:`partition_files` it works on
+        delta-mode (un-compacted) lakes: one task per partition performs the
+        merge-on-read fold for ITS partition (memory bounded by partition
+        size, the lake's unit of parallelism), so nothing lake-sized ever
+        touches the driver. Schema evolution is handled scale-right: the
+        driver unifies only parquet FOOTER schemas across partitions (bytes,
+        not data) and every task null-backfills to that target schema, so
+        the Dataset has one consistent schema."""
+        import ray.data as _rd
+
+        live_parts, target = self._unified_live(as_of)
         if target is None:
             return _rd.from_items([])
         root, n_parts = self.root, self.num_partitions
@@ -293,6 +299,62 @@ class Lake:
         # batch_size=1 → one merge-on-read task per partition
         return parts_ds.map_batches(load, batch_format="pyarrow",
                                     batch_size=1)
+
+    def export_resumable(self, out: str, as_of: Optional[int] = None,
+                         include_tombstones: bool = False) -> List[Dict]:
+        """RESUMABLE partitioned export (the brief's resumable-output rule):
+        one task per live partition writes ``out/part=NNNN.parquet``
+        atomically (temp+rename on local filesystems, single all-or-nothing
+        PUT on object stores) — file existence therefore means COMPLETE, so
+        a re-run after a crash skips finished partitions and writes only the
+        missing ones. Schema-unified like :meth:`read_dataset`; the driver
+        handles partition ids and ≤P summary rows only."""
+        import ray.data as _rd
+
+        live_parts, target = self._unified_live(as_of)
+        if target is None:
+            return []
+        root, n_parts = self.root, self.num_partitions
+
+        def task(batch: pa.Table) -> pa.Table:
+            ofs, _ = fsspec.core.url_to_fs(out)
+            is_local = "file" in (ofs.protocol if isinstance(
+                ofs.protocol, (list, tuple)) else (ofs.protocol,))
+            parts, rows, skipped = [], [], []
+            for part in batch["part"].to_pylist():
+                part = int(part)
+                path = posixpath.join(out, f"part={part:04d}.parquet")
+                if ofs.exists(path):  # atomic write → existence == complete
+                    parts.append(part)
+                    rows.append(pq.read_metadata(path,
+                                                 filesystem=ofs).num_rows)
+                    skipped.append(True)
+                    continue
+                t = Lake(root, n_parts).read_partition(part, as_of)
+                if t is None:
+                    continue
+                t = unify_to_schema(t, target)
+                if not include_tombstones:
+                    t = live_view(t)
+                ofs.makedirs(out, exist_ok=True)
+                if is_local:
+                    tmp = path + f".tmp-{uuid.uuid4().hex}"
+                    pq.write_table(t, tmp, compression="zstd",
+                                   filesystem=ofs)
+                    ofs.mv(tmp, path)
+                else:
+                    pq.write_table(t, path, compression="zstd",
+                                   filesystem=ofs)
+                parts.append(part)
+                rows.append(t.num_rows)
+                skipped.append(False)
+            return pa.table({"part": pa.array(parts, pa.int32()),
+                             "rows": pa.array(rows, pa.int64()),
+                             "skipped": pa.array(skipped, pa.bool_())})
+
+        parts_ds = _rd.from_items([{"part": p} for p in live_parts])
+        return parts_ds.map_batches(task, batch_format="pyarrow",
+                                    batch_size=1).take_all()  # ≤ P rows
 
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
         """Latest committed (and still-present) snapshot file per partition —

@@ -129,6 +129,32 @@ class TestExportCLI:
         assert sorted(got.column_names) == sorted(want.column_names)
         assert sorted(got["url"].to_pylist()) == sorted(want["url"].to_pylist())
 
+        # resumable: delete one output file (simulated crash) — the re-run
+        # rewrites ONLY it, skips the rest, and restores identical content
+        import os
+
+        files = sorted(f for f in os.listdir(out_dir)
+                       if f.endswith(".parquet"))
+        assert rep["files_written"] == len(files)
+        victim = out_dir / files[0]
+        victim_rows = pq.read_metadata(str(victim)).num_rows
+        victim.unlink()
+        assert main(["export", str(lake_dir), str(out_dir)]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["files_written"] == 1
+        assert rep2["files_skipped"] == len(files) - 1
+        assert rep2["rows"] == want.num_rows
+        assert pq.read_metadata(str(victim)).num_rows == victim_rows
+        got2 = pads.dataset(str(out_dir), format="parquet").to_table()
+        assert sorted(got2["url"].to_pylist()) == \
+            sorted(want["url"].to_pylist())
+
+        # --stream keeps the one-shot streaming writer
+        out_s = tmp_path / "export_stream"
+        assert main(["export", str(lake_dir), str(out_s), "--stream"]) == 0
+        rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep3["rows"] == want.num_rows
+
 
 class TestDupsCLI:
     def test_ingest_dup_index_then_dups(self, tmp_path, capsys, ray_session):
