@@ -28,6 +28,15 @@ backfill here is an ordinary lake epoch:
   unchanged; incremental materialized views fold the backfill epoch as a
   normal retract-and-apply commit. ``fsck`` and ``vacuum`` treat backfill
   snapshots like any other epoch.
+- **live tails**: E = max+1 is exactly the next binlog epoch, so backfills
+  belong between ingest runs (quiesce the tail), or pass ``epoch=`` beyond
+  the binlog's epoch space. Getting this wrong cannot LOSE data: backfill
+  commits carry ``kind="backfill"`` and CDC ingest raises on reaching one
+  (``ingest._guard_cdc_epoch``) instead of silently skipping the events.
+  CDC epochs committed AFTER a backfill interleave soundly — their deltas
+  fold onto the backfilled snapshot, and rows they replace get null derived
+  columns until the next backfill recomputes them (Arrow schema
+  unification).
 
 Determinism: E, the marker, and every task decision derive from the commit
 log alone; the transform sees each partition's canonical merged state, so
@@ -127,10 +136,13 @@ class _BackfillPartition:
                     f"{self.key_col!r} on part {part}")
             seqs = state["seq"].to_pylist() if "seq" in state.column_names \
                 else [0]
+            # kind="backfill": CDC ingest loud-fails if a binlog epoch ever
+            # reaches this number (ingest._guard_cdc_epoch) instead of
+            # silently skipping those events
             lin = Lineage(part=part, epoch=self.epoch, events_consumed=0,
                           rows_upserted=new.num_rows, rows_deleted=0,
                           seq_min=min(seqs), seq_max=max(seqs),
-                          kind="snapshot")
+                          kind="backfill")
             out.append(lake.commit_partition(part, self.epoch, new, lin))
         if not out:
             return pa.table({k: pa.array([], t) for k, t in _LINEAGE_SCHEMA})

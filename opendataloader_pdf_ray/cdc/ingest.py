@@ -88,6 +88,23 @@ def _maintain_near_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
     return index.update(ds, epoch)
 
 
+def _guard_cdc_epoch(lake: Lake, part: int, epoch: int) -> "Lineage":
+    """Loud-fail when a CDC epoch number reaches a MAINTENANCE commit: a
+    backfill claims epoch max+1, which on a live tail is exactly the next
+    binlog epoch — silently 'skipping' it would drop those events. Raising
+    here turns the collision into an operator error with a fix (quiesce the
+    tail around backfills, or pass ``backfill(epoch=)`` beyond the binlog's
+    epoch space)."""
+    lin = lake.read_lineage(part, epoch)
+    if lin.kind == "backfill":
+        raise RuntimeError(
+            f"CDC epoch {epoch} collides with a backfill commit on "
+            f"partition {part}: the binlog reached a maintenance epoch. "
+            f"Quiesce the tail before backfilling, or give backfill() an "
+            f"explicit epoch beyond the binlog's epoch space.")
+    return lin
+
+
 def url_partition(urls, num_partitions: int) -> np.ndarray:
     """Deterministic url→partition hash (process-independent: pandas
     hash_array uses a fixed key, unlike Python's salted hash())."""
@@ -162,7 +179,7 @@ class ApplyPartition:
             seq_max=seq_max,
         )
         if lake.is_committed(part, self.epoch):
-            out = lake.read_lineage(part, self.epoch)
+            out = _guard_cdc_epoch(lake, part, self.epoch)
             out.skipped = True
         elif self.commit_mode == "delta":
             # no read-modify-write: the winner set (tombstones included) is
@@ -235,7 +252,7 @@ class ApplyPartitionBacklog:
                 snap = lake.read_partition(part, as_of=epoch)
                 if snap is not None:
                     merged = merge_base_with_updates(merged, snap)
-                prior = lake.read_lineage(part, epoch)
+                prior = _guard_cdc_epoch(lake, part, epoch)
                 prior.skipped = True
                 out_rows.append(prior)
                 continue
@@ -287,7 +304,7 @@ class ApplyPartitionFinal:
         seq_min = int(pc.min(group["seq_lo"]).as_py())
         seq_max = int(pc.max(group["seq_hi"]).as_py())
         if lake.is_committed(part, last):
-            out = lake.read_lineage(part, last)
+            out = _guard_cdc_epoch(lake, part, last)
             out.skipped = True
         else:
             updates = group.drop_columns(

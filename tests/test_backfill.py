@@ -115,6 +115,34 @@ class TestBackfill:
                                s2["n_tokens"])).as_py()
         assert lake.verify(deep=True)["ok"]
 
+    def test_cdc_collision_with_backfill_raises(self, tmp_path):
+        """A backfill claims epoch max+1 — exactly the next binlog epoch on
+        a live tail. Ingesting into it must FAIL LOUDLY (silently skipping
+        would drop those events)."""
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import replay
+        from opendataloader_pdf_ray.config import CDCConfig
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(120, 30, seed=42)
+        first = events.filter(pc.less(events["seq"], 60))
+        p1 = str(tmp_path / "e1.parquet")
+        pq.write_table(first, p1)
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                        extract_batch_size=16, extract_concurrency=2)
+        lake_root = str(tmp_path / "lake")
+        replay(p1, lake_root, cfg, mode="epoch")  # epoch 0 committed
+
+        lake = Lake(lake_root, cfg.num_partitions)
+        lineage = backfill(lake, token_stats, name="token-stats")
+        assert {l["epoch"] for l in lineage} == {1}
+
+        p2 = str(tmp_path / "e2.parquet")
+        pq.write_table(events, p2)  # seqs 60..119 -> CDC epoch 1: collision
+        with pytest.raises(Exception, match="backfill"):
+            replay(p2, lake_root, cfg, mode="epoch")
+
     def test_transform_contract_enforced(self, tmp_path):
         lake = seed_lake(tmp_path / "lake", with_tombstone=False)
         with pytest.raises(Exception, match="row count"):
