@@ -36,11 +36,12 @@ write and trusted by every reader:
 
 from __future__ import annotations
 
+import base64
 import json
 import posixpath
 import sys
 import uuid
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, fields
 from typing import Dict, List, Optional
 
 import fsspec
@@ -48,6 +49,45 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .merge import live_view, merge_base_with_updates, unified_schema, unify_to_schema
+
+# --------------------------------------------------------------- commit bloom
+# Per-DELTA-commit url Bloom filter: lets merge-on-read point lookups skip
+# delta FILES whose epoch definitely does not touch the requested keys —
+# O(matching epochs) parquet reads per lookup instead of O(epochs). Snapshots
+# don't carry one (the fold must read the base snapshot regardless). Sizing:
+# ~10 bits/key (≈1% false-positive tail — an FP only costs one extra pruned
+# parquet read, never a wrong result: Bloom has no false negatives, so a
+# "definitely absent" skip can never drop a row or a tombstone from the fold.
+# Capped at 64 KiB per commit record so the commit log stays metadata-sized.
+_BLOOM_K = 7
+_BLOOM_MAX_BITS = 64 * 1024 * 8
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    m = max(256, 10 * n_keys)
+    return min(_BLOOM_MAX_BITS, (m + 63) // 64 * 64)
+
+
+def _bloom_of_urls(urls) -> Dict:
+    """JSON-embeddable Bloom filter of a url column (base64 bitmap)."""
+    from ..functions.bloom import partial_bitmap
+    from ..functions.sampling import _hash64
+
+    keys = _hash64([u for u in urls])
+    m = _bloom_m_bits(len(keys))
+    return {"m": m, "k": _BLOOM_K,
+            "bits": base64.b64encode(
+                partial_bitmap(keys, m, _BLOOM_K)).decode()}
+
+
+def _bloom_maybe_any(bloom: Dict, urls: List[str]) -> bool:
+    """False only when EVERY url is definitely absent from the commit."""
+    from ..functions.bloom import maybe_contains
+    from ..functions.sampling import _hash64
+
+    bits = base64.b64decode(bloom["bits"])
+    return bool(maybe_contains(bits, _hash64(urls), int(bloom["m"]),
+                               int(bloom["k"])).any())
 
 
 @dataclass
@@ -214,9 +254,14 @@ class Lake:
         read — snapshots and winner deltas are written url-sorted, so
         row-group min/max stats prune the scan to the groups containing the
         requested keys (point lookups decode O(matching row groups), not the
-        partition). Safe before the fold: the LWW merge is per-url, so
-        dropping OTHER urls at scan time cannot change the selected urls'
-        fold."""
+        partition). Delta files are additionally pruned by the url Bloom in
+        their COMMIT RECORD: an epoch that definitely doesn't touch any
+        requested url is skipped without opening its parquet at all — point
+        lookups read O(matching epochs) files, not O(epochs). Both prunings
+        are safe before the fold: the LWW merge is per-url (dropping OTHER
+        urls can't change the selected urls' fold) and Bloom has no false
+        negatives (a skipped epoch contains neither a row nor a tombstone
+        for any requested url)."""
         filters = None
         if url_filter is not None:
             filters = [("url", "in", list(url_filter))]
@@ -234,9 +279,15 @@ class Lake:
                                      filters=filters)
                 base_idx = i
                 break
+        url_list = list(url_filter) if url_filter is not None else None
         for epoch in epochs[base_idx + 1:]:
             dpath = self._delta_path(part, epoch)
             if self.fs.exists(dpath):
+                if url_list is not None:
+                    bloom = self._read_commit(part, epoch).get("url_bloom")
+                    if bloom is not None and not _bloom_maybe_any(
+                            bloom, url_list):
+                        continue  # epoch definitely touches none of the urls
                 delta = pq.read_table(dpath, filesystem=self.fs,
                                       filters=filters)
                 base = merge_base_with_updates(base, delta)
@@ -299,6 +350,15 @@ class Lake:
         # batch_size=1 → one merge-on-read task per partition
         return parts_ds.map_batches(load, batch_format="pyarrow",
                                     batch_size=1)
+
+    def changes(self, since: int = -1, until: Optional[int] = None,
+                columns: Optional[List[str]] = None):
+        """Row-level change feed (insert/update/delete per url per epoch)
+        for epochs in ``(since, until]`` as a streaming Dataset — the lake
+        as a binlog for downstream consumers. See ``cdc/changefeed.py``."""
+        from .changefeed import changes as _changes
+
+        return _changes(self, since=since, until=until, columns=columns)
 
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False) -> List[Dict]:
@@ -546,8 +606,14 @@ class Lake:
             prior = self.read_lineage(part, epoch)
             prior.skipped = True
             return prior
+        record = asdict(lineage)
+        # url Bloom rides in the commit record (not the Lineage dataclass):
+        # point lookups prune delta files by it; absent on non-url keyspaces
+        # (e.g. the fp index) and on records written by older code
+        if "url" in winners.column_names:
+            record["url_bloom"] = _bloom_of_urls(winners["url"].to_pylist())
         self._write_small_atomic(self._commit_path(part, epoch),
-                                 json.dumps(asdict(lineage)).encode())
+                                 json.dumps(record).encode())
         return lineage
 
     def compact(self, parts: Optional[List[int]] = None) -> int:
@@ -589,9 +655,18 @@ class Lake:
                 except OSError:
                     pass
 
-    def read_lineage(self, part: int, epoch: int) -> Lineage:
+    def _read_commit(self, part: int, epoch: int) -> Dict:
         with self.fs.open(self._commit_path(part, epoch), "rb") as f:
-            return Lineage(**json.loads(f.read().decode()))
+            return json.loads(f.read().decode())
+
+    _LINEAGE_FIELDS = None  # lazily-built field-name set
+
+    def read_lineage(self, part: int, epoch: int) -> Lineage:
+        if Lake._LINEAGE_FIELDS is None:
+            Lake._LINEAGE_FIELDS = {f.name for f in fields(Lineage)}
+        rec = self._read_commit(part, epoch)
+        return Lineage(**{k: v for k, v in rec.items()
+                          if k in Lake._LINEAGE_FIELDS})
 
     def vacuum(self, keep_snapshots: int = 1) -> int:
         """Remove superseded data files, keeping the latest ``keep_snapshots``
