@@ -240,6 +240,40 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_changes(args) -> int:
+    """Stream the lake's row-level change feed: to parquet with ``--out``,
+    else print per-(epoch, op) counts as one JSON line. Both paths stream —
+    counts come from a Dataset groupby, never a driver materialization."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    feed = lake.changes(since=args.since, until=args.until)
+    if args.out:
+        feed.write_parquet(args.out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out, format="parquet").count_rows()
+        print(json.dumps({"rows": n, "out": args.out, "since": args.since}))
+    else:
+        counts = feed.groupby(["epoch", "op"]).count().sort(["epoch", "op"])
+        rows = counts.take_all()  # ≤ epochs × 3 rows
+        print(json.dumps({"since": args.since, "counts": [
+            {"epoch": int(r["epoch"]), "op": r["op"],
+             "rows": int(r["count()"])} for r in rows]}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_export(args) -> int:
     """Stream lake state (distributed merge-on-read, works on delta-mode
     lakes) to a parquet directory. The write STREAMS — nothing lake-sized
@@ -551,6 +585,21 @@ def main(argv=None) -> int:
                          "default resumable per-partition files (a crashed "
                          "default export re-run skips finished partitions)")
     ex.set_defaults(fn=cmd_export)
+
+    cf = sub.add_parser("changes",
+                        help="row-level change feed (insert/update/delete "
+                             "per url per epoch) for epochs in (since, "
+                             "until] — the lake as a binlog for consumers")
+    cf.add_argument("lake")
+    cf.add_argument("--since", type=int, default=-1,
+                    help="feed epochs AFTER this one (default: from start)")
+    cf.add_argument("--until", type=int, default=None)
+    cf.add_argument("--out", default=None,
+                    help="write the feed to parquet instead of printing "
+                         "per-op counts")
+    cf.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    cf.set_defaults(fn=cmd_changes)
 
     gt = sub.add_parser("get", help="point-lookup urls in the lake "
                                     "(partition-pruned, no Ray session)")

@@ -1,0 +1,194 @@
+"""Row-level change feed out of the lake (CDC *downstream*: the lake as a
+binlog for consumers — materialized-view refreshers, search indexers,
+replication targets).
+
+``changes(lake, since, until)`` returns a streaming ``ray.data.Dataset`` of
+per-url change rows with an ``op`` classification computed against the
+PRE-IMAGE state:
+
+- ``insert``  — url was absent (or tombstoned) before this epoch, now live
+- ``update``  — url was live before, still live with new content
+- ``delete``  — url was live before, this epoch tombstones it
+
+(An epoch's tombstone for a url with no live pre-image is a no-op for
+consumers and is not emitted.)
+
+Scale shape (mirrors ``Lake.read_dataset``): ONE task per partition — the
+unit of parallelism and the memory bound. Each task folds its partition's
+pre-image as of ``since``, then walks epochs in order, classifying each
+epoch's winner set against the running state vectorized (numpy membership
+on url arrays, no per-row Python). Nothing lake-sized touches the driver;
+the feed streams out through the Dataset.
+
+Epoch winner sets come from:
+- the epoch's DELTA file (delta-mode commits) — exact winner set, or
+- for SNAPSHOT-kind commits (CoW epochs, backfills), the diff of the
+  snapshot against the running state — rows whose (warc_ts, seq) changed.
+
+Raises when a needed file was vacuumed: a feed over reclaimed history would
+be silently incomplete, and explicit failure ("re-seed the consumer from a
+snapshot read") is the correct CDC semantics.
+
+Reference parity note: the reference engine has no lake, so no counterpart;
+this is the Ray-native completion of the CDC story (ingest IN via
+``cdc/ingest.py``, changes OUT here).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .lake import Lake
+from .merge import merge_base_with_updates, unified_schema, unify_to_schema
+
+_META_COLS = ("url", "warc_ts", "seq", "deleted")
+
+
+def _feed_schema(payload: pa.Schema) -> pa.Schema:
+    fields = [pa.field("part", pa.int32()), pa.field("epoch", pa.int64()),
+              pa.field("op", pa.string())]
+    for f in payload:
+        if f.name != "deleted":
+            fields.append(f)
+    return pa.schema(fields)
+
+
+def _classify(winners: pa.Table, live_urls) -> pa.Table:
+    """op per winner row against the pre-image live index; drops no-op
+    deletes. Vectorized: one hashed membership pass over the url column
+    (pandas Index.isin), no per-row Python."""
+    import pandas as pd
+
+    urls = winners["url"].to_numpy(zero_copy_only=False)
+    was_live = pd.Index(urls).isin(live_urls)
+    if "deleted" in winners.column_names:
+        dead = pc.fill_null(winners["deleted"], False).to_numpy(
+            zero_copy_only=False)
+    else:
+        dead = np.zeros(len(urls), bool)
+    op = np.where(dead, "delete", np.where(was_live, "update", "insert"))
+    keep = ~(dead & ~was_live)  # tombstone of a never-live url: no-op
+    out = winners.append_column("op", pa.array(op, pa.string()))
+    return out.filter(pa.array(keep))
+
+
+class _FeedPartition:
+    """map_batches(_FeedPartition(...), batch_size=1) over partition ids."""
+
+    def __init__(self, root: str, num_partitions: int, since: int,
+                 until: Optional[int], target: pa.Schema):
+        self.root, self.n = root, num_partitions
+        self.since, self.until = since, until
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lake = Lake(self.root, self.n)
+        out: List[pa.Table] = []
+        for part in batch["part"].to_pylist():
+            out.extend(self._feed_one(lake, int(part)))
+        if not out:
+            return _feed_schema(self.target).empty_table()
+        return pa.concat_tables(
+            [unify_to_schema(t, _feed_schema(self.target)) for t in out])
+
+    @staticmethod
+    def _live_index(state: Optional[pa.Table]):
+        import pandas as pd
+
+        if state is None or state.num_rows == 0:
+            return pd.Index([])
+        dead = pc.fill_null(state["deleted"], False).to_numpy(
+            zero_copy_only=False)
+        return pd.Index(np.asarray(
+            state["url"].to_numpy(zero_copy_only=False))[~dead])
+
+    def _feed_one(self, lake: Lake, part: int) -> List[pa.Table]:
+        epochs = [e for e in lake.committed_epochs(part) if e > self.since
+                  and (self.until is None or e <= self.until)]
+        if not epochs:
+            return []
+        state = lake.read_partition(part, as_of=self.since)
+        live = self._live_index(state)
+        out: List[pa.Table] = []
+        for e in epochs:
+            winners = self._winners(lake, part, e, state)
+            feed = _classify(winners, live)
+            if feed.num_rows:
+                n = feed.num_rows
+                feed = pa.table({
+                    "part": pa.array(np.full(n, part, np.int32)),
+                    "epoch": pa.array(np.full(n, e, np.int64)),
+                    "op": feed["op"],
+                    **{c: feed[c] for c in feed.column_names
+                       if c not in ("op", "deleted")},
+                })
+                out.append(feed)
+            # fold this epoch into the running pre-image
+            state = merge_base_with_updates(state, winners)
+            live = self._live_index(state)
+        return out
+
+    def _winners(self, lake: Lake, part: int, epoch: int,
+                 state: Optional[pa.Table]) -> pa.Table:
+        dpath = lake._delta_path(part, epoch)
+        if lake.fs.exists(dpath):
+            import pyarrow.parquet as pq
+            return pq.read_table(dpath, filesystem=lake.fs)
+        spath = lake._data_path(part, epoch)
+        if lake.fs.exists(spath):
+            import pyarrow.parquet as pq
+            snap = pq.read_table(spath, filesystem=lake.fs)
+            return _snapshot_diff(snap, state)
+        raise ValueError(
+            f"changefeed: partition {part} epoch {epoch} has neither delta "
+            f"nor snapshot file (vacuumed?) — the feed over this range is "
+            f"unrecoverable; re-seed the consumer from "
+            f"Lake.read_dataset(as_of={epoch})")
+
+
+def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
+    """Change rows implied by a SNAPSHOT commit: rows whose (warc_ts, seq)
+    differ from the pre-image. CoW snapshots carry the whole partition, so
+    unchanged carried-over rows must not re-enter the feed."""
+    if state is None or state.num_rows == 0:
+        return snap
+    import pandas as pd
+
+    prev = pd.DataFrame({
+        "warc_ts": state["warc_ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False),
+        "seq": state["seq"].to_numpy(zero_copy_only=False),
+    }, index=state["url"].to_numpy(zero_copy_only=False))
+    urls = snap["url"].to_numpy(zero_copy_only=False)
+    hit = prev.reindex(urls)  # NaN where the url is new
+    changed = ~(
+        (hit["warc_ts"].to_numpy()
+         == snap["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        & (hit["seq"].to_numpy()
+           == snap["seq"].to_numpy(zero_copy_only=False)))
+    return snap.filter(pa.array(changed))
+
+
+def changes(lake: Lake, since: int = -1, until: Optional[int] = None,
+            columns: Optional[List[str]] = None):
+    """Streaming change feed ``(part, epoch, op, url, warc_ts, seq, …)`` for
+    epochs in ``(since, until]``. ``since=-1`` feeds from the beginning.
+    ``columns`` restricts payload columns (url/warc_ts/seq always included).
+    """
+    import ray.data as _rd
+
+    live_parts, target = lake._unified_live(until)
+    if target is None:
+        return _rd.from_items([])
+    if columns is not None:
+        want = [c for c in target.names
+                if c in set(columns) | set(_META_COLS)]
+        target = pa.schema([target.field(c) for c in want])
+    parts_ds = _rd.from_items([{"part": p} for p in live_parts])
+    return parts_ds.map_batches(
+        _FeedPartition(lake.root, lake.num_partitions, since, until, target),
+        batch_format="pyarrow", batch_size=1)

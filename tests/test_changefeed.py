@@ -1,0 +1,147 @@
+"""Change feed (cdc/changefeed.py): op classification against the
+pre-image, delta + snapshot sources, since/until windows, vacuum safety."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, ingest_epoch, oracle_final_state
+from opendataloader_pdf_ray.cdc.lake import Lineage
+from opendataloader_pdf_ray.config import CDCConfig
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                extract_batch_size=16, extract_concurrency=2,
+                epoch_commits="delta")
+N_EPOCHS = 3
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("feed") / "events.parquet")
+    pq.write_table(gen_events(180, 40, seed=42), path)
+    return path
+
+
+@pytest.fixture()
+def lake(events_path, tmp_path):
+    lk = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+    for e in range(N_EPOCHS):
+        ingest_epoch(events_path, lk, e, CFG)
+    return lk
+
+
+def _feed(lake, **kw):
+    t = pa.concat_tables(
+        [b for b in lake.changes(**kw).iter_batches(batch_format="pyarrow")
+         if b.num_rows])
+    return t.sort_by([("epoch", "ascending"), ("url", "ascending")])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChangeFeed:
+    def test_full_feed_replays_to_final_state(self, lake, events_path):
+        """Folding the feed (grouped by url, last op wins) must reproduce
+        the lake's final live state — the consumer-side replay guarantee."""
+        feed = _feed(lake)
+        # last change per url across the feed
+        last = {}
+        for r in feed.to_pylist():
+            last[r["url"]] = r
+        oracle = oracle_final_state(pq.read_table(events_path))
+        live_oracle = {u: r for u, r in oracle.items() if not r["deleted"]}
+        feed_live = {u: r for u, r in last.items() if r["op"] != "delete"}
+        assert set(feed_live) == set(live_oracle)
+        for u, want in live_oracle.items():
+            assert feed_live[u]["text"] == want["text"], u
+            assert feed_live[u]["seq"] == want["seq"], u
+        # every url the oracle says is tombstoned AND was ever live must end
+        # with a delete op in the feed
+        for u, want in oracle.items():
+            if want["deleted"] and u in last:
+                assert last[u]["op"] == "delete", u
+
+    def test_op_classification_against_preimage(self, lake):
+        feed = _feed(lake)
+        seen_live = set()
+        for r in feed.to_pylist():
+            if r["op"] == "insert":
+                assert r["url"] not in seen_live
+                seen_live.add(r["url"])
+            elif r["op"] == "update":
+                assert r["url"] in seen_live
+            else:  # delete
+                assert r["url"] in seen_live
+                seen_live.discard(r["url"])
+
+    def test_since_until_window_is_exact(self, lake):
+        full = _feed(lake)
+        tail = _feed(lake, since=0)
+        head = _feed(lake, until=0)
+        assert head.num_rows + tail.num_rows == full.num_rows
+        assert set(head["epoch"].to_pylist()) <= {0}
+        assert set(tail["epoch"].to_pylist()) <= {1, 2}
+        # windows compose: feed(since=0) == feed epochs 1..2 of the full
+        full_tail = full.filter(pc.greater(full["epoch"], 0))
+        assert tail.num_rows == full_tail.num_rows
+        assert tail["url"].to_pylist() == full_tail["url"].to_pylist()
+        assert tail["op"].to_pylist() == full_tail["op"].to_pylist()
+
+    def test_update_requires_preimage_in_since_window(self, lake):
+        """A consumer feeding from since=0 sees epoch-1 changes classified
+        against the REAL epoch-0 state (not 'everything is an insert')."""
+        tail = _feed(lake, since=0)
+        assert "update" in set(tail["op"].to_pylist()) or \
+               "delete" in set(tail["op"].to_pylist())
+
+    def test_snapshot_commits_diff_not_dump(self, events_path, tmp_path):
+        """CoW (snapshot-kind) epochs feed only CHANGED rows — carried-over
+        rows must not re-enter the feed every epoch."""
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                        extract_batch_size=16, extract_concurrency=2)
+        lk = Lake(str(tmp_path / "cow"), cfg.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lk, e, cfg)
+        snap_feed = _feed(lk)
+        delta_lake = Lake(str(tmp_path / "delta"), CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, delta_lake, e, CFG)
+        delta_feed = _feed(delta_lake)
+        # identical change rows from both commit modes
+        assert snap_feed.num_rows == delta_feed.num_rows
+        for col in ("epoch", "op", "url", "seq"):
+            assert snap_feed[col].to_pylist() == delta_feed[col].to_pylist()
+
+    def test_vacuumed_history_raises(self, lake):
+        lake.compact()
+        lake.vacuum()
+        with pytest.raises(Exception, match="changefeed|vacuum"):
+            _feed(lake)
+        # but feeding AFTER the vacuum horizon still works: since = tip - 1
+        # requires only the tip... tip state is the compacted snapshot, so a
+        # feed of (tip, ∞] is empty and must not raise
+        tips = [lake.committed_epochs(p)[-1]
+                for p in range(lake.num_partitions)
+                if lake.committed_epochs(p)]
+        out = list(lake.changes(since=max(tips)).iter_batches(
+            batch_format="pyarrow"))
+        assert sum(b.num_rows for b in out) == 0
+
+    def test_no_op_delete_not_emitted(self, tmp_path):
+        lk = Lake(str(tmp_path / "noop"), 1)
+        t0 = pa.table({"url": ["a"], "warc_ts": pa.array([1], pa.int64()),
+                       "seq": pa.array([0], pa.int64()),
+                       "deleted": [False], "text": ["x"]})
+        # epoch 1 deletes "b" which never existed — a no-op for consumers
+        t1 = pa.table({"url": ["b"], "warc_ts": pa.array([2], pa.int64()),
+                       "seq": pa.array([1], pa.int64()),
+                       "deleted": [True], "text": [None]})
+        lin = lambda e: Lineage(part=0, epoch=e, events_consumed=1,
+                                rows_upserted=1, rows_deleted=0,
+                                seq_min=0, seq_max=0)
+        lk.commit_delta(0, 0, t0, lin(0))
+        lk.commit_delta(0, 1, t1, lin(1))
+        feed = _feed(lk)
+        assert feed.num_rows == 1
+        assert feed["op"].to_pylist() == ["insert"]
