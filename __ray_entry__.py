@@ -52,6 +52,9 @@ _GATE_TAIL = [
                                # same FWW fold through the full index machinery
     "customers_without_orders",  # hash anti-join — parts_never_shipped_bloom
                                  # keeps the anti-join family in the gate
+    "dedup_simhash",           # banded SimHash near-dup — cdc_near_dup_
+                               # attribution gates the identical signature
+                               # + band machinery through the lake index
 ]
 
 

@@ -1149,8 +1149,142 @@ ORDER BY e.key
 """
 
 
+def cdc_changefeed(sf_dir: str):
+    """Change feed end-to-end through the REAL lake machinery
+    (cdc/changefeed.py): seed a 3-epoch delta-commit lake from ``documents``
+    with a deterministic changelog that exercises every classification —
+    epoch 0 inserts every doc at ``u<doc_id>``; epoch 1 DELETES ``doc_id%9
+    ==0`` and updates ``doc_id%5==0`` (delete precedence on overlap); epoch
+    2 RE-INSERTS the %9 tombstones (pre-image dead → must classify
+    ``insert``, not update), deletes ``doc_id%10==0`` (%9 excluded), and
+    tombstones a ghost url ``g<doc_id>`` (%97) that never existed (must be
+    DROPPED — no-op for consumers). The feed's (epoch, op, url, seq) rows
+    gate the per-partition pre-image fold bit-for-bit against the SQL
+    oracle, which derives the same ops algebraically from the construction
+    rules."""
+    import shutil
+
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_changefeed_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    lake = Lake(root, num_partitions)
+    E1, E2 = 10_000_000, 20_000_000
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        m9 = ids % 9 == 0
+        m5 = (ids % 5 == 0) & ~m9
+        d10 = (ids % 10 == 0) & ~m9
+        g97 = ids % 97 == 0
+        urls, seqs, txts, dels, eps = [], [], [], [], []
+        # epoch 0: insert everything
+        urls += [f"u{i:06d}" for i in ids]
+        seqs += ids.tolist()
+        txts += texts
+        dels += [False] * len(ids)
+        eps += [0] * len(ids)
+        # epoch 1: delete %9, update %5 (delete precedence)
+        for i, t, dead in [(int(i), t, True) for i, t in
+                           zip(ids[m9], np.array(texts, object)[m9])] + \
+                          [(int(i), t, False) for i, t in
+                           zip(ids[m5], np.array(texts, object)[m5])]:
+            urls.append(f"u{i:06d}")
+            seqs.append(E1 + i)
+            txts.append(None if dead else t + " v2")
+            dels.append(dead)
+            eps.append(1)
+        # epoch 2: reinsert %9, delete %10 (not %9), ghost-delete %97
+        for i, t in zip(ids[m9], np.array(texts, object)[m9]):
+            urls.append(f"u{int(i):06d}")
+            seqs.append(E2 + int(i))
+            txts.append(t + " v3")
+            dels.append(False)
+            eps.append(2)
+        for i in ids[d10]:
+            urls.append(f"u{int(i):06d}")
+            seqs.append(E2 + int(i))
+            txts.append(None)
+            dels.append(True)
+            eps.append(2)
+        for i in ids[g97]:
+            urls.append(f"g{int(i):06d}")
+            seqs.append(E2 + 5_000_000 + int(i))
+            txts.append(None)
+            dels.append(True)
+            eps.append(2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        parts = url_partition(urls, num_partitions)
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    class SeedPartition:
+        """One task per partition commits its three delta epochs in order
+        (exactly-once: commit_delta is idempotent on the commit log)."""
+
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, num_partitions)
+            part = int(group["part"][0].as_py())
+            for e in (0, 1, 2):
+                sub = group.filter(pc.equal(group["epoch"], e))
+                if sub.num_rows == 0:
+                    continue
+                winners = sub.drop_columns(["part", "epoch"]).sort_by(
+                    [("url", "ascending")])
+                seqs = winners["seq"].to_pylist()
+                lk.commit_delta(part, e, winners, Lineage(
+                    part=part, epoch=e, events_consumed=winners.num_rows,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    seeded = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow"))
+    seeded.take_all()  # ≤ P tiny rows — drives the seed commits
+
+    return (lake.changes()
+            .select_columns(["epoch", "op", "url", "seq"])
+            .sort(["epoch", "url"]))
+
+
+CDC_CHANGEFEED_SQL = """
+SELECT CAST(0 AS BIGINT) AS epoch, 'insert' AS op,
+       printf('u%06d', doc_id) AS url, CAST(doc_id AS BIGINT) AS seq
+FROM documents
+UNION ALL
+SELECT 1, CASE WHEN doc_id % 9 = 0 THEN 'delete' ELSE 'update' END,
+       printf('u%06d', doc_id), 10000000 + doc_id
+FROM documents WHERE doc_id % 9 = 0 OR doc_id % 5 = 0
+UNION ALL
+SELECT 2, CASE WHEN doc_id % 9 = 0 THEN 'insert' ELSE 'delete' END,
+       printf('u%06d', doc_id), 20000000 + doc_id
+FROM documents WHERE doc_id % 9 = 0 OR doc_id % 10 = 0
+ORDER BY epoch, url
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_changefeed": cdc_changefeed,
     "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_near_dup_attribution": cdc_near_dup_attribution,
     "cdc_backfill_token_stats": cdc_backfill_token_stats,
@@ -1172,6 +1306,7 @@ CDC_QUERIES = {
 }
 
 CDC_ORACLE_SQL = {
+    "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
     "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
