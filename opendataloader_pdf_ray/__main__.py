@@ -160,6 +160,7 @@ def cmd_ingest(args) -> int:
                     dup_index_commits=args.dup_index_commits,
                     maintain_near_index=args.near_index,
                     near_index_commits=args.near_index_commits,
+                    quarantine_errors=args.quarantine,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     if args.mode == "follow":
         from .cdc.ingest import follow
@@ -238,6 +239,23 @@ def cmd_fsck(args) -> int:
     ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
           and report.get("nearidx", {"ok": True})["ok"])
     return 0 if ok else 1
+
+
+def cmd_quarantine(args) -> int:
+    """Print the DLQ: per-(part, epoch) counts + every poison record's
+    (url, seq, error) as one JSON line. Driver-side read — the DLQ is
+    metadata-sized next to the corpus; no Ray session needed."""
+    from .cdc.lake import Lake
+    from .cdc.quarantine import QuarantineStore, quarantine_root
+
+    lake = Lake(args.lake, args.partitions)
+    store = QuarantineStore(quarantine_root(args.lake), lake.num_partitions)
+    t = store.read(epoch=args.epoch)
+    rows = [] if t is None else [
+        {"epoch": r["epoch"], "seq": r["seq"], "url": r["url"],
+         "error": r["extract_error"]} for r in t.to_pylist()]
+    print(json.dumps({"quarantined": len(rows), "rows": rows}))
+    return 0
 
 
 def cmd_changes(args) -> int:
@@ -551,7 +569,20 @@ def main(argv=None) -> int:
     ing.add_argument("--near-index-commits", default="snapshot",
                      choices=("snapshot", "delta"), dest="near_index_commits",
                      help="near-index commit mode (see --dup-index-commits)")
+    ing.add_argument("--quarantine", action="store_true",
+                     help="dead-letter mode: extraction failures divert the "
+                          "record to <lake>/quarantine instead of killing "
+                          "the epoch (inspect with the quarantine command)")
     ing.set_defaults(fn=cmd_ingest)
+
+    qr = sub.add_parser("quarantine",
+                        help="inspect the dead-letter queue: poison records "
+                             "diverted by ingest --quarantine")
+    qr.add_argument("lake")
+    qr.add_argument("--epoch", type=int, default=None)
+    qr.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    qr.set_defaults(fn=cmd_quarantine)
 
     cpt = sub.add_parser("compact",
                          help="fold delta commits into snapshot files and "

@@ -88,6 +88,23 @@ def _maintain_near_index(ds, lake: Lake, epoch: int, cfg: CDCConfig):
     return index.update(ds, epoch)
 
 
+def _maintain_quarantine(ds, lake: Lake, epoch: int, cfg: CDCConfig):
+    """Fork the (materialized) extracted stream's poison rows into the DLQ
+    keyspace (see cdc/quarantine.py), then return the CLEAN stream with the
+    error column dropped — the merge never sees a failed extraction, so the
+    lake keeps each url's previous good version."""
+    from .quarantine import QuarantineStore, quarantine_root
+
+    store = QuarantineStore(quarantine_root(lake.root), cfg.num_partitions)
+    store.update(ds, epoch)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        good = batch.filter(pc.is_null(batch["extract_error"]))
+        return good.drop_columns(["extract_error"])
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def _guard_cdc_epoch(lake: Lake, part: int, epoch: int) -> "Lineage":
     """Loud-fail when a CDC epoch number reaches a MAINTENANCE commit: a
     backfill claims epoch max+1, which on a live tail is exactly the next
@@ -365,17 +382,24 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
     ds = ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs={"cfg": cfg.extractor,
-                               "drop_html": cfg.drop_html_after_extract},
+                               "drop_html": cfg.drop_html_after_extract,
+                               "quarantine": cfg.quarantine_errors},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
-    if cfg.maintain_dup_index or cfg.maintain_near_index:
+    if cfg.maintain_dup_index or cfg.maintain_near_index \
+            or cfg.quarantine_errors:
         # fork point: materialize the extracted stream once so the url
-        # keyspace (LWW merge below) and the index keyspaces (FWW folds)
-        # all consume it without a second extraction pass
+        # keyspace (LWW merge below), the index keyspaces (FWW folds) and
+        # the DLQ all consume it without a second extraction pass
         ds = ds.materialize()
+        if cfg.quarantine_errors:
+            # DLQ first, then hand every OTHER keyspace the clean stream
+            # (a cheap filter over the already-materialized blocks — no
+            # second materialization, no second extraction)
+            ds = _maintain_quarantine(ds, lake, epoch, cfg)
         if cfg.maintain_dup_index:
             _maintain_dup_index(ds, lake, epoch, cfg)
         if cfg.maintain_near_index:
@@ -421,18 +445,23 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
     ds = ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs={"cfg": cfg.extractor,
-                               "drop_html": cfg.drop_html_after_extract},
+                               "drop_html": cfg.drop_html_after_extract,
+                               "quarantine": cfg.quarantine_errors},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
-    if cfg.maintain_dup_index or cfg.maintain_near_index:
-        # backlog replay folds the whole pending range as ONE index epoch
-        # (the last one) — the FWW fold is commutative+idempotent, so the
-        # result is byte-identical to per-epoch folds, and a crashed rerun
-        # of the same range hits the same (fp_part, last-epoch) commits
+    if cfg.maintain_dup_index or cfg.maintain_near_index \
+            or cfg.quarantine_errors:
+        # backlog replay folds the whole pending range as ONE index/DLQ
+        # epoch (the last one) — the FWW fold is commutative+idempotent and
+        # the DLQ is append-only, so the result is byte-identical to
+        # per-epoch folds, and a crashed rerun of the same range hits the
+        # same (part, last-epoch) commits
         ds = ds.materialize()
+        if cfg.quarantine_errors:
+            ds = _maintain_quarantine(ds, lake, epochs[-1], cfg)
         if cfg.maintain_dup_index:
             _maintain_dup_index(ds, lake, epochs[-1], cfg)
         if cfg.maintain_near_index:

@@ -225,6 +225,13 @@ class CDCConfig:
     near_index_commits: str = "snapshot"
     near_index_max_hamming: int = 3
     near_index_ngram: int = 2
+    # Dead-letter queue (cdc/quarantine.py): extraction exceptions divert
+    # the RECORD to <lake>/quarantine (url-partitioned, exactly-once per
+    # (part, epoch)) instead of killing the epoch — at 10^10 events a single
+    # poison payload must cost one DLQ row, never the pipeline. The lake
+    # keeps the url's previous good version (winners are chosen among clean
+    # events only). Off by default: batch/API surfaces should fail loudly.
+    quarantine_errors: bool = False
 
 
 DEFAULT_EXTRACTOR_CONFIG = ExtractorConfig()

@@ -48,17 +48,26 @@ class HtmlExtractor:
     (+ ``blocks`` list<struct> when include_blocks)."""
 
     def __init__(self, cfg: Optional[ExtractorConfig] = None,
-                 include_blocks: bool = True, drop_html: bool = True):
+                 include_blocks: bool = True, drop_html: bool = True,
+                 quarantine: bool = False):
+        """``quarantine=True`` (the CDC dead-letter mode): ANY extraction
+        exception becomes a deterministic ``extract_error`` string column
+        (null on clean rows) instead of killing the task — at 10^10 events a
+        single poison payload (pathological nesting → RecursionError, a
+        parser bug) must divert ONE record to the DLQ, never the epoch. Off
+        by default: the convert/API surface should surface failures."""
         self.cfg = cfg or ExtractorConfig()
         self.sanitizer = ContentSanitizer(self.cfg.sanitization_rules)
         self.include_blocks = include_blocks
         self.drop_html = drop_html
+        self.quarantine = quarantine
         self._warned_sealed = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts: List[Optional[str]] = []
         n_blocks: List[int] = []
         ratios: List[float] = []
+        errors: List[Optional[str]] = []
         builder = _BlocksBuilder() if self.include_blocks else None
         for html in batch["html"]:
             payload = html.as_py()
@@ -66,12 +75,26 @@ class HtmlExtractor:
                 texts.append(None)
                 n_blocks.append(0)
                 ratios.append(0.0)
+                errors.append(None)
                 if builder:
                     builder.append_null()
                 continue
             try:
                 result = extract(payload, self.cfg, sanitizer=self.sanitizer)
-            except InvalidPassword as exc:
+            except Exception as exc:
+                if self.quarantine:
+                    # dead-letter mode: deterministic error id (type +
+                    # message derive from the payload alone — no stack
+                    # paths, no addresses); the row diverts to the DLQ
+                    texts.append(None)
+                    n_blocks.append(0)
+                    ratios.append(0.0)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+                    if builder:
+                        builder.append_null()
+                    continue
+                if not isinstance(exc, InvalidPassword):
+                    raise
                 # sealed payload the stream has no (or the wrong) password
                 # for: quarantine the RECORD (null text, like a tombstone
                 # payload), never the stream — the reference treats
@@ -87,12 +110,14 @@ class HtmlExtractor:
                 texts.append(None)
                 n_blocks.append(0)
                 ratios.append(0.0)
+                errors.append(None)
                 if builder:
                     builder.append_null()
                 continue
             texts.append(result.text)
             n_blocks.append(result.n_blocks)
             ratios.append(result.replacement_ratio)
+            errors.append(None)
             if builder:
                 builder.append(result)
         out = batch.drop_columns(["html"]) if self.drop_html else batch
@@ -101,6 +126,9 @@ class HtmlExtractor:
             .append_column("n_blocks", pa.array(n_blocks, pa.int32()))
             .append_column("replacement_ratio", pa.array(ratios, pa.float64()))
         )
+        if self.quarantine:
+            out = out.append_column("extract_error",
+                                    pa.array(errors, pa.string()))
         if builder:
             out = out.append_column("blocks", builder.finish())
         return out
