@@ -55,6 +55,9 @@ _GATE_TAIL = [
     "dedup_simhash",           # banded SimHash near-dup — cdc_near_dup_
                                # attribution gates the identical signature
                                # + band machinery through the lake index
+    "q3_shipping_priority",    # single Dataset.join + topk — q5 gates the
+                               # identical join shape with broadcast dims;
+                               # doc_word_jaccard_adjacent keeps pair joins
 ]
 
 

@@ -1282,9 +1282,91 @@ ORDER BY epoch, url
 """
 
 
+def cdc_quarantine_stats(sf_dir: str):
+    """Dead-letter queue end-to-end through the REAL ingest machinery
+    (cdc/quarantine.py): derive a changelog from ``documents`` where every
+    ``doc_id % 13 == 0`` doc carries a POISON payload (pathological nesting
+    → RecursionError in the extractor) and replay it with
+    ``quarantine_errors=True`` — the epoch must survive, the poison records
+    must land in ``<lake>/quarantine`` exactly-once, and the lake's live
+    state must hold exactly the clean docs. Returns the DLQ's
+    (url, seq, error_type) rows; the SQL oracle derives the same set from
+    the construction rule."""
+    import shutil
+
+    from ..cdc import replay
+    from ..cdc.quarantine import QuarantineStore, quarantine_root
+    from ..config import CDCConfig
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_quarantine_query"
+    shutil.rmtree(root, ignore_errors=True)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    poison = (("<div>" * 4000) + "x" + ("</div>" * 4000)).encode()
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        html = [poison if i % 13 == 0
+                else f"<p>{t}</p>".encode() for i, t in zip(ids, texts)]
+        return pa.table({
+            "seq": pa.array(ids, pa.int64()),
+            "op": pa.array(["I"] * len(ids), pa.string()),
+            "url": pa.array([f"u{i:06d}" for i in ids], pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + ids, pa.int64()).cast(
+                pa.timestamp("us")),
+            "html": pa.array(html, pa.binary()),
+        })
+
+    events_path = os.path.join(root, "events")
+    (ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+     .map_batches(to_events, batch_format="pyarrow")
+     .write_parquet(events_path))
+
+    lake_root = os.path.join(root, "lake")
+    cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=1 << 40,
+                    quarantine_errors=True)
+    replay(events_path, lake_root, cfg, mode="backlog")
+
+    store = QuarantineStore(quarantine_root(lake_root), cfg.num_partitions)
+    dlq = store.read()
+
+    def error_type(batch: pa.Table) -> pa.Table:
+        kinds = [e.split(":", 1)[0]
+                 for e in batch["extract_error"].to_pylist()]
+        return pa.table({
+            "url": batch["url"],
+            "seq": batch["seq"],
+            "error_type": pa.array(kinds, pa.string()),
+        })
+
+    out = error_type(dlq).sort_by([("url", "ascending")])
+    # in-query invariant: lake live rows + DLQ rows == corpus (every clean
+    # doc is live — poison docs never had a good version to keep)
+    from ..cdc.lake import Lake
+
+    live = sum(l["rows_upserted"] for l in Lake(
+        lake_root, cfg.num_partitions).all_lineage())
+    n_docs = ray.data.read_parquet(docs_path, columns=["doc_id"]).count()
+    if live + out.num_rows != n_docs:
+        raise AssertionError(
+            f"DLQ invariant violated: live {live} + quarantined "
+            f"{out.num_rows} != corpus {n_docs}")
+    return out
+
+
+CDC_QUARANTINE_STATS_SQL = """
+SELECT printf('u%06d', doc_id) AS url, CAST(doc_id AS BIGINT) AS seq,
+       'RecursionError' AS error_type
+FROM documents WHERE doc_id % 13 = 0
+ORDER BY url
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_near_dup_attribution": cdc_near_dup_attribution,
     "cdc_backfill_token_stats": cdc_backfill_token_stats,
@@ -1307,6 +1389,7 @@ CDC_QUERIES = {
 
 CDC_ORACLE_SQL = {
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
+    "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
     "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
