@@ -241,6 +241,33 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_rescale(args) -> int:
+    """Shuffle-free P → k·P / P/k re-partition into a new lake root."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake, rescale
+
+    src = Lake(args.src)
+    summary = rescale(src, args.dest, args.new_partitions, as_of=args.as_of)
+    print(json.dumps({
+        "src_partitions": src.num_partitions,
+        "dest_partitions": args.new_partitions,
+        "dest_parts_written": sum(1 for r in summary if not r["skipped"]),
+        "dest_parts_skipped": sum(1 for r in summary if r["skipped"]),
+        "rows": int(sum(r["rows"] for r in summary)),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_quarantine(args) -> int:
     """Print the DLQ: per-(part, epoch) counts + every poison record's
     (url, seq, error) as one JSON line. Driver-side read — the DLQ is
@@ -574,6 +601,16 @@ def main(argv=None) -> int:
                           "record to <lake>/quarantine instead of killing "
                           "the epoch (inspect with the quarantine command)")
     ing.set_defaults(fn=cmd_ingest)
+
+    rs = sub.add_parser("rescale",
+                        help="re-partition the lake's state into a NEW lake "
+                             "with k·P (split) or P/k (merge) partitions — "
+                             "shuffle-free consistent-hash scaling")
+    rs.add_argument("src")
+    rs.add_argument("dest")
+    rs.add_argument("new_partitions", type=int)
+    rs.add_argument("--as-of", type=int, default=None, dest="as_of")
+    rs.set_defaults(fn=cmd_rescale)
 
     qr = sub.add_parser("quarantine",
                         help="inspect the dead-letter queue: poison records "

@@ -113,12 +113,13 @@ def _guard_cdc_epoch(lake: Lake, part: int, epoch: int) -> "Lineage":
     tail around backfills, or pass ``backfill(epoch=)`` beyond the binlog's
     epoch space)."""
     lin = lake.read_lineage(part, epoch)
-    if lin.kind == "backfill":
+    if lin.kind in ("backfill", "rescale"):
         raise RuntimeError(
-            f"CDC epoch {epoch} collides with a backfill commit on "
+            f"CDC epoch {epoch} collides with a {lin.kind} commit on "
             f"partition {part}: the binlog reached a maintenance epoch. "
-            f"Quiesce the tail before backfilling, or give backfill() an "
-            f"explicit epoch beyond the binlog's epoch space.")
+            f"Quiesce the tail around maintenance ops, resume a rescaled "
+            f"tail at epoch {epoch + 1}, or give backfill() an explicit "
+            f"epoch beyond the binlog's epoch space.")
     return lin
 
 
