@@ -362,40 +362,59 @@ class Lake:
 
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False) -> List[Dict]:
-        """RESUMABLE partitioned export (the brief's resumable-output rule):
-        one task per live partition writes ``out/part=NNNN.parquet``
-        atomically (temp+rename on local filesystems, single all-or-nothing
-        PUT on object stores) — file existence therefore means COMPLETE, so
-        a re-run after a crash skips finished partitions and writes only the
-        missing ones. Schema-unified like :meth:`read_dataset`; the driver
-        handles partition ids and ≤P summary rows only."""
+        """RESUMABLE + INCREMENTAL partitioned export (the brief's
+        resumable-output rule): one task per live partition writes
+        ``out/part=NNNN.parquet`` atomically (temp+rename on local
+        filesystems, single all-or-nothing PUT on object stores) — file
+        existence therefore means COMPLETE — and STAMPS the file's parquet
+        footer with the tip epoch it covers. A re-run therefore
+
+        - skips partitions whose stamped epoch still equals the lake tip
+          (crash resume AND cheap periodic refresh in one mechanism),
+        - rewrites only partitions whose tip ADVANCED since the last export
+          (incremental refresh: cost scales with churn, not lake size),
+        - rewrites unstamped files (pre-stamp exports: can't prove currency).
+
+        Schema-unified like :meth:`read_dataset`; the driver handles
+        partition ids and ≤P summary rows only."""
         import ray.data as _rd
 
         live_parts, target = self._unified_live(as_of)
         if target is None:
             return []
         root, n_parts = self.root, self.num_partitions
+        _STAMP = b"odl_export_epoch"
 
         def task(batch: pa.Table) -> pa.Table:
             ofs, _ = fsspec.core.url_to_fs(out)
             is_local = "file" in (ofs.protocol if isinstance(
                 ofs.protocol, (list, tuple)) else (ofs.protocol,))
-            parts, rows, skipped = [], [], []
+            lake = Lake(root, n_parts)
+            parts, rows, tips, skipped = [], [], [], []
             for part in batch["part"].to_pylist():
                 part = int(part)
+                tip = lake.latest_epoch(part, as_of)
                 path = posixpath.join(out, f"part={part:04d}.parquet")
-                if ofs.exists(path):  # atomic write → existence == complete
-                    parts.append(part)
-                    rows.append(pq.read_metadata(path,
-                                                 filesystem=ofs).num_rows)
-                    skipped.append(True)
-                    continue
-                t = Lake(root, n_parts).read_partition(part, as_of)
+                if ofs.exists(path):
+                    meta = pq.read_metadata(path, filesystem=ofs)
+                    kv = meta.metadata or {}
+                    stamped = kv.get(_STAMP)
+                    if stamped is not None and tip is not None \
+                            and int(stamped) == tip:
+                        parts.append(part)
+                        rows.append(meta.num_rows)
+                        tips.append(tip)
+                        skipped.append(True)
+                        continue
+                t = lake.read_partition(part, as_of)
                 if t is None:
                     continue
                 t = unify_to_schema(t, target)
                 if not include_tombstones:
                     t = live_view(t)
+                t = t.replace_schema_metadata(
+                    {**(t.schema.metadata or {}),
+                     _STAMP: str(tip).encode()})
                 ofs.makedirs(out, exist_ok=True)
                 if is_local:
                     tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -407,9 +426,11 @@ class Lake:
                                    filesystem=ofs)
                 parts.append(part)
                 rows.append(t.num_rows)
+                tips.append(tip)
                 skipped.append(False)
             return pa.table({"part": pa.array(parts, pa.int32()),
                              "rows": pa.array(rows, pa.int64()),
+                             "tip_epoch": pa.array(tips, pa.int64()),
                              "skipped": pa.array(skipped, pa.bool_())})
 
         parts_ds = _rd.from_items([{"part": p} for p in live_parts])

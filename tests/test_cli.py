@@ -155,6 +155,48 @@ class TestExportCLI:
         rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep3["rows"] == want.num_rows
 
+    def test_export_incremental_refresh(self, tmp_path, capsys, ray_session):
+        """Exported files carry the tip epoch they cover: after new epochs
+        commit, a re-export rewrites ONLY the partitions whose tip advanced
+        and the copy converges to the new lake state."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(120, 30, seed=42)
+        half = tmp_path / "half.parquet"
+        pq.write_table(events.filter(pc.less(events["seq"], 60)), str(half))
+        full = tmp_path / "full.parquet"
+        pq.write_table(events, str(full))
+        lake_dir = tmp_path / "lake"
+        assert main(["ingest", str(half), str(lake_dir), "--epoch-size",
+                     "60", "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta"]) == 0
+        out_dir = tmp_path / "export"
+        assert main(["export", str(lake_dir), str(out_dir)]) == 0
+        capsys.readouterr()
+        # epoch 1 lands; some partitions advance
+        assert main(["ingest", str(full), str(lake_dir), "--epoch-size",
+                     "60", "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta"]) == 0
+        capsys.readouterr()
+        assert main(["export", str(lake_dir), str(out_dir)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        lake = Lake(str(lake_dir))
+        advanced = sum(1 for p in range(4) if lake.latest_epoch(p) == 1)
+        assert rep["files_written"] == advanced  # only churned partitions
+        want = lake.read_state()
+        got = pads.dataset(str(out_dir), format="parquet").to_table()
+        assert sorted(got["url"].to_pylist()) == \
+            sorted(want["url"].to_pylist())
+        # third run: nothing advanced → everything skipped
+        assert main(["export", str(lake_dir), str(out_dir)]) == 0
+        rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep3["files_written"] == 0
+
 
 class TestDupsCLI:
     def test_ingest_dup_index_then_dups(self, tmp_path, capsys, ray_session):
