@@ -58,6 +58,9 @@ _GATE_TAIL = [
     "q3_shipping_priority",    # single Dataset.join + topk — q5 gates the
                                # identical join shape with broadcast dims;
                                # doc_word_jaccard_adjacent keeps pair joins
+    "lang_quality",            # lang-ID + quality thresholds — the
+                               # corpus_clean_en composite gates the same
+                               # classifiers end-to-end
 ]
 
 

@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "events_value_median_by_type", "doc_weighted_sample",
     "events_range_join", "cdc_dup_attribution", "doc_unigram_logprob",
     "cdc_near_dup_attribution", "cdc_backfill_token_stats",
-    "cdc_changefeed", "cdc_quarantine_stats",
+    "cdc_changefeed", "cdc_quarantine_stats", "doc_decontaminate",
 ]
 
 

@@ -1257,7 +1257,88 @@ SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
 
+def doc_decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 31):
+    """Benchmark DECONTAMINATION — the training-data hygiene step every
+    public LLM pipeline runs (GPT-3 App. C / Dolma: drop training docs that
+    share an n-gram with the eval set): flag corpus documents containing any
+    word-``n``-gram of the held-out benchmark set (here: docs with
+    ``doc_id % bench_mod == 0`` stand in for the benchmark).
+
+    Scale shape — broadcast-small-side, the anti-join family's text dual:
+    the benchmark is eval-set-sized (fixed, tiny next to a 100 TB corpus),
+    so stage 1 collects its DISTINCT gram hashes (8 bytes each, bounded by
+    benchmark size) per batch, np.unique's them on the driver and
+    broadcasts via ``ray.put``; stage 2 streams the corpus once —
+    per-batch distinct-grams-per-doc → sorted-array membership
+    (``np.isin``) → per-doc contaminated-gram counts. No shuffle at all.
+    Hash semantics are IDENTICAL on both sides (DuckDB ``md5_number_lower``
+    == the engine's hash, the CLAUDE.md oracle trick), so even a 64-bit
+    collision produces the same answer in engine and oracle."""
+    from ..functions.sketches import md5_number_lower
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_gram_hashes(text: str) -> np.ndarray:
+        ws = text.split(" ")  # mirror DuckDB string_split(text, ' ')
+        grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        return np.array([md5_number_lower(g) for g in grams],
+                        dtype=np.uint64)
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % bench_mod == 0
+        hs = [_doc_gram_hashes(t) for t, k in
+              zip(batch["text"].to_pylist(), keep) if k]
+        out = np.unique(np.concatenate(hs)) if hs \
+            else np.empty(0, np.uint64)
+        return pa.table({"gh": pa.array(out.view(np.int64), pa.int64())})
+
+    bench_rows = ds.map_batches(bench_hashes,
+                                batch_format="pyarrow").take_all()
+    # bounded driver collect: benchmark gram hashes only (eval-set-sized)
+    bench = np.unique(np.array([r["gh"] for r in bench_rows],
+                               dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    def contaminated(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_ids, out_n = [], []
+        for i, t in zip(ids, texts):
+            if i % bench_mod == 0:
+                continue  # the benchmark itself is not "contaminated"
+            hits = int(np.isin(_doc_gram_hashes(t).view(np.int64),
+                               bset, assume_unique=True).sum())
+            if hits:
+                out_ids.append(int(i))
+                out_n.append(hits)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "n_contaminated_grams": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(contaminated,
+                          batch_format="pyarrow").sort("doc_id")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w),
+g AS (SELECT DISTINCT doc_id,
+             md5_number_lower(array_to_string(ws[i:i+2], ' ')) AS gh
+      FROM pos),
+bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 31 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+FROM g JOIN bench ON g.gh = bench.gh
+WHERE g.doc_id % 31 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 DOC_QUERIES = {
+    "doc_decontaminate": doc_decontaminate,
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
     "doc_word_jaccard_adjacent": doc_word_jaccard_adjacent,
     "doc_token_stats": doc_token_stats,
@@ -1287,6 +1368,7 @@ DOC_QUERIES = {
 }
 
 DOC_ORACLE_SQL = {
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_adjacent_levenshtein": DOC_LEVENSHTEIN_SQL,
     "doc_word_jaccard_adjacent": DOC_WORD_JACCARD_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

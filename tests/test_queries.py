@@ -30,7 +30,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "events_user_running_total", "events_value_median_by_type",
           "doc_weighted_sample", "cdc_dup_attribution",
           "doc_unigram_logprob", "cdc_near_dup_attribution",
-          "cdc_backfill_token_stats"]
+          "cdc_backfill_token_stats", "cdc_changefeed",
+          "cdc_quarantine_stats", "doc_decontaminate"]
 
 
 @pytest.fixture(scope="module")
