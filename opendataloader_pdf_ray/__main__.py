@@ -235,10 +235,28 @@ def cmd_fsck(args) -> int:
     near_root = near_index_root(args.lake)
     if lake.fs.exists(near_root):  # and the SimHash band keyspace
         report["nearidx"] = NearDupIndex(near_root).verify(deep=args.deep)
+    from .cdc.quarantine import quarantine_root
+
+    q_root = quarantine_root(args.lake)
+    if lake.fs.exists(q_root):
+        # DLQ: shallow only — it is an append-only event log (sorted by
+        # seq, no tombstone column), so deep's snapshot invariants
+        # (url-sorted, unique, deleted col) do not apply
+        report["quarantine"] = Lake(q_root).verify(deep=False)
     print(json.dumps(report))
     ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
-          and report.get("nearidx", {"ok": True})["ok"])
+          and report.get("nearidx", {"ok": True})["ok"]
+          and report.get("quarantine", {"ok": True})["ok"])
     return 0 if ok else 1
+
+
+def cmd_stats(args) -> int:
+    """Metadata-only lake diagnostics (no Ray session needed)."""
+    from .cdc.lake import Lake
+
+    lake = Lake(args.lake, args.partitions)
+    print(json.dumps(lake.stats()))
+    return 0
 
 
 def cmd_rescale(args) -> int:
@@ -601,6 +619,15 @@ def main(argv=None) -> int:
                           "record to <lake>/quarantine instead of killing "
                           "the epoch (inspect with the quarantine command)")
     ing.set_defaults(fn=cmd_ingest)
+
+    st = sub.add_parser("stats",
+                        help="partition skew / size diagnostics from "
+                             "metadata only (when to rescale / compact / "
+                             "vacuum)")
+    st.add_argument("lake")
+    st.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    st.set_defaults(fn=cmd_stats)
 
     rs = sub.add_parser("rescale",
                         help="re-partition the lake's state into a NEW lake "

@@ -802,6 +802,57 @@ class Lake:
         return {"ok": not issues, "issues": issues, "orphans": orphans,
                 "partitions": self.num_partitions, "commits": n_commits}
 
+    def stats(self) -> Dict:
+        """Partition skew / size diagnostics from METADATA only (file sizes
+        via fs listing, row counts via parquet footers — no data read): the
+        ops signal for when to ``rescale`` (hot partitions), ``compact``
+        (long delta chains) or ``vacuum`` (superseded bytes). O(P·files)
+        driver work, independent of data size."""
+        per_part = []
+        for part in range(self.num_partitions):
+            epochs = self.committed_epochs(part)
+            snaps = deltas = data_bytes = 0
+            tip_rows = 0
+            chain = 0  # deltas newer than the newest snapshot
+            newest_snap = -1
+            for e in epochs:
+                if self.fs.exists(self._data_path(part, e)):
+                    newest_snap = e
+            for e in epochs:
+                for kind, path in (("snap", self._data_path(part, e)),
+                                   ("delta", self._delta_path(part, e))):
+                    if not self.fs.exists(path):
+                        continue
+                    info = self.fs.info(path)
+                    data_bytes += int(info.get("size", 0))
+                    meta = pq.read_metadata(path, filesystem=self.fs)
+                    if kind == "snap":
+                        snaps += 1
+                        if e == newest_snap:
+                            tip_rows = meta.num_rows
+                    else:
+                        deltas += 1
+                        if e > newest_snap:
+                            chain += 1
+                            tip_rows += meta.num_rows  # upper bound (LWW fold dedups)
+            per_part.append({"part": part, "epochs": len(epochs),
+                             "snapshots": snaps, "deltas": deltas,
+                             "delta_chain": chain, "bytes": data_bytes,
+                             "rows_upper_bound": tip_rows})
+        sizes = [p["bytes"] for p in per_part if p["epochs"]]
+        mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        return {
+            "partitions": self.num_partitions,
+            "live_partitions": len(sizes),
+            "total_bytes": sum(sizes),
+            "mean_partition_bytes": mean,
+            "max_partition_bytes": max(sizes) if sizes else 0,
+            "skew_ratio": (max(sizes) / mean) if mean else 0.0,
+            "max_delta_chain": max((p["delta_chain"] for p in per_part),
+                                   default=0),
+            "hottest": sorted(per_part, key=lambda p: -p["bytes"])[:5],
+        }
+
     def all_lineage(self) -> List[Dict]:
         out = []
         try:

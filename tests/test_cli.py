@@ -155,6 +155,27 @@ class TestExportCLI:
         rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep3["rows"] == want.num_rows
 
+    def test_stats_metadata_only(self, tmp_path, capsys, ray_session):
+        """stats reports partition sizes / delta chains from footers only."""
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = tmp_path / "events.parquet"
+        pq.write_table(gen_events(120, 30, seed=42), str(events))
+        lake_dir = tmp_path / "lake"
+        assert main(["ingest", str(events), str(lake_dir), "--epoch-size",
+                     "60", "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta"]) == 0
+        capsys.readouterr()
+        assert main(["stats", str(lake_dir)]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["partitions"] == 4
+        assert rep["total_bytes"] > 0
+        assert rep["max_delta_chain"] >= 1  # delta mode, no compaction yet
+        assert rep["skew_ratio"] >= 1.0
+        assert len(rep["hottest"]) <= 5
+
     def test_export_incremental_refresh(self, tmp_path, capsys, ray_session):
         """Exported files carry the tip epoch they cover: after new epochs
         commit, a re-export rewrites ONLY the partitions whose tip advanced
