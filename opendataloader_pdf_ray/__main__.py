@@ -196,16 +196,26 @@ def cmd_ingest(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    import ray
+
     from .cdc import DupIndex, Lake, dup_index_root
 
+    # partition folds run as Ray tasks — the driver never folds data
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     lake = Lake(args.lake, args.partitions)
-    compacted = lake.compact()
+    compacted = lake.compact_distributed()
     removed = lake.vacuum(keep_snapshots=args.keep_snapshots)
     report = {"partitions_compacted": compacted, "files_reclaimed": removed}
     idx_root = dup_index_root(args.lake)
     if lake.fs.exists(idx_root):  # fold the fingerprint keyspace too
         index = DupIndex(idx_root)
-        report["fpindex_compacted"] = index.compact()
+        report["fpindex_compacted"] = index.compact_distributed()
         report["fpindex_reclaimed"] = index.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
     from .cdc.ingest import near_index_root
@@ -214,7 +224,7 @@ def cmd_compact(args) -> int:
     near_root = near_index_root(args.lake)
     if lake.fs.exists(near_root):  # and the SimHash band keyspace
         nindex = NearDupIndex(near_root)
-        report["nearidx_compacted"] = nindex.compact()
+        report["nearidx_compacted"] = nindex.compact_distributed()
         report["nearidx_reclaimed"] = nindex.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
     print(json.dumps(report))

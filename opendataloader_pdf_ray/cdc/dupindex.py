@@ -227,13 +227,39 @@ class DupIndex:
         return read_index_partition(self.lake, part, self.key_col,
                                     self.ts_col, self.seq_col, as_of=as_of)
 
+    def compact_distributed(self, parts: Optional[List[int]] = None) -> int:
+        """Distributed :meth:`compact`: one Ray task per index partition
+        performs ITS FWW fold + snapshot write (the driver must never fold
+        partitions at scale). The worker is a plain DupIndex regardless of
+        subclass — the fold depends only on (root, key/ts/seq columns),
+        which is also why NearDupIndex inherits this unchanged."""
+        import ray.data as _rd
+
+        root, n = self.lake.root, self.num_partitions
+        kc, tc, sc = self.key_col, self.ts_col, self.seq_col
+        todo = list(parts) if parts is not None else list(range(n))
+        if not todo:
+            return 0
+
+        def task(batch: pa.Table) -> pa.Table:
+            idx = DupIndex(root, n, key_col=kc, ts_col=tc, seq_col=sc)
+            done = sum(idx.compact([int(p)])
+                       for p in batch["part"].to_pylist())
+            return pa.table({"done": pa.array([done], pa.int64())})
+
+        out = _rd.from_items([{"part": p} for p in todo]).map_batches(
+            task, batch_format="pyarrow", batch_size=1).take_all()  # ≤ P
+        return int(sum(r["done"] for r in out))
+
     def compact(self, parts: Optional[List[int]] = None) -> int:
         """Materialize the FWW merge-on-read state as a snapshot at each
         partition's newest committed epoch (same no-new-commit-record
         contract as ``Lake.compact``: a snapshot is a cached view of
         already-committed history — idempotent, crash-safe via the atomic
         write). Follow with ``self.lake.vacuum()`` to reclaim folded
-        deltas (vacuum is content-agnostic, so the lake's works as-is)."""
+        deltas (vacuum is content-agnostic, so the lake's works as-is).
+        Driver-side per-partition worker; at scale call
+        :meth:`compact_distributed`."""
         done = 0
         for part in (parts if parts is not None
                      else range(self.num_partitions)):

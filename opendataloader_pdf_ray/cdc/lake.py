@@ -660,6 +660,30 @@ class Lake:
             done += 1
         return done
 
+    def compact_distributed(self, parts: Optional[List[int]] = None) -> int:
+        """Distributed :meth:`compact`: one Ray task per partition performs
+        ITS merge-on-read fold + snapshot write — at 100 TB the driver must
+        never fold partitions itself (the driver-side ``compact`` stays for
+        libraries/tests and as the per-partition worker here). Same
+        idempotence/crash-safety: snapshot content is deterministic and the
+        atomic write publishes complete bytes or nothing."""
+        import ray.data as _rd
+
+        root, n = self.root, self.num_partitions
+        todo = list(parts) if parts is not None else list(range(n))
+        if not todo:
+            return 0
+
+        def task(batch: pa.Table) -> pa.Table:
+            lake = Lake(root, n)
+            done = sum(lake.compact([int(p)])
+                       for p in batch["part"].to_pylist())
+            return pa.table({"done": pa.array([done], pa.int64())})
+
+        out = _rd.from_items([{"part": p} for p in todo]).map_batches(
+            task, batch_format="pyarrow", batch_size=1).take_all()  # ≤ P
+        return int(sum(r["done"] for r in out))
+
     def _sweep_tmp(self, part: int) -> None:
         """Reclaim staging files a crashed atomic write left behind (they
         are invisible to readers — only ``epoch=*.parquet`` names are).
