@@ -1324,8 +1324,13 @@ def cdc_quarantine_stats(sf_dir: str):
      .write_parquet(events_path))
 
     lake_root = os.path.join(root, "lake")
+    # size the extractor pool to the session (CLAUDE.md pitfall: the
+    # default 8×0.8-CPU pool deadlocks a 4-CPU test session)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=1 << 40,
-                    quarantine_errors=True)
+                    quarantine_errors=True,
+                    extract_batch_size=32,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
     replay(events_path, lake_root, cfg, mode="backlog")
 
     store = QuarantineStore(quarantine_root(lake_root), cfg.num_partitions)
