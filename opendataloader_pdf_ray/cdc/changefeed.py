@@ -29,6 +29,14 @@ Raises when a needed file was vacuumed: a feed over reclaimed history would
 be silently incomplete, and explicit failure ("re-seed the consumer from a
 snapshot read") is the correct CDC semantics.
 
+Scope note: the feed is CDC-EVENT-level. Maintenance snapshot commits that
+keep every (warc_ts, seq) unchanged — a ``backfill`` rewriting derived
+columns — do not surface as changes (the snapshot diff keys on the event
+coordinates, not on derived values); consumers that project derived columns
+re-read the lake after a backfill. A ``rescale``'s initial snapshot feeds
+as inserts against the new lake's empty pre-image, which is exactly what a
+consumer re-seeding from the new deployment wants.
+
 Reference parity note: the reference engine has no lake, so no counterpart;
 this is the Ray-native completion of the CDC story (ingest IN via
 ``cdc/ingest.py``, changes OUT here).

@@ -148,8 +148,15 @@ class QuarantineStore:
                             "epoch",
                             pa.array(np.full(t.num_rows, e, np.int64))))
             if not out:
-                return pa.table(
-                    {c: pa.array([], pa.string()) for c in _DLQ_COLS})
+                # typed empty block: a string-typed placeholder would crash
+                # the Dataset's schema unification against real blocks
+                return pa.table({
+                    "url": pa.array([], pa.string()),
+                    "warc_ts": pa.array([], pa.timestamp("us")),
+                    "seq": pa.array([], pa.int64()),
+                    "extract_error": pa.array([], pa.string()),
+                    "epoch": pa.array([], pa.int64()),
+                })
             return pa.concat_tables(out)
 
         return _rd.from_items([{"part": p} for p in parts]).map_batches(
