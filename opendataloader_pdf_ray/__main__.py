@@ -161,6 +161,7 @@ def cmd_ingest(args) -> int:
                     maintain_near_index=args.near_index,
                     near_index_commits=args.near_index_commits,
                     quarantine_errors=args.quarantine,
+                    auto_compact_chain=args.auto_compact_chain,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     if args.mode == "follow":
         from .cdc.ingest import follow
@@ -628,6 +629,12 @@ def main(argv=None) -> int:
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "
                           "the epoch (inspect with the quarantine command)")
+    ing.add_argument("--auto-compact-chain", type=int, default=None,
+                     dest="auto_compact_chain", metavar="K",
+                     help="epoch/follow modes: re-materialize any partition "
+                          "whose delta chain exceeds K after each epoch "
+                          "(bounds merge-on-read amplification on long "
+                          "tails)")
     ing.set_defaults(fn=cmd_ingest)
 
     st = sub.add_parser("stats",

@@ -105,6 +105,22 @@ def _maintain_quarantine(ds, lake: Lake, epoch: int, cfg: CDCConfig):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+def _auto_compact(lake: Lake, cfg: CDCConfig) -> int:
+    """Streaming-tail compaction policy (``CDCConfig.auto_compact_chain``):
+    re-materialize any partition whose delta chain exceeds the threshold —
+    bounds merge-on-read amplification on long tails. Distributed (one task
+    per hot partition), idempotent, and history-preserving (compact never
+    removes files; vacuum stays a manual op because reclaiming snapshots is
+    a time-travel policy decision, not a performance one)."""
+    if cfg.auto_compact_chain is None:
+        return 0
+    hot = [p for p, chain in lake.delta_chains().items()
+           if chain > cfg.auto_compact_chain]
+    if not hot:
+        return 0
+    return lake.compact_distributed(hot)
+
+
 def _guard_cdc_epoch(lake: Lake, part: int, epoch: int) -> "Lineage":
     """Loud-fail when a CDC epoch number reaches a MAINTENANCE commit: a
     backfill claims epoch max+1, which on a live tail is exactly the next
@@ -535,6 +551,7 @@ def replay(events_path: str, lake_root: str, cfg: Optional[CDCConfig] = None,
         for epoch in pending:
             lineage.extend(ingest_epoch(events_path, lake, epoch, cfg))
             lake.mark_epoch_done(epoch)
+            _auto_compact(lake, cfg)
     return lineage
 
 
@@ -628,6 +645,7 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
             # in-flight (footer-less) file must not enter the read set
             lineage.extend(ingest_epoch(paths, lake, e, cfg))
             lake.mark_epoch_done(e)
+            _auto_compact(lake, cfg)
             progressed = True
         if stopping and (dense or max_seq < 0) \
                 and all(lake.is_epoch_done(e) for e in epochs):

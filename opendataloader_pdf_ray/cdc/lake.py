@@ -660,6 +660,23 @@ class Lake:
             done += 1
         return done
 
+    def delta_chains(self) -> Dict[int, int]:
+        """Per-partition merge-on-read chain length (committed deltas newer
+        than the newest snapshot) — metadata-only (listings + exists), the
+        auto-compaction trigger signal."""
+        out: Dict[int, int] = {}
+        for part in range(self.num_partitions):
+            epochs = self.committed_epochs(part)
+            if not epochs:
+                continue
+            newest_snap = -1
+            for e in epochs:
+                if self.fs.exists(self._data_path(part, e)):
+                    newest_snap = e
+            out[part] = sum(1 for e in epochs if e > newest_snap
+                            and self.fs.exists(self._delta_path(part, e)))
+        return out
+
     def compact_distributed(self, parts: Optional[List[int]] = None) -> int:
         """Distributed :meth:`compact`: one Ray task per partition performs
         ITS merge-on-read fold + snapshot write — at 100 TB the driver must

@@ -225,6 +225,12 @@ class CDCConfig:
     near_index_commits: str = "snapshot"
     near_index_max_hamming: int = 3
     near_index_ngram: int = 2
+    # Streaming-tail compaction policy: after each committed epoch, any
+    # partition whose merge-on-read delta chain exceeds this length is
+    # re-materialized as a snapshot (distributed, one task per partition) —
+    # bounds read amplification on long-running delta-mode tails without an
+    # operator in the loop. None = manual compaction only.
+    auto_compact_chain: Optional[int] = None
     # Dead-letter queue (cdc/quarantine.py): extraction exceptions divert
     # the RECORD to <lake>/quarantine (url-partitioned, exactly-once per
     # (part, epoch)) instead of killing the epoch — at 10^10 events a single

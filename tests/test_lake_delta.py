@@ -7,6 +7,41 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+
+class TestAutoCompact:
+    @pytest.mark.usefixtures("ray_session")
+    def test_chain_bounded_state_and_history_intact(self, tmp_path_factory):
+        """auto_compact_chain=1: after an epoch-mode delta replay, no
+        partition's chain exceeds 1, the final state matches the oracle,
+        and time travel still works (compact adds snapshots, removes
+        nothing)."""
+        from opendataloader_pdf_ray.cdc import Lake, oracle_final_state, replay
+        from opendataloader_pdf_ray.config import CDCConfig
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        tmp = tmp_path_factory.mktemp("autocompact")
+        events = gen_events(180, 40, seed=42)
+        path = str(tmp / "events.parquet")
+        pq.write_table(events, path)
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                        extract_batch_size=16, extract_concurrency=2,
+                        epoch_commits="delta", auto_compact_chain=1)
+        lake_root = str(tmp / "lake")
+        replay(path, lake_root, cfg, mode="epoch")
+        lake = Lake(lake_root, None)
+        assert max(lake.delta_chains().values()) <= 1
+        # at least one partition got re-materialized mid-tail
+        assert any(
+            lake.fs.exists(lake._data_path(p, e))
+            for p in range(4) for e in lake.committed_epochs(p))
+        _assert_oracle(lake, events)
+        # history intact: an as-of read below the tip still resolves
+        for p in range(4):
+            es = lake.committed_epochs(p)
+            if len(es) > 1:
+                assert lake.read_partition(p, as_of=es[0]) is not None
+        assert lake.verify(deep=True)["ok"]
+
 from opendataloader_pdf_ray.cdc import Lake, oracle_final_state
 from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
 from opendataloader_pdf_ray.config import CDCConfig
