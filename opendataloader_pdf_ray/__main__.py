@@ -427,6 +427,12 @@ def cmd_purge(args) -> int:
     near_root = near_index_root(args.lake)
     if lake.fs.exists(near_root):  # band index stores owner urls too
         report["nearidx"] = NearDupIndex(near_root).purge_keys(args.urls)
+    from .cdc.quarantine import QuarantineStore, quarantine_root
+
+    q_root = quarantine_root(args.lake)
+    if lake.fs.exists(q_root):  # the DLQ stores urls — scrub it too
+        report["quarantine"] = QuarantineStore(
+            q_root, Lake(q_root).num_partitions).purge_urls(args.urls)
     print(json.dumps(report))
     return 0
 

@@ -165,3 +165,35 @@ class QuarantineStore:
     def counts(self) -> List[dict]:
         """Per-(part, epoch) quarantine lineage (≤ P × epochs tiny rows)."""
         return self.lake.all_lineage()
+
+    def purge_urls(self, urls: List[str]) -> dict:
+        """Right-to-be-forgotten for the DLQ: the quarantine keyspace stores
+        urls (that is its point), so a lake purge must scrub it too.
+        Rewrites only the delta files containing victims via the atomic
+        write path — idempotent, commit records untouched (the quarantine
+        DID happen; only the identifying payload is erased)."""
+        from .ingest import url_partition
+
+        parts = url_partition(np.array(urls, dtype=object),
+                              self.num_partitions)
+        by_part: dict = {}
+        for url, part in zip(urls, parts):
+            by_part.setdefault(int(part), []).append(url)
+        files_rewritten = rows_removed = 0
+        for part, part_urls in sorted(by_part.items()):
+            value_set = pa.array(part_urls)
+            for e in self.lake.committed_epochs(part):
+                path = self.lake._delta_path(part, e)
+                if not self.lake.fs.exists(path):
+                    continue
+                t = pq.read_table(path, filesystem=self.lake.fs)
+                mask = pc.is_in(t["url"], value_set=value_set)
+                hits = int(pc.sum(mask.cast(pa.int64())).as_py() or 0)
+                if not hits:
+                    continue
+                self.lake._write_table_atomic(
+                    t.filter(pc.invert(mask)), path)
+                files_rewritten += 1
+                rows_removed += hits
+        return {"files_rewritten": files_rewritten,
+                "rows_removed": rows_removed}

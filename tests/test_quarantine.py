@@ -119,6 +119,31 @@ class TestQuarantine:
         with pytest.raises(Exception):
             replay(path, str(tmp_path / "lake"), cfg_loud, mode="epoch")
 
+    def test_purge_scrubs_dlq(self, tmp_path, capsys):
+        """Right-to-be-forgotten reaches the quarantine keyspace: after a
+        CLI purge of a quarantined url, no DLQ read returns it."""
+        from opendataloader_pdf_ray.__main__ import main
+
+        path, _ = _events_with_poison(tmp_path, {70, 71})
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, CFG, mode="epoch")
+        store = QuarantineStore(quarantine_root(lake_root),
+                                CFG.num_partitions)
+        victim = store.read().filter(
+            pc.equal(store.read()["seq"], 70))["url"][0].as_py()
+        assert main(["purge", lake_root, victim]) == 0
+        import json as _json
+
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["quarantine"]["rows_removed"] >= 1
+        after = store.read()
+        if after is not None:
+            assert victim not in after["url"].to_pylist()
+        # idempotent: second purge rewrites nothing
+        assert main(["purge", lake_root, victim]) == 0
+        rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["quarantine"]["rows_removed"] == 0
+
     def test_no_poison_no_dlq(self, tmp_path):
         path, _ = _events_with_poison(tmp_path, set())
         lake_root = str(tmp_path / "lake")
