@@ -330,6 +330,41 @@ def cmd_changes(args) -> int:
     from .cdc import Lake
 
     lake = Lake(args.lake, args.partitions)
+    if args.follow:
+        # tail mode: one parquet file per completed epoch window under
+        # --out; restart resumes from the highest hi-epoch already written
+        import os as _os
+        import re as _re
+
+        from .cdc.changefeed import follow_changes
+
+        if not args.out:
+            print(json.dumps({"error": "--follow requires --out"}))
+            return 2
+        _os.makedirs(args.out, exist_ok=True)
+        watermark = args.since
+        pat = _re.compile(r"feed-(-?\d+)-(\d+)\.parquet$")
+        for name in _os.listdir(args.out):
+            m = pat.match(name)
+            if m:
+                watermark = max(watermark, int(m.group(2)))
+        import pyarrow.parquet as _pq
+
+        windows = 0
+        for lo, hi, table in follow_changes(
+                lake, since=watermark,
+                poll_interval=args.poll_interval,
+                max_idle_polls=args.idle_stop):
+            path = _os.path.join(args.out, f"feed-{lo + 1}-{hi}.parquet")
+            tmp = path + ".tmp"
+            _pq.write_table(table, tmp, compression="zstd")
+            _os.rename(tmp, path)
+            windows += 1
+        print(json.dumps({"windows_written": windows, "out": args.out,
+                          "resumed_from": args.since}))
+        if started_ray:
+            ray.shutdown()
+        return 0
     feed = lake.changes(since=args.since, until=args.until)
     if args.out:
         feed.write_parquet(args.out)
@@ -715,6 +750,15 @@ def main(argv=None) -> int:
     cf.add_argument("--out", default=None,
                     help="write the feed to parquet instead of printing "
                          "per-op counts")
+    cf.add_argument("--follow", action="store_true",
+                    help="TAIL the feed: poll the commit log, write one "
+                         "parquet per completed epoch window to --out; a "
+                         "restart resumes from the files already written")
+    cf.add_argument("--poll-interval", type=float, default=0.5,
+                    dest="poll_interval")
+    cf.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
+                    help="stop after N polls with no new epochs (default: "
+                         "poll forever)")
     cf.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     cf.set_defaults(fn=cmd_changes)

@@ -181,6 +181,54 @@ def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
     return snap.filter(pa.array(changed))
 
 
+def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
+                   max_idle_polls: Optional[int] = None,
+                   stopped=None):
+    """TAIL the change feed — the consumer dual of ``ingest --mode follow``:
+    a generator yielding one ``(lo_epoch, hi_epoch, pa.Table)`` tuple per
+    newly COMPLETED epoch window as the producer commits them.
+
+    The watermark is the epoch-done marker: an epoch enters the feed only
+    once every partition's commit landed (``Lake.is_epoch_done``), so a
+    consumer never sees a half-committed epoch and each epoch is yielded
+    exactly once per generator. Offset persistence across consumer restarts
+    is the caller's (pass the last consumed ``hi_epoch`` back as
+    ``since``; the CLI derives it from its output file names).
+
+    Stop conditions: ``stopped()`` returning True (drains whatever is done,
+    then returns) or ``max_idle_polls`` consecutive polls with no progress.
+    Yielded tables are window-sized — bulk backfills should use
+    :func:`changes` directly (a streaming Dataset)."""
+    import time as _time
+
+    watermark = since
+    idle = 0
+    while True:
+        stopping = bool(stopped()) if stopped is not None else False
+        hi = watermark
+        while lake.is_epoch_done(hi + 1):
+            hi += 1
+        if hi > watermark:
+            feed = changes(lake, since=watermark, until=hi)
+            batches = [b for b in feed.iter_batches(batch_format="pyarrow")
+                       if b.num_rows]
+            table = pa.concat_tables(batches) if batches else None
+            if table is not None and table.num_rows:
+                table = table.sort_by([("epoch", "ascending"),
+                                       ("part", "ascending"),
+                                       ("url", "ascending")])
+                yield watermark, hi, table
+            watermark = hi
+            idle = 0
+        else:
+            idle += 1
+        if stopping and hi == watermark:
+            return
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            return
+        _time.sleep(poll_interval)
+
+
 def changes(lake: Lake, since: int = -1, until: Optional[int] = None,
             columns: Optional[List[str]] = None):
     """Streaming change feed ``(part, epoch, op, url, warc_ts, seq, …)`` for

@@ -128,6 +128,95 @@ class TestChangeFeed:
             batch_format="pyarrow"))
         assert sum(b.num_rows for b in out) == 0
 
+    def test_schema_evolution_null_backfilled(self, tmp_path):
+        """A mid-stream additive column: earlier epochs' feed rows carry it
+        null-backfilled; later epochs carry the value (Arrow unification —
+        the lake's schema-evolution contract extends to the feed)."""
+        lk = Lake(str(tmp_path / "evo"), 1)
+        t0 = pa.table({"url": ["a"], "warc_ts": pa.array([1], pa.int64()),
+                       "seq": pa.array([0], pa.int64()),
+                       "deleted": [False], "text": ["x"]})
+        t1 = pa.table({"url": ["b"], "warc_ts": pa.array([2], pa.int64()),
+                       "seq": pa.array([1], pa.int64()),
+                       "deleted": [False], "text": ["y"],
+                       "lang": ["en"]})  # new column appears in epoch 1
+        lin = lambda e: Lineage(part=0, epoch=e, events_consumed=1,
+                                rows_upserted=1, rows_deleted=0,
+                                seq_min=0, seq_max=0)
+        lk.commit_delta(0, 0, t0, lin(0))
+        lk.commit_delta(0, 1, t1, lin(1))
+        feed = _feed(lk)
+        assert "lang" in feed.column_names
+        by_url = {r["url"]: r for r in feed.to_pylist()}
+        assert by_url["a"]["lang"] is None
+        assert by_url["b"]["lang"] == "en"
+
+    def test_follow_changes_tails_commits(self, events_path, tmp_path):
+        """The consumer tail: epochs enter the feed only once DONE, each
+        exactly once, and the union of tailed windows equals the bulk feed."""
+        from opendataloader_pdf_ray.cdc.changefeed import follow_changes
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+
+        lk = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        ingest_epoch(events_path, lk, 0, CFG)
+        lk.mark_epoch_done(0)
+        gen = follow_changes(lk, poll_interval=0.05, max_idle_polls=3)
+        lo, hi, t0 = next(gen)
+        assert (lo, hi) == (-1, 0)
+        assert set(t0["epoch"].to_pylist()) == {0}
+        # epoch 1 commits but is NOT done yet → the tail must not emit it
+        ingest_epoch(events_path, lk, 1, CFG)
+        # (no done marker) — generator should hit idle-stop without yield
+        leftovers = list(gen)
+        assert leftovers == []
+        # mark done; a resumed tail (since=0) picks up exactly epoch 1+2
+        lk.mark_epoch_done(1)
+        ingest_epoch(events_path, lk, 2, CFG)
+        lk.mark_epoch_done(2)
+        gen2 = follow_changes(lk, since=0, poll_interval=0.05,
+                              max_idle_polls=3)
+        windows = list(gen2)
+        assert len(windows) == 1
+        lo2, hi2, t12 = windows[0]
+        assert (lo2, hi2) == (0, 2)
+        tailed = pa.concat_tables([t0, t12])
+        bulk = _feed(lk)
+        assert tailed.num_rows == bulk.num_rows
+        assert sorted(zip(tailed["epoch"].to_pylist(),
+                          tailed["url"].to_pylist())) == \
+            sorted(zip(bulk["epoch"].to_pylist(), bulk["url"].to_pylist()))
+
+    def test_follow_cli_resumes_from_output(self, events_path, tmp_path,
+                                            capsys):
+        import json as _json
+        import os
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+
+        lk = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        for e in (0, 1):
+            ingest_epoch(events_path, lk, e, CFG)
+            lk.mark_epoch_done(e)
+        out = str(tmp_path / "feed")
+        assert main(["changes", str(tmp_path / "lake"), "--follow",
+                     "--out", out, "--idle-stop", "2",
+                     "--poll-interval", "0.05"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["windows_written"] == 1
+        files = sorted(os.listdir(out))
+        assert files == ["feed-0-1.parquet"]
+        # third epoch lands; a re-run writes ONLY the new window
+        ingest_epoch(events_path, lk, 2, CFG)
+        lk.mark_epoch_done(2)
+        assert main(["changes", str(tmp_path / "lake"), "--follow",
+                     "--out", out, "--idle-stop", "2",
+                     "--poll-interval", "0.05"]) == 0
+        rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["windows_written"] == 1
+        assert sorted(os.listdir(out)) == ["feed-0-1.parquet",
+                                           "feed-2-2.parquet"]
+
     def test_no_op_delete_not_emitted(self, tmp_path):
         lk = Lake(str(tmp_path / "noop"), 1)
         t0 = pa.table({"url": ["a"], "warc_ts": pa.array([1], pa.int64()),
