@@ -244,8 +244,21 @@ class Lake:
         return epochs[-1] if epochs else None
 
     # -------------------------------------------------------------------- read
+    _MERGE_COLS = ("url", "warc_ts", "seq", "deleted")
+
+    def _projection(self, columns: Optional[List[str]],
+                    schema_names) -> Optional[List[str]]:
+        """Requested columns + the LWW merge keys (the fold needs them),
+        intersected with what this file actually has (schema evolution:
+        older files may predate a column — the fold null-backfills)."""
+        if columns is None:
+            return None
+        want = list(dict.fromkeys(list(columns) + list(self._MERGE_COLS)))
+        return [c for c in want if c in set(schema_names)]
+
     def read_partition(self, part: int, as_of: Optional[int] = None,
-                       url_filter: Optional[List[str]] = None) -> Optional[pa.Table]:
+                       url_filter: Optional[List[str]] = None,
+                       columns: Optional[List[str]] = None) -> Optional[pa.Table]:
         """Merge-on-read: newest epoch ≤ as_of whose SNAPSHOT file exists is
         the base; committed delta files after it fold on top in epoch order
         (associative LWW, so this equals the eager CoW state).
@@ -261,10 +274,24 @@ class Lake:
         are safe before the fold: the LWW merge is per-url (dropping OTHER
         urls can't change the selected urls' fold) and Bloom has no false
         negatives (a skipped epoch contains neither a row nor a tombstone
-        for any requested url)."""
+        for any requested url).
+
+        ``columns`` projects the read to the requested columns plus the
+        merge keys (url/warc_ts/seq/deleted — the fold needs them): parquet
+        is columnar, so a 2-column consumer never decodes the wide
+        text/blocks columns. Safe before the fold for the same reason the
+        url pushdown is: LWW winner selection touches only the merge keys."""
         filters = None
         if url_filter is not None:
             filters = [("url", "in", list(url_filter))]
+
+        def _read(path: str) -> pa.Table:
+            cols = self._projection(
+                columns, pq.read_schema(path, filesystem=self.fs).names) \
+                if columns is not None else None
+            return pq.read_table(path, filesystem=self.fs, filters=filters,
+                                 columns=cols)
+
         epochs = self.committed_epochs(part)
         if as_of is not None:
             epochs = [e for e in epochs if e <= as_of]
@@ -275,8 +302,7 @@ class Lake:
         for i in range(len(epochs) - 1, -1, -1):
             path = self._data_path(part, epochs[i])
             if self.fs.exists(path):
-                base = pq.read_table(path, filesystem=self.fs,
-                                     filters=filters)
+                base = _read(path)
                 base_idx = i
                 break
         url_list = list(url_filter) if url_filter is not None else None
@@ -288,9 +314,7 @@ class Lake:
                     if bloom is not None and not _bloom_maybe_any(
                             bloom, url_list):
                         continue  # epoch definitely touches none of the urls
-                delta = pq.read_table(dpath, filesystem=self.fs,
-                                      filters=filters)
-                base = merge_base_with_updates(base, delta)
+                base = merge_base_with_updates(base, _read(dpath))
         return base
 
     def _unified_live(self, as_of: Optional[int] = None):
@@ -317,7 +341,8 @@ class Lake:
         return live_parts, target
 
     def read_dataset(self, as_of: Optional[int] = None,
-                     include_tombstones: bool = False) -> "object":
+                     include_tombstones: bool = False,
+                     columns: Optional[List[str]] = None) -> "object":
         """Whole-lake state as a STREAMING ``ray.data.Dataset`` — the
         100-TB read path, and unlike :meth:`partition_files` it works on
         delta-mode (un-compacted) lakes: one task per partition performs the
@@ -326,18 +351,24 @@ class Lake:
         touches the driver. Schema evolution is handled scale-right: the
         driver unifies only parquet FOOTER schemas across partitions (bytes,
         not data) and every task null-backfills to that target schema, so
-        the Dataset has one consistent schema."""
+        the Dataset has one consistent schema. ``columns`` pushes a
+        projection into every parquet read (plus the merge keys): a
+        2-column consumer never decodes the wide text/blocks columns."""
         import ray.data as _rd
 
         live_parts, target = self._unified_live(as_of)
         if target is None:
             return _rd.from_items([])
+        if columns is not None:
+            keep = self._projection(columns, target.names)
+            target = pa.schema([target.field(c) for c in keep])
         root, n_parts = self.root, self.num_partitions
 
         def load(batch: pa.Table) -> pa.Table:
             out = []
             for part in batch["part"].to_pylist():
-                t = Lake(root, n_parts).read_partition(int(part), as_of)
+                t = Lake(root, n_parts).read_partition(int(part), as_of,
+                                                       columns=columns)
                 if t is None or t.num_rows == 0:
                     continue
                 t = unify_to_schema(t, target)

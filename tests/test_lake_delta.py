@@ -8,6 +8,46 @@ import pyarrow.parquet as pq
 import pytest
 
 
+class TestColumnPruning:
+    @pytest.mark.usefixtures("ray_session")
+    def test_projected_read_equals_full_projection(self, tmp_path_factory):
+        """read_partition/read_dataset(columns=...) never decode the wide
+        columns but fold to the same rows; a column added mid-stream is
+        null-backfilled in the projected read too."""
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import Lake, Lineage
+
+        tmp = tmp_path_factory.mktemp("prune")
+        lk = Lake(str(tmp / "lake"), 1)
+        t0 = pa.table({"url": ["a", "b"],
+                       "warc_ts": pa.array([1, 1], pa.int64()),
+                       "seq": pa.array([0, 1], pa.int64()),
+                       "deleted": [False, False],
+                       "text": ["xxx", "yyy"]})
+        t1 = pa.table({"url": ["b"], "warc_ts": pa.array([2], pa.int64()),
+                       "seq": pa.array([2], pa.int64()), "deleted": [False],
+                       "text": ["zzz"], "lang": ["en"]})
+        lin = lambda e: Lineage(part=0, epoch=e, events_consumed=1,
+                                rows_upserted=1, rows_deleted=0,
+                                seq_min=0, seq_max=0)
+        lk.commit_delta(0, 0, t0, lin(0))
+        lk.commit_delta(0, 1, t1, lin(1))
+        full = lk.read_partition(0)
+        pruned = lk.read_partition(0, columns=["lang"])
+        assert "text" not in pruned.column_names  # wide column not decoded
+        assert pruned["url"].to_pylist() == full["url"].to_pylist()
+        assert pruned["lang"].to_pylist() == full["lang"].to_pylist()
+        assert pruned["seq"].to_pylist() == full["seq"].to_pylist()
+        ds = lk.read_dataset(columns=["lang"])
+        got = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows]).sort_by([("url", "ascending")])
+        assert sorted(got.column_names) == sorted(
+            ["url", "warc_ts", "seq", "deleted", "lang"])
+        assert got["lang"].to_pylist() == [None, "en"]
+
+
 class TestAutoCompact:
     @pytest.mark.usefixtures("ray_session")
     def test_chain_bounded_state_and_history_intact(self, tmp_path_factory):
