@@ -400,6 +400,22 @@ def cmd_export(args) -> int:
     from .cdc import Lake
 
     lake = Lake(args.lake, args.partitions)
+    if args.wet:
+        from .sources.warc import export_wet
+
+        summary = export_wet(args.lake, args.out,
+                             num_partitions=args.partitions,
+                             as_of=args.as_of)
+        print(json.dumps({
+            "out": args.out, "format": "wet",
+            "segments_written": sum(1 for s in summary if not s["skipped"]),
+            "segments_skipped": sum(1 for s in summary if s["skipped"]),
+            "rows": int(sum(s["rows"] for s in summary
+                            if not s["skipped"])),
+        }))
+        if started_ray:
+            ray.shutdown()
+        return 0
     if args.stream:
         ds = lake.read_dataset(as_of=args.as_of,
                                include_tombstones=args.tombstones)
@@ -737,6 +753,10 @@ def main(argv=None) -> int:
                     help="one streaming write_parquet instead of the "
                          "default resumable per-partition files (a crashed "
                          "default export re-run skips finished partitions)")
+    ex.add_argument("--wet", action="store_true",
+                    help="write WET-style WARC conversion records (the "
+                         "Common-Crawl extracted-text format) instead of "
+                         "parquet — one segment per partition, resumable")
     ex.set_defaults(fn=cmd_export)
 
     cf = sub.add_parser("changes",

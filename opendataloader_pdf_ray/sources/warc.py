@@ -73,6 +73,10 @@ def parse_warc_bytes(data: bytes, segment: str = "") -> List[dict]:
         if rtype == "response":
             http_end = body.find(_SEP)
             html = body[http_end + len(_SEP):] if http_end >= 0 else body
+        elif rtype == "conversion":
+            # WET-style extracted-text record: the body IS the payload
+            # (no HTTP envelope)
+            html = body
         rows.append({
             "url": headers.get("warc-target-uri", ""),
             "warc_ts": headers.get("warc-date", ""),
@@ -114,6 +118,92 @@ def read_warc(paths, responses_only: bool = True) -> "ray.data.Dataset":
         return _rows_table(rows)
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def wet_record(url: str, iso_ts: str, text: str) -> bytes:
+    """One WET-style ``conversion`` record (Common Crawl's extracted-text
+    distribution format): text/plain payload, no HTTP envelope.
+    Deterministic — the record id derives from the url, the date from the
+    row's own warc_ts (no uuids, no wall-clock)."""
+    import hashlib
+
+    payload = text.encode("utf-8")
+    rid = hashlib.md5(url.encode()).hexdigest()
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: conversion\r\n"
+           f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+           f"WARC-Refers-To: <urn:md5:{rid}>\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {iso_ts}\r\n"
+           f"Content-Type: text/plain\r\n"
+           f"Content-Length: {len(payload)}\r\n\r\n").encode("utf-8")
+    return hdr + payload + _SEP
+
+
+def export_wet(lake_root: str, out: str, num_partitions: Optional[int] = None,
+               as_of: Optional[int] = None) -> List[dict]:
+    """Export the lake's live extracted text as WET-style WARC segments —
+    the Common-Crawl-shaped OUTPUT of the engine (crawl WARC in via
+    :func:`read_warc`, extracted-text WET out here). One segment per lake
+    partition, written atomically (temp + rename) so existence means
+    complete — a crashed export re-run skips finished segments (the
+    resumable-output rule). The partition read projects to
+    (url, warc_ts, text) only: the wide blocks column is never decoded.
+    Record order is url-ascending (the partition's canonical sort), so
+    segment bytes are a pure function of lake state."""
+    import os
+    import uuid as _uuid
+
+    import ray.data as _rd
+
+    from ..cdc.lake import Lake
+
+    lake = Lake(lake_root, num_partitions)
+    root, n_parts = lake.root, lake.num_partitions
+    os.makedirs(out, exist_ok=True)
+
+    def task(batch: pa.Table) -> pa.Table:
+        from ..cdc.merge import live_view
+
+        lk = Lake(root, n_parts)
+        parts, rows_out, skipped = [], [], []
+        for part in batch["part"].to_pylist():
+            part = int(part)
+            path = os.path.join(out, f"part={part:04d}.warc")
+            if os.path.exists(path):  # atomic rename → existence == complete
+                parts.append(part)
+                rows_out.append(-1)
+                skipped.append(True)
+                continue
+            t = lk.read_partition(part, as_of=as_of, columns=["text"])
+            if t is None:
+                continue
+            t = live_view(t)
+            ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+            import datetime as _dt
+
+            blobs = []
+            for url, us, text in zip(t["url"].to_pylist(), ts,
+                                     t["text"].to_pylist()):
+                iso = _dt.datetime.fromtimestamp(
+                    us / 1e6, _dt.timezone.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")
+                blobs.append(wet_record(url, iso, text or ""))
+            tmp = path + f".tmp-{_uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(b"".join(blobs))
+            os.rename(tmp, path)
+            parts.append(part)
+            rows_out.append(t.num_rows)
+            skipped.append(False)
+        return pa.table({"part": pa.array(parts, pa.int32()),
+                         "rows": pa.array(rows_out, pa.int64()),
+                         "skipped": pa.array(skipped, pa.bool_())})
+
+    live = [p for p in range(n_parts) if lake.committed_epochs(p)]
+    parts_ds = _rd.from_items([{"part": p} for p in live])
+    return parts_ds.map_batches(task, batch_format="pyarrow",
+                                batch_size=1).take_all()  # ≤ P rows
 
 
 def write_warc(path: str, records: List[Tuple[str, str, bytes]]) -> None:
