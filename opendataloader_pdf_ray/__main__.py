@@ -261,6 +261,35 @@ def cmd_fsck(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_seed(args) -> int:
+    """Seed epoch 0 from WARC segments (cdc/seed.py)."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import seed_from_warc
+    from .config import CDCConfig
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = CDCConfig(num_partitions=args.partitions,
+                    quarantine_errors=args.quarantine,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
+    lineage = seed_from_warc(args.warc, args.lake, cfg)
+    print(json.dumps({
+        "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
+        "records_consumed": int(sum(l["events_consumed"] for l in lineage)),
+        "rows": int(sum(l["rows_upserted"] for l in lineage)),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Metadata-only lake diagnostics (no Ray session needed)."""
     from .cdc.lake import Lake
@@ -693,6 +722,16 @@ def main(argv=None) -> int:
                           "(bounds merge-on-read amplification on long "
                           "tails)")
     ing.set_defaults(fn=cmd_ingest)
+
+    sd = sub.add_parser("seed",
+                        help="bootstrap a lake (epoch 0) from a crawl "
+                             "snapshot: WARC segment file(s)/dir in, "
+                             "binlog tail resumes at epoch 1")
+    sd.add_argument("warc")
+    sd.add_argument("lake")
+    sd.add_argument("--partitions", type=int, default=32)
+    sd.add_argument("--quarantine", action="store_true")
+    sd.set_defaults(fn=cmd_seed)
 
     st = sub.add_parser("stats",
                         help="partition skew / size diagnostics from "

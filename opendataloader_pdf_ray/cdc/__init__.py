@@ -1,6 +1,7 @@
 from .backfill import backfill, resolve_backfill_epoch
 from .changefeed import changes
 from .rescale import rescale
+from .seed import seed_from_warc
 from .dupindex import DupIndex
 from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
                      ingest_epoch, ingest_epochs, near_index_root,
@@ -21,6 +22,7 @@ from .views import MaterializedView, group_lang, value_text_len
 __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "backfill", "resolve_backfill_epoch", "changes", "rescale",
+    "seed_from_warc",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
     "num_epochs_in", "replay", "url_partition",
     "Lake", "Lineage", "ensure_deleted_col", "latest_per_key", "live_view",
