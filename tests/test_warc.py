@@ -122,3 +122,36 @@ class TestWetExport:
         export_wet(lake_root, out)
         with open(vpath, "rb") as f:
             assert f.read() == before
+
+
+class TestGzipSegments:
+    @pytest.mark.usefixtures("ray_session")
+    def test_per_record_gzip_members_parse(self, tmp_path):
+        """CC-style .warc.gz: each record its own gzip member, concatenated
+        — read_warc inflates the multi-member stream and parses all."""
+        import gzip
+
+        recs = [(f"https://g.example/p{i}", f"2026-03-01T00:00:0{i}Z",
+                 f"<p>gz {i}</p>".encode()) for i in range(4)]
+        plain = str(tmp_path / "seg.warc")
+        write_warc(plain, recs)
+        with open(plain, "rb") as f:
+            data = f.read()
+        # split back into records and gzip each member separately
+        parts, pos = [], 0
+        while True:
+            nxt = data.find(b"WARC/1.0", pos + 1)
+            if nxt < 0:
+                parts.append(data[pos:])
+                break
+            parts.append(data[pos:nxt])
+            pos = nxt
+        gz = str(tmp_path / "seg.warc.gz")
+        with open(gz, "wb") as f:
+            for p in parts:
+                f.write(gzip.compress(p))
+        ds = read_warc(gz)
+        rows = ds.take_all()
+        assert sorted(r["url"] for r in rows) == \
+            sorted(u for u, _, _ in recs)
+        assert all(r["html"] is not None for r in rows)
