@@ -121,11 +121,18 @@ def seed_from_warc(warc_paths, lake_root: str,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
-    if cfg.quarantine_errors:
-        from .ingest import _maintain_quarantine
+    if cfg.quarantine_errors or cfg.maintain_dup_index \
+            or cfg.maintain_near_index:
+        from .ingest import (_maintain_dup_index, _maintain_near_index,
+                             _maintain_quarantine)
 
         ds = ds.materialize()
-        ds = _maintain_quarantine(ds, lake, SEED_EPOCH, cfg)
+        if cfg.quarantine_errors:
+            ds = _maintain_quarantine(ds, lake, SEED_EPOCH, cfg)
+        if cfg.maintain_dup_index:
+            _maintain_dup_index(ds, lake, SEED_EPOCH, cfg)
+        if cfg.maintain_near_index:
+            _maintain_near_index(ds, lake, SEED_EPOCH, cfg)
 
     def add_part(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_numpy(zero_copy_only=False)

@@ -15,6 +15,11 @@ CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
                 extract_batch_size=16, extract_concurrency=2)
 
 
+def pq_concat(ds):
+    """Dataset → list of row dicts (tiny test datasets only)."""
+    return ds.take_all()
+
+
 def _page(tag: str) -> bytes:
     return (f"<html><body><h1>Title {tag}</h1>"
             f"<p>Body paragraph {tag} with several words.</p>"
@@ -98,6 +103,32 @@ class TestSeed:
         assert state["https://s.example/p0"]["text"] == \
             extract(_page("v2-0-update")).text
         assert "https://s.example/new" in state
+
+    def test_seed_maintains_dup_index(self, tmp_path):
+        """Seeding with maintain_dup_index builds the fp keyspace: two
+        urls carrying identical content attribute to the first writer."""
+        from opendataloader_pdf_ray.cdc import DupIndex, dup_index_root
+
+        same = _page("identical-content")
+        segs = [str(tmp_path / "seg.warc")]
+        write_warc(segs[0], [
+            ("https://s.example/a", "2026-01-01T00:00:00Z", same),
+            ("https://s.example/b", "2026-01-01T00:00:05Z", same),
+            ("https://s.example/c", "2026-01-01T00:00:09Z", _page("other")),
+        ])
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                        extract_batch_size=16, extract_concurrency=2,
+                        maintain_dup_index=True)
+        lake_root = str(tmp_path / "lake")
+        seed_from_warc(segs, lake_root, cfg)
+        lake = Lake(lake_root, None)
+        index = DupIndex(dup_index_root(lake_root))
+        rows = {r["url"]: r for r in pq_concat(
+            index.attribute(lake.read_dataset()))}
+        assert rows["https://s.example/a"]["is_dup"] is False
+        assert rows["https://s.example/b"]["is_dup"] is True
+        assert rows["https://s.example/b"]["dup_of"] == "https://s.example/a"
+        assert rows["https://s.example/c"]["is_dup"] is False
 
     def test_full_loop_warc_to_wet(self, tmp_path):
         """Crawl WARC in → lake → WET out: the WET payloads are the
