@@ -278,6 +278,8 @@ def cmd_seed(args) -> int:
     cpus = int(ray.cluster_resources().get("CPU", 8))
     cfg = CDCConfig(num_partitions=args.partitions,
                     quarantine_errors=args.quarantine,
+                    maintain_dup_index=args.dup_index,
+                    maintain_near_index=args.near_index,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     lineage = seed_from_warc(args.warc, args.lake, cfg)
     print(json.dumps({
@@ -731,6 +733,8 @@ def main(argv=None) -> int:
     sd.add_argument("lake")
     sd.add_argument("--partitions", type=int, default=32)
     sd.add_argument("--quarantine", action="store_true")
+    sd.add_argument("--dup-index", action="store_true", dest="dup_index")
+    sd.add_argument("--near-index", action="store_true", dest="near_index")
     sd.set_defaults(fn=cmd_seed)
 
     st = sub.add_parser("stats",

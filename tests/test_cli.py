@@ -219,6 +219,27 @@ class TestExportCLI:
         assert rep3["files_written"] == 0
 
 
+class TestSeedCLI:
+    def test_seed_then_wet_export(self, tmp_path, capsys, ray_session):
+        """CLI crawl loop: seed WARC → lake → export --wet."""
+        from opendataloader_pdf_ray.sources.warc import write_warc
+
+        seg = str(tmp_path / "seg.warc")
+        write_warc(seg, [
+            (f"https://cli.example/p{i}", f"2026-04-01T00:00:0{i}Z",
+             f"<html><body><p>cli seed {i}</p></body></html>".encode())
+            for i in range(5)])
+        lake_dir = str(tmp_path / "lake")
+        assert main(["seed", seg, lake_dir, "--partitions", "4"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 5 and rep["records_consumed"] == 5
+        out = str(tmp_path / "wet")
+        assert main(["export", lake_dir, out, "--wet"]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["rows"] == 5 and rep2["format"] == "wet"
+        assert main(["fsck", lake_dir]) == 0
+
+
 class TestDupsCLI:
     def test_ingest_dup_index_then_dups(self, tmp_path, capsys, ray_session):
         """ingest --dup-index builds <lake>/fpindex; dups attributes the
