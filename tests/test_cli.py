@@ -219,6 +219,50 @@ class TestExportCLI:
         assert rep3["files_written"] == 0
 
 
+class TestKitchenSink:
+    def test_every_flag_composes(self, tmp_path, capsys, ray_session):
+        """All ingest-time features on ONE lake — delta commits, both
+        indexes (delta mode), quarantine, auto-compaction — then the whole
+        ops surface over it. Pins flag interactions (all four keyspaces
+        fork the same materialized stream)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        t = gen_events(120, 30, seed=9)
+        html = t["html"].to_pylist()
+        poison = (("<div>" * 4000) + "p" + ("</div>" * 4000)).encode()
+        for i, s in enumerate(t["seq"].to_pylist()):
+            if s in (11, 73):
+                html[i] = poison
+        t = t.set_column(t.column_names.index("html"), "html",
+                         pa.array(html, pa.binary()))
+        ev = str(tmp_path / "events.parquet")
+        pq.write_table(t, ev)
+        lake = str(tmp_path / "lake")
+        assert main(["ingest", ev, lake, "--epoch-size", "60",
+                     "--partitions", "4", "--mode", "epoch",
+                     "--commit-mode", "delta", "--dup-index",
+                     "--dup-index-commits", "delta", "--near-index",
+                     "--quarantine", "--auto-compact-chain", "1"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["events_consumed"] == 118  # 120 − 2 quarantined
+        assert main(["fsck", lake, "--deep"]) == 0
+        fs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert fs["ok"] and fs["fpindex"]["ok"] and fs["nearidx"]["ok"] \
+            and fs["quarantine"]["ok"]
+        assert main(["stats", lake]) == 0
+        st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert st["max_delta_chain"] <= 1  # auto-compaction held the bound
+        assert main(["quarantine", lake]) == 0
+        q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert q["quarantined"] == 2
+        assert main(["changes", lake]) == 0
+        cf = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sum(c["rows"] for c in cf["counts"]) > 0
+
+
 class TestSeedCLI:
     def test_seed_then_wet_export(self, tmp_path, capsys, ray_session):
         """CLI crawl loop: seed WARC → lake → export --wet."""
