@@ -155,3 +155,36 @@ class TestGzipSegments:
         assert sorted(r["url"] for r in rows) == \
             sorted(u for u, _, _ in recs)
         assert all(r["html"] is not None for r in rows)
+
+    def test_gz_and_plain_parse_identically_fuzz(self, tmp_path):
+        """Property: for ANY record-boundary split of a segment into gzip
+        members, the inflated parse equals the plain parse."""
+        import gzip
+        import random
+
+        rng = random.Random(7)
+        recs = [(f"https://f.example/p{i}", f"2026-03-02T00:00:0{i}Z",
+                 bytes(rng.randbytes(rng.randint(0, 200)))) for i in range(6)]
+        plain = str(tmp_path / "f.warc")
+        write_warc(plain, recs)
+        with open(plain, "rb") as f:
+            data = f.read()
+        starts = [0]
+        pos = 0
+        while True:
+            nxt = data.find(b"WARC/1.0", pos + 1)
+            if nxt < 0:
+                break
+            starts.append(nxt)
+            pos = nxt
+        for trial in range(5):
+            # random grouping of records into gzip members
+            cuts = sorted(rng.sample(starts[1:], rng.randint(0, len(starts) - 1)))
+            bounds = [0] + cuts + [len(data)]
+            blob = b"".join(gzip.compress(data[a:b])
+                            for a, b in zip(bounds, bounds[1:]))
+            inflated = gzip.decompress(blob)
+            assert inflated == data
+            a = parse_warc_bytes(inflated)
+            b = parse_warc_bytes(data)
+            assert a == b
