@@ -61,6 +61,15 @@ _GATE_TAIL = [
     "lang_quality",            # lang-ID + quality thresholds — the
                                # corpus_clean_en composite gates the same
                                # classifiers end-to-end
+    "knn_bruteforce",          # exact ANN baseline — knn_ivf's oracle pins
+                               # full-probe == brute force; knn_lsh gates
+                               # the approximate path
+    "embedding_dup_pairs",     # exact all-pairs cosine (the small-N oracle
+                               # harness) — embedding_dup_pairs_lsh gates
+                               # the scale path of the same family
+    "doc_source_quota_sample",  # per-key hash-rank caps — doc_top_per_source
+                                # gates per-key ranked top-k and
+                                # doc_weighted_sample gates hash-key sampling
 ]
 
 

@@ -736,6 +736,200 @@ FROM r GROUP BY event_type
 """
 
 
+def cdc_scd2_history(sf_dir: str):
+    """Changelog → SCD-2 (slowly-changing-dimension type 2) history table:
+    every event is a version of its ``user_id`` key with ``valid_from`` =
+    its ts and ``valid_to`` = the next version's ts (NULL while current) —
+    the classic CDC consumer output (Debezium → warehouse dimension), the
+    interval dual of ``cdc_latest_state``'s point-in-time LWW fold.
+
+    Distributed shape: ONE user-bucket shuffle (same machinery as
+    ``events_user_running_total``), then a vectorized segmented shift over
+    the (user, ts, id)-sorted group — ``valid_to``/``is_current``/
+    ``version`` all come from run boundaries, no per-row Python and no
+    global sort. ``value`` passes through untouched, so float equality vs
+    the window oracle is bitwise."""
+    import numpy as np
+
+    from .common import n_buckets
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+    buckets = n_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((users % buckets).astype(np.int32)))
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()),
+        ("valid_from", pa.timestamp("us")), ("valid_to", pa.timestamp("us")),
+        ("is_current", pa.int64()), ("version", pa.int64())])
+
+    def versions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # typed empty: no schema-less blocks
+            return out_schema.empty_table()
+        users = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts, users))
+        su, st = users[order], ts[order]
+        last = np.concatenate((su[1:] != su[:-1], [True]))
+        valid_to = np.empty(len(st), np.int64)
+        valid_to[:-1] = st[1:]  # next version's start (overwritten at runs)
+        starts = np.flatnonzero(
+            np.concatenate(([True], su[1:] != su[:-1])))
+        counts = np.diff(np.append(starts, len(su)))
+        version = np.arange(len(su), dtype=np.int64) \
+            - np.repeat(starts, counts) + 1
+        taken = group.take(pa.array(order))
+        return pa.table({
+            "user_id": pa.array(su, pa.int64()),
+            "event_id": taken["event_id"],
+            "event_type": taken["event_type"],
+            "value": taken["value"],
+            "valid_from": taken["ts"],
+            "valid_to": pa.array(valid_to, mask=last).cast(
+                pa.timestamp("us")),
+            "is_current": pa.array(last.astype(np.int64)),
+            "version": pa.array(version),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(versions, batch_format="pyarrow"))
+
+
+CDC_SCD2_HISTORY_SQL = """
+SELECT user_id, event_id, event_type, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current,
+       row_number() OVER w AS version
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# late-data parameters, mirrored as literals in the SQL oracle below
+_LATE_JITTER_US = 10_800_000_000  # deterministic arrival delay: 0..3 h
+_LATE_ALLOWED_US = 3_600_000_000  # allowed lateness under the watermark: 1 h
+_LATE_BUCKET_US = 86_400_000_000  # arrival-day carry buckets
+
+
+def events_late_data_stats(sf_dir: str):
+    """Event-time watermark + late-data classification — the streaming
+    operator the in-order `events` table can't exercise directly, so
+    arrival order is derived deterministically: ``arrival = ts +
+    md5_number_lower(event_id) % 3h`` (network-jitter model, RNG-free and
+    SQL-mirrorable per the md5 trick in CLAUDE.md). An event is LATE when
+    its event time sits more than 1 h below the high-watermark (max event
+    time over all previously-arrived events) — the Flink/Beam
+    allowed-lateness rule.
+
+    The watermark is a GLOBAL running max over arrival order, i.e. a
+    distributed prefix scan, computed in two passes with bounded driver
+    state: (1) per-batch partials fold to one max-ts row per arrival-day
+    bucket (driver folds #days rows — calendar-bounded, independent of
+    data size) and an exclusive prefix max per bucket is broadcast back;
+    (2) one bucket shuffle, then each group sorts by (arrival, id) and
+    takes a vectorized running max seeded with its bucket's carry-in.
+    At higher stream densities the bucket granularity (`_LATE_BUCKET_US`)
+    is the knob that keeps one bucket's rows inside a worker."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+
+    def with_arrival(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        jit = np.array(
+            [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                            "little") % _LATE_JITTER_US for i in ids],
+            np.int64)
+        arr = ts + jit
+        return pa.table({
+            "event_id": batch["event_id"], "event_type": batch["event_type"],
+            "ts_us": pa.array(ts), "arr": pa.array(arr),
+            "bucket": pa.array(arr // _LATE_BUCKET_US),
+        })
+
+    staged = ds.map_batches(with_arrival, batch_format="pyarrow")
+
+    # pass 1: per-bucket event-time max → exclusive prefix max (driver
+    # folds one row per arrival day — bounded by the calendar, not the data)
+    per_bucket = (staged.groupby("bucket")
+                  .aggregate(Max("ts_us", alias_name="max_ts"))
+                  .take_all())
+    per_bucket.sort(key=lambda r: r["bucket"])
+    carry: dict[int, int] = {}
+    running = None
+    for r in per_bucket:
+        carry[r["bucket"]] = -1 if running is None else running
+        running = r["max_ts"] if running is None else max(running,
+                                                          r["max_ts"])
+
+    # pass 2: one bucket shuffle; in-bucket running max seeded by carry-in
+    late_schema = pa.schema([("event_type", pa.string()),
+                             ("n", pa.int64()), ("n_late", pa.int64())])
+
+    def classify(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # typed empty: no schema-less blocks
+            return late_schema.empty_table()
+        b = int(group["bucket"][0].as_py())
+        arr = group["arr"].to_numpy(zero_copy_only=False)
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        types = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, arr))
+        st = ts[order]
+        hwm = np.empty(len(st), np.int64)
+        c = carry.get(b, -1)
+        hwm[0] = c if c >= 0 else np.iinfo(np.int64).min // 2
+        if len(st) > 1:
+            prev = np.maximum.accumulate(st[:-1])
+            hwm[1:] = np.maximum(hwm[0], prev)
+        late = st + _LATE_ALLOWED_US < hwm
+        ut, inv = np.unique(types[order], return_inverse=True)
+        n = np.bincount(inv, minlength=len(ut)).astype(np.int64)
+        n_late = np.bincount(inv, weights=late, minlength=len(ut)) \
+            .astype(np.int64)
+        return pa.table({"event_type": pa.array(ut),
+                         "n": pa.array(n), "n_late": pa.array(n_late)})
+
+    return (staged.groupby("bucket").map_groups(classify,
+                                                batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_late", alias_name="n_late")))
+
+
+EVENTS_LATE_DATA_SQL = f"""
+WITH a AS (
+  SELECT event_type, ts, event_id,
+         ts + to_microseconds(CAST(
+             md5_number_lower(CAST(event_id AS VARCHAR))
+             % {_LATE_JITTER_US} AS BIGINT)) AS arr
+  FROM events),
+w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS hwm
+  FROM a)
+SELECT event_type, count(*) AS n,
+       CAST(coalesce(sum(CASE WHEN hwm IS NOT NULL
+                               AND ts + INTERVAL 1 HOUR < hwm
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""
+
+
 def cdc_materialized_view(sf_dir: str):
     """Lake-integrated IVM (cdc/views.py): replay the flagship events into a
     lake with per-epoch delta commits, then maintain a per-lang (live docs,
@@ -1390,6 +1584,8 @@ CDC_QUERIES = {
     "cdc_materialized_view": cdc_materialized_view,
     "events_user_running_total": events_user_running_total,
     "events_value_median_by_type": events_value_median_by_type,
+    "cdc_scd2_history": cdc_scd2_history,
+    "events_late_data_stats": events_late_data_stats,
 }
 
 CDC_ORACLE_SQL = {
@@ -1441,6 +1637,8 @@ CDC_ORACLE_SQL = {
     "cdc_incremental_view": CDC_INCREMENTAL_VIEW_SQL,
     "events_user_running_total": EVENTS_RUNNING_TOTAL_SQL,
     "events_value_median_by_type": EVENTS_MEDIAN_SQL,
+    "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
+    "events_late_data_stats": EVENTS_LATE_DATA_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
