@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "events_range_join", "cdc_dup_attribution", "doc_unigram_logprob",
     "cdc_near_dup_attribution", "cdc_backfill_token_stats",
     "cdc_changefeed", "cdc_quarantine_stats", "doc_decontaminate",
-    "cdc_scd2_history", "events_late_data_stats",
+    "cdc_scd2_history", "events_late_data_stats", "cdc_text_index_search",
 ]
 
 

@@ -515,6 +515,11 @@ def cmd_purge(args) -> int:
     if lake.fs.exists(q_root):  # the DLQ stores urls — scrub it too
         report["quarantine"] = QuarantineStore(
             q_root, Lake(q_root).num_partitions).purge_urls(args.urls)
+    from .cdc.textindex import TextIndex, text_index_root
+
+    t_root = text_index_root(args.lake)
+    if lake.fs.exists(t_root):  # posting rows carry urls — scrub them too
+        report["textidx"] = TextIndex(t_root).purge_keys(args.urls)
     print(json.dumps(report))
     return 0
 
@@ -625,6 +630,39 @@ def cmd_view(args) -> int:
     rows = view.read().to_pylist()
     print(json.dumps({"view": args.name, "folds_applied": folds,
                       "groups": rows}))
+    return 0
+
+
+def cmd_text_index(args) -> int:
+    from .cdc import Lake, TextIndex, text_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    root = text_index_root(args.lake)
+    n_idx = args.idx_partitions
+    if n_idx is None and not os.path.exists(
+            os.path.join(root, "_commits", "lake.json")):
+        n_idx = 32  # fresh index with no persisted metadata
+    idx = TextIndex(root, num_partitions=n_idx)
+    lineage = idx.refresh(lake, up_to=args.up_to)
+    committed = sum(1 for r in lineage if not r["skipped"])
+    print(json.dumps({"lake": args.lake, "watermark": idx.watermark(),
+                      "commits": committed,
+                      "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .cdc import TextIndex, text_index_root
+
+    idx = TextIndex(text_index_root(args.lake))
+    rows = idx.search(args.token, as_of=args.as_of).take_all()
+    by_tok = {}
+    for r in rows:
+        by_tok.setdefault(r["token"], []).append(r["key"])
+    for tok in args.token:
+        keys = sorted(by_tok.get(tok, []))
+        print(json.dumps({"token": tok, "n_urls": len(keys),
+                          "urls": keys[:args.show]}))
     return 0
 
 
@@ -877,6 +915,33 @@ def main(argv=None) -> int:
                     help="override; the lake's persisted metadata wins")
     vw.add_argument("--name", default="lang_stats")
     vw.set_defaults(fn=cmd_view)
+
+    ti = sub.add_parser("text-index",
+                        help="refresh the lake's inverted full-text index "
+                             "(<lake>/textidx): retract/apply token-set "
+                             "diffs per changed url, exactly-once per "
+                             "(token-partition, epoch)")
+    ti.add_argument("lake")
+    ti.add_argument("--partitions", type=int, default=None,
+                    help="lake partitions override; persisted metadata wins")
+    ti.add_argument("--idx-partitions", type=int, default=None,
+                    help="index partitions at creation (default 32; "
+                         "existing index metadata wins)")
+    ti.add_argument("--up-to", type=int, default=None,
+                    help="fold lake epochs only up to this one")
+    ti.set_defaults(fn=cmd_text_index)
+
+    se = sub.add_parser("search",
+                        help="full-text point lookup: urls whose LIVE text "
+                             "contains each token (O(|tokens|) index-"
+                             "partition reads)")
+    se.add_argument("lake")
+    se.add_argument("token", nargs="+")
+    se.add_argument("--as-of", type=int, default=None,
+                    help="time-travel: search the index as of this epoch")
+    se.add_argument("--show", type=int, default=10,
+                    help="max urls printed per token")
+    se.set_defaults(fn=cmd_search)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -142,20 +142,30 @@ class _FeedPartition:
 
     def _winners(self, lake: Lake, part: int, epoch: int,
                  state: Optional[pa.Table]) -> pa.Table:
-        dpath = lake._delta_path(part, epoch)
-        if lake.fs.exists(dpath):
-            import pyarrow.parquet as pq
-            return pq.read_table(dpath, filesystem=lake.fs)
-        spath = lake._data_path(part, epoch)
-        if lake.fs.exists(spath):
-            import pyarrow.parquet as pq
-            snap = pq.read_table(spath, filesystem=lake.fs)
-            return _snapshot_diff(snap, state)
-        raise ValueError(
-            f"changefeed: partition {part} epoch {epoch} has neither delta "
-            f"nor snapshot file (vacuumed?) — the feed over this range is "
-            f"unrecoverable; re-seed the consumer from "
-            f"Lake.read_dataset(as_of={epoch})")
+        return epoch_winners(lake, part, epoch, state)
+
+
+def epoch_winners(lake: Lake, part: int, epoch: int,
+                  state: Optional[pa.Table]) -> pa.Table:
+    """The CHANGE rows one committed epoch implies for one partition:
+    delta files verbatim; snapshot commits diffed against the pre-image
+    ``state`` so unchanged carried-over rows don't re-enter. Shared by the
+    change feed and every follower that folds pre-images epoch-by-epoch
+    (e.g. the inverted text index's retract/apply maintainer)."""
+    dpath = lake._delta_path(part, epoch)
+    if lake.fs.exists(dpath):
+        import pyarrow.parquet as pq
+        return pq.read_table(dpath, filesystem=lake.fs)
+    spath = lake._data_path(part, epoch)
+    if lake.fs.exists(spath):
+        import pyarrow.parquet as pq
+        snap = pq.read_table(spath, filesystem=lake.fs)
+        return _snapshot_diff(snap, state)
+    raise ValueError(
+        f"changefeed: partition {part} epoch {epoch} has neither delta "
+        f"nor snapshot file (vacuumed?) — the feed over this range is "
+        f"unrecoverable; re-seed the consumer from "
+        f"Lake.read_dataset(as_of={epoch})")
 
 
 def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:

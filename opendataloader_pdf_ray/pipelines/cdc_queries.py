@@ -1343,28 +1343,23 @@ ORDER BY e.key
 """
 
 
-def cdc_changefeed(sf_dir: str):
-    """Change feed end-to-end through the REAL lake machinery
-    (cdc/changefeed.py): seed a 3-epoch delta-commit lake from ``documents``
-    with a deterministic changelog that exercises every classification —
-    epoch 0 inserts every doc at ``u<doc_id>``; epoch 1 DELETES ``doc_id%9
-    ==0`` and updates ``doc_id%5==0`` (delete precedence on overlap); epoch
-    2 RE-INSERTS the %9 tombstones (pre-image dead → must classify
-    ``insert``, not update), deletes ``doc_id%10==0`` (%9 excluded), and
-    tombstones a ghost url ``g<doc_id>`` (%97) that never existed (must be
-    DROPPED — no-op for consumers). The feed's (epoch, op, url, seq) rows
-    gate the per-partition pre-image fold bit-for-bit against the SQL
-    oracle, which derives the same ops algebraically from the construction
-    rules."""
+def _seed_three_epoch_lake(sf_dir: str, root: str,
+                           num_partitions: int = 8):
+    """Deterministic 3-epoch delta-commit lake from ``documents`` — the
+    shared construction behind ``cdc_changefeed`` and
+    ``cdc_text_index_search``, exercising every change class: epoch 0
+    inserts every doc at ``u<doc_id>``; epoch 1 DELETES ``doc_id%9==0`` and
+    updates ``doc_id%5==0`` with `` v2`` (delete precedence on overlap);
+    epoch 2 RE-INSERTS the %9 tombstones with `` v3``, deletes
+    ``doc_id%10==0`` (%9 excluded), and tombstones a never-live ghost url
+    ``g<doc_id>`` (%97). Returns the Lake."""
     import shutil
 
     from ..cdc.ingest import url_partition
     from ..cdc.lake import Lake, Lineage
     from ..fixtures.gen import BASE_TS_US
 
-    root = "/tmp/odl_ray_changefeed_query"
     shutil.rmtree(root, ignore_errors=True)
-    num_partitions = 8
     lake = Lake(root, num_partitions)
     E1, E2 = 10_000_000, 20_000_000
 
@@ -1454,10 +1449,107 @@ def cdc_changefeed(sf_dir: str):
         .groupby("part")
         .map_groups(SeedPartition(), batch_format="pyarrow"))
     seeded.take_all()  # ≤ P tiny rows — drives the seed commits
+    return lake
 
+
+def cdc_changefeed(sf_dir: str):
+    """Change feed end-to-end through the REAL lake machinery
+    (cdc/changefeed.py) over the shared 3-epoch construction
+    (``_seed_three_epoch_lake``): the feed's (epoch, op, url, seq) rows
+    gate the per-partition pre-image fold bit-for-bit against the SQL
+    oracle, which derives the same ops algebraically from the construction
+    rules (insert / update / delete / dead-pre-image re-insert / dropped
+    ghost tombstone)."""
+    lake = _seed_three_epoch_lake(sf_dir, "/tmp/odl_ray_changefeed_query")
     return (lake.changes()
             .select_columns(["epoch", "op", "url", "seq"])
             .sort(["epoch", "url"]))
+
+
+def cdc_text_index_search(sf_dir: str):
+    """Inverted-full-text-index end-to-end through the REAL maintainer
+    (cdc/textindex.py): seed the shared 3-epoch lake (updates REPLACE token
+    sets so retraction is load-bearing), refresh the index incrementally —
+    epochs ≤1 first, then the tail, then a full replay that must be an
+    all-skipped no-op (exactly-once asserted) — and probe it with a
+    deterministic token set (the first 8 distinct sorted tokens of doc 0's
+    live text, one '`v2`'/'`v3`' version marker each, and a never-present
+    token). Output = (token, n_urls) over LIVE postings; the SQL oracle
+    recomputes the final live state algebraically from the construction
+    rules and tokenizes with the same mirrored ``\\w+``-over-lower
+    pattern."""
+    import re as _re
+
+    from ..cdc.textindex import TextIndex, text_index_root
+
+    lake_root = "/tmp/odl_ray_textindex_query"
+    lake = _seed_three_epoch_lake(sf_dir, lake_root)
+    idx = TextIndex(text_index_root(lake_root), num_partitions=8)
+    # incremental: fold epochs 0-1 first, then the remaining tail
+    idx.refresh(lake, up_to=1)
+    idx.refresh(lake)
+    # exactly-once invariant: replaying committed epochs must no-op
+    idx._set_watermark(-1)
+    replay = idx.refresh(lake)
+    if not all(r["skipped"] for r in replay):
+        raise AssertionError("text-index epoch replay was not idempotent")
+
+    # probe tokens: doc 0 is %9==0 → live text is its original + " v3".
+    # One predicate-pushed single-row read (row-group pruned) on the driver.
+    import pyarrow.parquet as _pq
+
+    doc0 = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"], filters=[("doc_id", "==", 0)])
+    live0 = doc0["text"][0].as_py() + " v3"
+    probes = sorted(set(_re.findall(r"\w+", live0.lower())))[:8]
+    probes += ["v2", "v3", "zzqqnevertoken"]
+    probes = sorted(set(probes))
+
+    hits = idx.search(probes)
+
+    def count_tok(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        toks = batch["token"].to_numpy(zero_copy_only=False)
+        ut, counts = np.unique(toks, return_counts=True)
+        return pa.table({"token": pa.array(ut, pa.string()),
+                         "n_urls": pa.array(counts.astype(np.int64))})
+
+    found = {r["token"]: r["n_urls"]
+             for r in (hits.map_batches(count_tok, batch_format="pyarrow")
+                       .groupby("token")
+                       .aggregate(Sum("n_urls", alias_name="n_urls"))
+                       .take_all())}  # ≤ |probes| rows
+    return pa.table({
+        "token": pa.array(probes, pa.string()),
+        "n_urls": pa.array([found.get(t, 0) for t in probes], pa.int64()),
+    })
+
+
+CDC_TEXT_INDEX_SEARCH_SQL = """
+WITH live AS (
+    SELECT printf('u%06d', doc_id) AS url,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' v3'
+                WHEN doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END AS t
+    FROM documents
+    WHERE NOT (doc_id % 10 = 0 AND doc_id % 9 <> 0)
+),
+probes AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest(list_sort(list_distinct(
+            regexp_extract_all(lower(t), '\\w+')))[1:8]) AS tok
+        FROM live WHERE url = 'u000000'
+        UNION SELECT unnest(['v2', 'v3', 'zzqqnevertoken']) AS tok)
+),
+toks AS (
+    SELECT url, unnest(list_distinct(regexp_extract_all(lower(t), '\\w+')))
+        AS tok
+    FROM live
+)
+SELECT p.tok AS token, CAST(count(tk.url) AS BIGINT) AS n_urls
+FROM probes p LEFT JOIN toks tk ON tk.tok = p.tok
+GROUP BY p.tok
+"""
 
 
 CDC_CHANGEFEED_SQL = """
@@ -1586,6 +1678,7 @@ CDC_QUERIES = {
     "events_value_median_by_type": events_value_median_by_type,
     "cdc_scd2_history": cdc_scd2_history,
     "events_late_data_stats": events_late_data_stats,
+    "cdc_text_index_search": cdc_text_index_search,
 }
 
 CDC_ORACLE_SQL = {
@@ -1639,6 +1732,7 @@ CDC_ORACLE_SQL = {
     "events_value_median_by_type": EVENTS_MEDIAN_SQL,
     "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
     "events_late_data_stats": EVENTS_LATE_DATA_SQL,
+    "cdc_text_index_search": CDC_TEXT_INDEX_SEARCH_SQL,
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

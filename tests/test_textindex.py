@@ -1,0 +1,268 @@
+"""Inverted full-text index (cdc/textindex.py): retract/apply maintenance,
+exactly-once commits, time travel, compaction pruning, search pruning, purge.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, Lineage, TextIndex
+from opendataloader_pdf_ray.cdc.textindex import (latest_per_tok_key,
+                                                  text_index_root,
+                                                  tok_partition)
+
+
+def commit_rows(lake: Lake, part: int, epoch: int, rows):
+    """rows: (url, seq, text_or_None, deleted)."""
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "deleted": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+    lake.commit_delta(part, epoch, t, Lineage(
+        part=part, epoch=epoch, events_consumed=len(rows),
+        rows_upserted=len(rows), rows_deleted=0,
+        seq_min=min(r[1] for r in rows), seq_max=max(r[1] for r in rows)))
+
+
+def seed_lake(root: str) -> Lake:
+    """2-partition, 3-epoch lake: insert / update-with-retraction / delete /
+    re-add / never-live ghost tombstone."""
+    lake = Lake(str(root), 2)
+    commit_rows(lake, 0, 0, [("a", 1, "red fox jumps", False)])
+    commit_rows(lake, 1, 0, [("b", 2, "blue fox", False)])
+    # epoch 1: a drops 'fox jumps' gains 'wolf'; b tombstoned; ghost no-op
+    commit_rows(lake, 0, 1, [("a", 3, "red wolf", False),
+                             ("ghost", 4, None, True)])
+    commit_rows(lake, 1, 1, [("b", 5, None, True)])
+    # epoch 2: a re-adds fox
+    commit_rows(lake, 0, 2, [("a", 6, "red wolf fox", False)])
+    return lake
+
+
+def live_postings(idx: TextIndex, as_of=None):
+    t = idx.read_state(as_of=as_of)
+    return sorted(zip(t["tok"].to_pylist(), t["key"].to_pylist()))
+
+
+class TestFold:
+    def test_latest_per_tok_key_keeps_max_epoch(self):
+        t = pa.table({
+            "tok": ["x", "x", "x", "y"],
+            "key": ["a", "a", "b", "a"],
+            "epoch": pa.array([0, 2, 1, 0], pa.int64()),
+            "sign": pa.array([1, -1, 1, 1], pa.int8()),
+        })
+        out = latest_per_tok_key(t).sort_by(
+            [("tok", "ascending"), ("key", "ascending")])
+        assert out["epoch"].to_pylist() == [2, 1, 0]
+        assert out["sign"].to_pylist() == [-1, 1, 1]
+
+    def test_fold_is_chunking_invariant(self):
+        t = pa.table({
+            "tok": ["x"] * 4 + ["y"] * 2,
+            "key": ["a", "b", "a", "b", "a", "a"],
+            "epoch": pa.array([0, 0, 1, 2, 3, 5], pa.int64()),
+            "sign": pa.array([1, 1, -1, -1, 1, -1], pa.int8()),
+        })
+        whole = latest_per_tok_key(t).sort_by(
+            [("tok", "ascending"), ("key", "ascending")])
+        halves = latest_per_tok_key(pa.concat_tables([
+            latest_per_tok_key(t.slice(0, 3)),
+            latest_per_tok_key(t.slice(3)),
+        ])).sort_by([("tok", "ascending"), ("key", "ascending")])
+        assert whole.equals(halves)
+
+    def test_tok_partition_stable(self):
+        parts = tok_partition(["fox", "wolf", "fox"], 8)
+        assert parts[0] == parts[2]
+        assert all(0 <= p < 8 for p in parts)
+
+
+class TestRefresh:
+    def test_retract_apply_semantics(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        assert live_postings(idx) == [
+            ("fox", "a"), ("red", "a"), ("wolf", "a")]
+        # time travel: epoch 0 has both foxes; epoch 1 has neither
+        assert live_postings(idx, as_of=0) == [
+            ("blue", "b"), ("fox", "a"), ("fox", "b"),
+            ("jumps", "a"), ("red", "a")]
+        assert live_postings(idx, as_of=1) == [("red", "a"), ("wolf", "a")]
+
+    def test_unchanged_tokens_emit_no_deltas(self, tmp_path, ray_session):
+        """'red' survives a→v2 unchanged: the epoch-1 delta file must not
+        carry a row for it (delta volume scales with churn)."""
+        import pyarrow.parquet as pq
+
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        toks_e1 = []
+        for part in range(4):
+            p = idx.lake._delta_path(part, 1)
+            if idx.lake.fs.exists(p):
+                toks_e1 += pq.read_table(
+                    p, filesystem=idx.lake.fs)["tok"].to_pylist()
+        assert "red" not in toks_e1
+        assert set(toks_e1) == {"fox", "jumps", "wolf", "blue"}
+
+    def test_incremental_equals_one_shot(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        inc = TextIndex(str(tmp_path / "inc"), num_partitions=4)
+        for e in (0, 1, 2):
+            inc.refresh(lake, up_to=e)
+        one = TextIndex(str(tmp_path / "one"), num_partitions=4)
+        one.refresh(lake)
+        for part in range(4):
+            a = inc.read_partition(part)
+            b = one.read_partition(part)
+            if a is None or b is None:
+                assert a is None and b is None
+                continue
+            assert a.equals(b)
+
+    def test_exactly_once_and_watermark(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        lin = idx.refresh(lake)
+        assert lin and not any(r["skipped"] for r in lin)
+        assert idx.watermark() == 2
+        # watermark short-circuit: nothing new → no work
+        assert idx.refresh(lake) == []
+        # crash-resume analog: lost watermark → deterministic re-emission
+        # meets the commit log and no-ops everywhere
+        idx._set_watermark(-1)
+        replay = idx.refresh(lake)
+        assert replay and all(r["skipped"] for r in replay)
+        assert idx.watermark() == 2
+
+    def test_new_epoch_after_watermark_folds(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        commit_rows(lake, 1, 3, [("b", 7, "green fox", False)])
+        idx.refresh(lake)
+        assert ("green", "b") in live_postings(idx)
+        assert ("fox", "b") in live_postings(idx)
+
+
+class TestSearch:
+    def test_search_probes_and_as_of(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        hits = sorted((r["token"], r["key"]) for r in
+                      idx.search(["fox", "blue", "nosuch"]).take_all())
+        assert hits == [("fox", "a")]
+        old = sorted((r["token"], r["key"]) for r in
+                     idx.search(["fox", "blue"], as_of=0).take_all())
+        assert old == [("blue", "b"), ("fox", "a"), ("fox", "b")]
+
+    def test_search_empty_index(self, tmp_path, ray_session):
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        assert idx.search(["anything"]).take_all() == []
+
+
+class TestCompactVerify:
+    def test_compact_prunes_dead_and_preserves_reads(self, tmp_path,
+                                                     ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        before = live_postings(idx)
+        before_e0 = live_postings(idx, as_of=0)
+        assert idx.compact_distributed() > 0
+        assert live_postings(idx) == before
+        # deltas still present → time travel below the snapshot still works
+        assert live_postings(idx, as_of=0) == before_e0
+        rep = idx.verify(deep=True)
+        assert rep["ok"], rep["issues"]
+        # snapshots carry no retracted rows
+        for part in range(4):
+            t = idx.read_partition(part)
+            if t is not None:
+                assert int(pc.min(t["sign"]).as_py() or 1) > 0
+
+    def test_verify_flags_retracted_snapshot_rows(self, tmp_path,
+                                                  ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        bad = pa.table({
+            "tok": pa.array(["zz"], pa.string()),
+            "key": pa.array(["a"], pa.string()),
+            "epoch": pa.array([2], pa.int64()),
+            "sign": pa.array([-1], pa.int8()),
+        })
+        part = int(tok_partition(["zz"], 4)[0])
+        epochs = idx.lake.committed_epochs(part)
+        idx.lake.fs.makedirs(idx.lake._part_dir(part), exist_ok=True)
+        idx.lake._write_table_atomic(
+            bad, idx.lake._data_path(part, epochs[-1]))
+        rep = idx.verify(deep=True)
+        assert not rep["ok"]
+        assert any("retracted rows" in i for i in rep["issues"])
+
+
+class TestPurge:
+    def test_purge_keys_scrubs_everywhere(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        audit = idx.purge_keys(["a"])
+        assert audit["rows_removed"] > 0
+        assert all(k != "a" for _, k in live_postings(idx))
+        # audit stores hashes, never the url itself
+        import hashlib
+        assert audit["key_hashes"] == [hashlib.sha256(b"a").hexdigest()]
+        # idempotent
+        again = idx.purge_keys(["a"])
+        assert again["rows_removed"] == 0
+
+
+class TestCLI:
+    def test_text_index_and_search_cli(self, tmp_path, capsys, ray_session):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lake_root = tmp_path / "lake"
+        seed_lake(lake_root)
+        assert main(["text-index", str(lake_root)]) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["watermark"] == 2 and out["commits"] > 0
+        # second refresh: watermark short-circuit
+        assert main(["text-index", str(lake_root)]) == 0
+        out2 = json.loads(capsys.readouterr().out.strip())
+        assert out2["commits"] == 0 and out2["skipped"] == 0
+        assert main(["search", str(lake_root), "fox", "blue"]) == 0
+        lines = [json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines()]
+        by_tok = {r["token"]: r for r in lines}
+        assert by_tok["fox"]["n_urls"] == 1
+        assert by_tok["fox"]["urls"] == ["a"]
+        assert by_tok["blue"]["n_urls"] == 0
+        assert main(["search", str(lake_root), "fox", "--as-of", "0"]) == 0
+        lines = [json.loads(ln) for ln in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert lines[0]["n_urls"] == 2
+
+    def test_purge_cli_scrubs_text_index(self, tmp_path, capsys,
+                                         ray_session):
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc import text_index_root
+
+        lake_root = tmp_path / "lake"
+        lake = seed_lake(lake_root)
+        idx = TextIndex(text_index_root(str(lake_root)), num_partitions=4)
+        idx.refresh(lake)
+        assert main(["purge", str(lake_root), "a"]) == 0
+        report = json.loads(capsys.readouterr().out.strip())
+        assert report["textidx"]["rows_removed"] > 0
+        idx2 = TextIndex(text_index_root(str(lake_root)))
+        assert all(k != "a" for _, k in live_postings(idx2))
