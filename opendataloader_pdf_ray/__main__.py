@@ -228,6 +228,21 @@ def cmd_compact(args) -> int:
         report["nearidx_compacted"] = nindex.compact_distributed()
         report["nearidx_reclaimed"] = nindex.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
+    from .cdc import (TextIndex, VectorIndex, text_index_root,
+                      vec_index_root)
+
+    t_root = text_index_root(args.lake)
+    if lake.fs.exists(t_root):  # and the inverted token keyspace
+        tindex = TextIndex(t_root)
+        report["textidx_compacted"] = tindex.compact_distributed()
+        report["textidx_reclaimed"] = tindex.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
+    v_root = vec_index_root(args.lake)
+    if lake.fs.exists(v_root):  # and the ANN bucket keyspace
+        vindex = VectorIndex(v_root)
+        report["vecidx_compacted"] = vindex.compact_distributed()
+        report["vecidx_reclaimed"] = vindex.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
     print(json.dumps(report))
     return 0
 
@@ -520,6 +535,11 @@ def cmd_purge(args) -> int:
     t_root = text_index_root(args.lake)
     if lake.fs.exists(t_root):  # posting rows carry urls — scrub them too
         report["textidx"] = TextIndex(t_root).purge_keys(args.urls)
+    from .cdc import VectorIndex, vec_index_root
+
+    v_root = vec_index_root(args.lake)
+    if lake.fs.exists(v_root):  # vector postings carry urls too
+        report["vecidx"] = VectorIndex(v_root).purge_keys(args.urls)
     print(json.dumps(report))
     return 0
 
@@ -663,6 +683,57 @@ def cmd_search(args) -> int:
         keys = sorted(by_tok.get(tok, []))
         print(json.dumps({"token": tok, "n_urls": len(keys),
                           "urls": keys[:args.show]}))
+    return 0
+
+
+def cmd_vec_index(args) -> int:
+    from .cdc import Lake, VectorIndex, vec_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    root = vec_index_root(args.lake)
+    n_idx = args.idx_partitions
+    if n_idx is None and not os.path.exists(
+            os.path.join(root, "_commits", "lake.json")):
+        n_idx = 32  # fresh index with no persisted metadata
+    idx = VectorIndex(root, num_partitions=n_idx, key_col=args.key_col,
+                      vec_col=args.vec_col, nbits=args.nbits,
+                      seed=args.seed, dim=args.dim)
+    lineage = idx.refresh(lake, up_to=args.up_to)
+    committed = sum(1 for r in lineage if not r["skipped"])
+    print(json.dumps({"lake": args.lake, "watermark": idx.watermark(),
+                      "commits": committed,
+                      "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_vec_search(args) -> int:
+    """ANN point lookup by live url: fetch the key's vector from the lake,
+    multi-probe the bucketed index, print top-k cosine neighbors (the
+    queried key itself ranks first at 1.0 when live)."""
+    import numpy as np
+
+    from .cdc import Lake, VectorIndex, vec_index_root
+    from .cdc.vecindex import unpack_matrix
+
+    lake = Lake(args.lake, args.partitions)
+    idx = VectorIndex(vec_index_root(args.lake))
+    t = lake.lookup([args.url])
+    blob = None
+    if t is not None and t.num_rows:
+        row = t.to_pylist()[0]
+        if not row.get("deleted"):
+            blob = row.get(idx.vec_col)
+    if blob is None:
+        print(json.dumps({"key": args.url, "hits": [],
+                          "err": "url not live or has no vector"}))
+        return 1
+    q = unpack_matrix([blob], idx.dim)[0]
+    hits = idx.search(np.asarray(q), k=args.topk,
+                      probe_hamming=args.probe, as_of=args.as_of)
+    print(json.dumps({"key": args.url, "hits": [
+        {"key": k, "cosine": c}
+        for k, c in zip(hits["key"].to_pylist(),
+                        hits["cosine"].to_pylist())]}))
     return 0
 
 
@@ -942,6 +1013,42 @@ def main(argv=None) -> int:
     se.add_argument("--show", type=int, default=10,
                     help="max urls printed per token")
     se.set_defaults(fn=cmd_search)
+
+    vi = sub.add_parser("vec-index",
+                        help="refresh the lake's bucketed ANN vector index "
+                             "(<lake>/vecidx): hyperplane-bucket posting "
+                             "diffs per changed url, exactly-once per "
+                             "(bucket-partition, epoch)")
+    vi.add_argument("lake")
+    vi.add_argument("--partitions", type=int, default=None,
+                    help="lake partitions override; persisted metadata wins")
+    vi.add_argument("--idx-partitions", type=int, default=None,
+                    help="index partitions at creation (default 32; "
+                         "existing index metadata wins)")
+    vi.add_argument("--key-col", default="url")
+    vi.add_argument("--vec-col", default="vec")
+    vi.add_argument("--nbits", type=int, default=5,
+                    help="hyperplane sign-bits (persisted geometry wins)")
+    vi.add_argument("--seed", type=int, default=42)
+    vi.add_argument("--dim", type=int, default=None,
+                    help="vector dim (default: sniffed from the lake)")
+    vi.add_argument("--up-to", type=int, default=None,
+                    help="fold lake epochs only up to this one")
+    vi.set_defaults(fn=cmd_vec_index)
+
+    vs = sub.add_parser("vec-search",
+                        help="ANN point lookup: top-k cosine neighbors of a "
+                             "live url's vector (multi-probe bucketed "
+                             "index; O(|probed buckets|) partition reads)")
+    vs.add_argument("lake")
+    vs.add_argument("url")
+    vs.add_argument("--partitions", type=int, default=None)
+    vs.add_argument("--topk", type=int, default=10)
+    vs.add_argument("--probe", type=int, default=1,
+                    help="Hamming multi-probe radius over bucket bits")
+    vs.add_argument("--as-of", type=int, default=None,
+                    help="time-travel: search the index as of this epoch")
+    vs.set_defaults(fn=cmd_vec_search)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -8,6 +8,7 @@ from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
                      num_epochs_in, replay, url_partition)
 from .neardup import NearDupIndex
 from .textindex import TextIndex, text_index_root
+from .vecindex import VectorIndex, vec_index_root
 from .lake import Lake, Lineage
 from .merge import (
     ensure_deleted_col,
@@ -22,7 +23,7 @@ from .views import MaterializedView, group_lang, value_text_len
 
 __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
-    "TextIndex", "text_index_root",
+    "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
     "backfill", "resolve_backfill_epoch", "changes", "rescale",
     "seed_from_warc",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
