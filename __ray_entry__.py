@@ -28,6 +28,8 @@ from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 # so the 50-slot gate always contains each distinct operator exactly once
 # (all embeddings / hybrid / multimodal / WARC / sketch queries included).
 _GATE_TAIL = [
+    "cdc_materialized_view",   # no-oracle IVM smoke — cdc_incremental_view
+                               # gates the same view fold with a SQL oracle
     "order_status_stats",      # groupby agg — q1_pricing_summary covers
     "parts_by_brand",          # groupby agg — q1 covers
     "distinct_segments",       # distinct — dedup_exact / union_key_counts

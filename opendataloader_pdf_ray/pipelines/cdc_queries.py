@@ -1552,6 +1552,174 @@ GROUP BY p.tok
 """
 
 
+def _seed_vec_epoch_lake(sf_dir: str, root: str, num_partitions: int = 8):
+    """Deterministic 3-epoch delta-commit lake from ``embeddings`` — the
+    vector twin of ``_seed_three_epoch_lake``, exercising every vector
+    change class: epoch 0 inserts every vector at ``v<vec_id>`` (float32-LE
+    packed, the posting wire format); epoch 1 NEGATES ``vec_id%5==0``
+    (every hyperplane sign flips → guaranteed bucket move, so retraction
+    is load-bearing) and DELETES ``vec_id%9==0 (not %5)``; epoch 2
+    re-inserts the even deleted ids with their original vector (the odd
+    ones stay dead) and tombstones a never-live ghost ``g<vec_id>``
+    (%97). Returns the Lake."""
+    import shutil
+
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.vecindex import pack_vector
+    from ..fixtures.gen import BASE_TS_US
+
+    shutil.rmtree(root, ignore_errors=True)
+    lake = Lake(root, num_partitions)
+    E1, E2 = 10_000_000, 20_000_000
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        embs = batch["embedding"].to_pylist()  # exact f32 values as f64
+        m5 = ids % 5 == 0
+        m9 = (ids % 9 == 0) & ~m5
+        re2 = m9 & (ids % 2 == 0)
+        g97 = ids % 97 == 0
+        urls, seqs, vecs, dels, eps = [], [], [], [], []
+        for i, e in zip(ids, embs):  # epoch 0: insert everything
+            urls.append(f"v{int(i):06d}"); seqs.append(int(i))
+            vecs.append(pack_vector(np.asarray(e))); dels.append(False)
+            eps.append(0)
+        for i, e in zip(ids[m5], [embs[j] for j in np.where(m5)[0]]):
+            urls.append(f"v{int(i):06d}"); seqs.append(E1 + int(i))
+            vecs.append(pack_vector(-np.asarray(e)))  # sign flip is exact
+            dels.append(False); eps.append(1)
+        for i in ids[m9]:
+            urls.append(f"v{int(i):06d}"); seqs.append(E1 + int(i))
+            vecs.append(None); dels.append(True); eps.append(1)
+        for i, e in zip(ids[re2], [embs[j] for j in np.where(re2)[0]]):
+            urls.append(f"v{int(i):06d}"); seqs.append(E2 + int(i))
+            vecs.append(pack_vector(np.asarray(e))); dels.append(False)
+            eps.append(2)
+        for i in ids[g97]:
+            urls.append(f"g{int(i):06d}")
+            seqs.append(E2 + 5_000_000 + int(i))
+            vecs.append(None); dels.append(True); eps.append(2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "vec": pa.array(vecs, pa.binary()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        parts = url_partition(urls, num_partitions)
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    class SeedPartition:
+        """One task per partition commits its three delta epochs in order
+        (exactly-once: commit_delta is idempotent on the commit log)."""
+
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, num_partitions)
+            part = int(group["part"][0].as_py())
+            for e in (0, 1, 2):
+                sub = group.filter(pc.equal(group["epoch"], e))
+                if sub.num_rows == 0:
+                    continue
+                winners = sub.drop_columns(["part", "epoch"]).sort_by(
+                    [("url", "ascending")])
+                seqs = winners["seq"].to_pylist()
+                lk.commit_delta(part, e, winners, Lineage(
+                    part=part, epoch=e, events_consumed=winners.num_rows,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    seeded = (ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow"))
+    seeded.take_all()  # ≤ P tiny rows — drives the seed commits
+    return lake
+
+
+def cdc_vector_index_search(sf_dir: str):
+    """ANN-vector-index end-to-end through the REAL maintainer
+    (cdc/vecindex.py): seed the 3-epoch vector lake
+    (``_seed_vec_epoch_lake`` — epoch 1 NEGATES every %5 vector, flipping
+    every hyperplane sign, so the old-bucket retraction is load-bearing),
+    refresh incrementally (epochs ≤1 then the tail, then a full replay
+    that must be an all-skipped no-op), and multi-probe search with vec 0's
+    LIVE vector (its negation). Output = top-10 (key, cosine) under the
+    total order; the SQL oracle recomputes the live vector state
+    algebraically from the construction rules, the bucket signatures with
+    the literal seeded hyperplanes (the ``knn_lsh_sql`` trick), the
+    identical ``bit_count(xor) <= 2`` probe rule, and cosine rounded
+    half-away at 6 (−0.0 normalized on both sides)."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from ..cdc.vecindex import VectorIndex, vec_index_root
+
+    lake_root = "/tmp/odl_ray_vecindex_query"
+    lake = _seed_vec_epoch_lake(sf_dir, lake_root)
+    idx = VectorIndex(vec_index_root(lake_root), num_partitions=8,
+                      nbits=5, seed=42)
+    idx.refresh(lake, up_to=1)
+    idx.refresh(lake)
+    # exactly-once invariant: replaying committed epochs must no-op
+    idx._set_watermark(-1)
+    replay = idx.refresh(lake)
+    if not all(r["skipped"] for r in replay):
+        raise AssertionError("vec-index epoch replay was not idempotent")
+
+    # query = vec 0's LIVE vector (the epoch-1 negation); predicate-pushed
+    # single-row read on the driver
+    v0 = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["embedding"],
+                        filters=[("vec_id", "==", 0)])
+    q = -np.array(v0["embedding"][0].as_py(), dtype=np.float64)
+    hits = idx.search(q, k=10, probe_hamming=2)
+    return hits.select(["key", "cosine"])
+
+
+def cdc_vector_index_search_sql(nbits: int = 5, dim: int = 64,
+                                seed: int = 42) -> str:
+    """Bit-exact SQL mirror of ``cdc_vector_index_search``: live vector
+    state from the construction rules, seeded hyperplanes as literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(nbits, dim))
+    terms = []
+    for i in range(nbits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH live AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 5 = 0
+                THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                ELSE CAST(embedding AS DOUBLE[]) END AS e
+    FROM embeddings
+    WHERE NOT (vec_id % 9 = 0 AND vec_id % 5 <> 0 AND vec_id % 2 <> 0)
+),
+b AS (SELECT vec_id, e, {bucket_expr} AS bucket FROM live),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT printf('v%06d', vec_id) AS key,
+       round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) + 0.0
+           AS cosine
+FROM b
+WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 2
+ORDER BY cosine DESC, key ASC LIMIT 10
+"""
+
+
 CDC_CHANGEFEED_SQL = """
 SELECT CAST(0 AS BIGINT) AS epoch, 'insert' AS op,
        printf('u%06d', doc_id) AS url, CAST(doc_id AS BIGINT) AS seq
@@ -1679,6 +1847,7 @@ CDC_QUERIES = {
     "cdc_scd2_history": cdc_scd2_history,
     "events_late_data_stats": events_late_data_stats,
     "cdc_text_index_search": cdc_text_index_search,
+    "cdc_vector_index_search": cdc_vector_index_search,
 }
 
 CDC_ORACLE_SQL = {
@@ -1733,6 +1902,7 @@ CDC_ORACLE_SQL = {
     "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
     "events_late_data_stats": EVENTS_LATE_DATA_SQL,
     "cdc_text_index_search": CDC_TEXT_INDEX_SEARCH_SQL,
+    "cdc_vector_index_search": cdc_vector_index_search_sql(),
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

@@ -2,14 +2,14 @@
 against its oracle_sql() via DuckDB (rows + columns + exact values + dtypes).
 Usage: python scripts/check_oracle.py [query ...]   (default: all)
 """
-import ray, duckdb, pandas as pd, numpy as np, sys, time
+import ray, duckdb, pandas as pd, numpy as np, os, sys, time
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as E
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
