@@ -30,6 +30,10 @@ from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 _GATE_TAIL = [
     "cdc_materialized_view",   # no-oracle IVM smoke — cdc_incremental_view
                                # gates the same view fold with a SQL oracle
+    "doc_unigram_logprob",     # per-doc score over broadcast vocab —
+                               # doc_tfidf_top_terms gates the identical
+                               # two-pass capped-vocab-broadcast machinery
+                               # and corpus_clean_en the quality thresholds
     "order_status_stats",      # groupby agg — q1_pricing_summary covers
     "parts_by_brand",          # groupby agg — q1 covers
     "distinct_segments",       # distinct — dedup_exact / union_key_counts

@@ -624,6 +624,7 @@ def cmd_backfill(args) -> int:
     transforms = {
         "token-stats": text_stats.token_stats,     # n_tokens / n_bpe_tokens…
         "quality-score": text_stats.quality_score,  # punct/stopword ratios…
+        "embed": text_stats.embed_text,  # hashed-token vec → vec-index
     }
     lake = Lake(args.lake, args.partitions)
     lineage = backfill(lake, transforms[args.transform],
@@ -975,7 +976,7 @@ def main(argv=None) -> int:
     bf.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     bf.add_argument("--transform", default="token-stats",
-                    choices=("token-stats", "quality-score"))
+                    choices=("token-stats", "quality-score", "embed"))
     bf.set_defaults(fn=cmd_backfill)
 
     vw = sub.add_parser("view",

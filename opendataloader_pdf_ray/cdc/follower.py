@@ -51,8 +51,47 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .lake import Lake, Lineage
+from .merge import merge_base_with_updates
 
 HELPER_COL = "idx_part"
+
+
+def column_or_nulls(table: pa.Table, col: str) -> list:
+    """Column values, or all-None when the column predates a schema
+    evolution (additive columns are null-backfilled lake-wide, so a
+    follower folding pre-evolution epochs must read them as absent)."""
+    if col in table.column_names:
+        return table[col].to_pylist()
+    return [None] * table.num_rows
+
+
+def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
+                              state: Optional[pa.Table]
+                              ) -> Tuple[pa.Table, Optional[pa.Table]]:
+    """(candidate rows, post-image state) for one committed lake epoch,
+    VALUE-level: delta commits yield their winner rows verbatim (merged
+    into the running state); snapshot commits (CoW ingest, BACKFILL,
+    rescale seed) yield the WHOLE snapshot as candidates with the snapshot
+    itself as post-state. Emitters value-diff each candidate against the
+    pre-image (old == new → emit nothing), so a backfill that rewrites
+    only derived columns — invisible to the (warc_ts, seq)-keyed change
+    feed by design — still reaches follower indexes built on those
+    columns. Cost note: on a CoW-mode lake every epoch snapshots, so a
+    follower refresh re-diffs the partition per epoch; delta-mode tails
+    (the scale path) stay O(churn)."""
+    import pyarrow.parquet as pq
+
+    dpath = lake._delta_path(part, epoch)
+    if lake.fs.exists(dpath):
+        winners = pq.read_table(dpath, filesystem=lake.fs)
+        return winners, merge_base_with_updates(state, winners)
+    spath = lake._data_path(part, epoch)
+    if lake.fs.exists(spath):
+        snap = pq.read_table(spath, filesystem=lake.fs)
+        return snap, snap
+    raise ValueError(
+        f"follower: partition {part} epoch {epoch} has neither delta nor "
+        f"snapshot file (vacuumed?) — re-seed the index from scratch")
 
 
 def latest_per_identity(table: pa.Table,

@@ -36,11 +36,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .changefeed import epoch_winners
-from .follower import (FollowerIndex, HELPER_COL, latest_per_identity,
+from .follower import (FollowerIndex, HELPER_COL, column_or_nulls,
+                       follower_epoch_candidates, latest_per_identity,
                        read_identity_partition)
 from .lake import Lake
-from .merge import merge_base_with_updates
 from ..functions.sketches import md5_number_lower
 
 
@@ -119,7 +118,7 @@ class _EmitTokenDeltas:
         dead = pc.fill_null(state["deleted"], False).to_numpy(
             zero_copy_only=False)
         keys = state[self.key_col].to_numpy(zero_copy_only=False)
-        texts = state[self.text_col].to_pylist()
+        texts = column_or_nulls(state, self.text_col)
         return {k: t for k, t, d in zip(keys, texts, dead) if not d}
 
     def _one(self, lake: Lake, part: int, tok_re) -> List[pa.Table]:
@@ -131,10 +130,10 @@ class _EmitTokenDeltas:
         live = self._live_text(state)
         out: List[pa.Table] = []
         for e in epochs:
-            winners = epoch_winners(lake, part, e, state)
+            winners, state = follower_epoch_candidates(lake, part, e, state)
             toks, keys, signs = [], [], []
             w_keys = winners[self.key_col].to_numpy(zero_copy_only=False)
-            w_texts = winners[self.text_col].to_pylist()
+            w_texts = column_or_nulls(winners, self.text_col)
             w_dead = (pc.fill_null(winners["deleted"], False).to_numpy(
                 zero_copy_only=False) if "deleted" in winners.column_names
                 else np.zeros(len(w_keys), bool))
@@ -155,8 +154,7 @@ class _EmitTokenDeltas:
                 out.append(t.append_column(
                     HELPER_COL,
                     pa.array(tok_partition(toks, self.num_idx_partitions))))
-            # fold this epoch into the running pre-image
-            state = merge_base_with_updates(state, winners)
+            # state already advanced to this epoch's post-image
             live = self._live_text(state)
         return out
 

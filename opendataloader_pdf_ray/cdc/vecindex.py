@@ -49,10 +49,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .changefeed import epoch_winners
-from .follower import FollowerIndex, HELPER_COL
+from .follower import (FollowerIndex, HELPER_COL, column_or_nulls,
+                       follower_epoch_candidates)
 from .lake import Lake
-from .merge import merge_base_with_updates
 
 
 def vec_index_root(lake_root: str) -> str:
@@ -151,7 +150,7 @@ class _EmitVecDeltas:
         dead = pc.fill_null(state["deleted"], False).to_numpy(
             zero_copy_only=False)
         keys = state[self.key_col].to_numpy(zero_copy_only=False)
-        vecs = state[self.vec_col].to_pylist()
+        vecs = column_or_nulls(state, self.vec_col)
         return {k: v for k, v, d in zip(keys, vecs, dead)
                 if not d and v is not None}
 
@@ -165,10 +164,10 @@ class _EmitVecDeltas:
         live = self._live_vec(state)
         out: List[pa.Table] = []
         for e in epochs:
-            winners = epoch_winners(lake, part, e, state)
+            winners, state = follower_epoch_candidates(lake, part, e, state)
             buckets, keys, signs, vecs = [], [], [], []
             w_keys = winners[self.key_col].to_numpy(zero_copy_only=False)
-            w_vecs = winners[self.vec_col].to_pylist()
+            w_vecs = column_or_nulls(winners, self.vec_col)
             w_dead = (pc.fill_null(winners["deleted"], False).to_numpy(
                 zero_copy_only=False) if "deleted" in winners.column_names
                 else np.zeros(len(w_keys), bool))
@@ -197,7 +196,6 @@ class _EmitVecDeltas:
                 out.append(t.append_column(
                     HELPER_COL, pa.array(
                         (b_arr % self.num_idx_partitions).astype(np.int32))))
-            state = merge_base_with_updates(state, winners)
             live = self._live_vec(state)
         return out
 

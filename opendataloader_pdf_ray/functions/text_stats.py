@@ -105,6 +105,54 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+_EMBED_TOK_RE = re.compile(r"\w+")
+
+
+def embed_text(batch: pa.Table, text_col: str = "text",
+               vec_col: str = "vec", dim: int = 32) -> pa.Table:
+    """Hashing-trick text embedding (signed feature hashing onto token
+    buckets): token → bucket ``md5_number_lower(tok) % dim``, sign from the
+    next hash bit ``(h // dim) % 2``, value = signed token count, packed
+    float32-LE (counts ≪ 2^24 so the packing is exact). Deterministic and
+    model-free — the stand-in embedding model for the CDC
+    embed-backfill → ANN-index loop — and SQL-mirrorable bit-for-bit via
+    DuckDB ``md5_number_lower`` (the hash-oracle trick). Tokenization is
+    the text index's ``\\w+``-over-lower pattern. Null/tombstone text →
+    null vec. Vectorized: md5 runs once per DISTINCT token per batch."""
+    from .sketches import md5_number_lower
+
+    texts = batch[text_col].to_pylist() if text_col in batch.column_names \
+        else [None] * batch.num_rows
+    toks_per_row = [None if t is None else _EMBED_TOK_RE.findall(t.lower())
+                    for t in texts]
+    all_toks = [tok for toks in toks_per_row if toks for tok in toks]
+    vecs: List = []
+    if all_toks:
+        ut, inv = np.unique(np.asarray(all_toks, dtype=object),
+                            return_inverse=True)
+        h = np.array([md5_number_lower(t) for t in ut], dtype=np.uint64)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h // np.uint64(dim)) % np.uint64(2) == 0,
+                        1.0, -1.0)
+        pos = 0
+        for toks in toks_per_row:
+            if toks is None:
+                vecs.append(None)
+                continue
+            v = np.zeros(dim, np.float64)
+            if toks:
+                idx = inv[pos:pos + len(toks)]
+                np.add.at(v, bucket[idx], sign[idx])
+                pos += len(toks)
+            vecs.append(np.asarray(v, "<f4").tobytes())
+    else:
+        zero = np.zeros(dim, "<f4").tobytes()
+        vecs = [None if t is None else zero for t in texts]
+    if vec_col in batch.column_names:  # re-embed: replace, don't duplicate
+        batch = batch.drop_columns([vec_col])
+    return batch.append_column(vec_col, pa.array(vecs, pa.binary()))
+
+
 def md5_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fp") -> pa.Table:
     fps = [hashlib.md5(t.encode("utf-8")).hexdigest()

@@ -1686,6 +1686,100 @@ def cdc_vector_index_search(sf_dir: str):
     return hits.select(["key", "cosine"])
 
 
+def cdc_embed_backfill_ann(sf_dir: str):
+    """Integration gate for the embed-backfill → ANN loop across THREE
+    subsystems: the 3-epoch TEXT lake (``_seed_three_epoch_lake``), a
+    derived-column ``backfill`` that adds a hashed-token embedding
+    (``functions.text_stats.embed_text`` — exact f32-packed signed token
+    counts), and the vector follower index, whose value-level candidate
+    rule (``follower.follower_epoch_candidates``) is load-bearing here:
+    the backfill epoch keeps every (warc_ts, seq) unchanged, so the
+    change feed sees nothing, yet the index must pick up every new
+    vector. Search = live embedding of ``u000000``, multi-probe top-10.
+    The SQL oracle recomputes live text algebraically, the embedding
+    bit-for-bit via DuckDB ``md5_number_lower`` (bucket = h % dim, sign =
+    (h // dim) % 2), bucket signatures from literal seeded hyperplanes,
+    and half-away-rounded cosine."""
+    import numpy as np
+
+    from ..cdc import backfill
+    from ..cdc.vecindex import VectorIndex, vec_index_root
+    from ..functions.text_stats import embed_text
+
+    lake_root = "/tmp/odl_ray_embed_backfill_query"
+    lake = _seed_three_epoch_lake(sf_dir, lake_root)
+    idx = VectorIndex(vec_index_root(lake_root), num_partitions=8,
+                      nbits=5, seed=42, dim=32)
+    # pre-backfill refresh: no vec column exists yet — must fold to an
+    # EMPTY index without error (schema-evolution tolerance)
+    idx.refresh(lake)
+    if idx.read_state().num_rows:
+        raise AssertionError("vec index non-empty before the embed backfill")
+    backfill(lake, embed_text, name="embed")
+    idx.refresh(lake)
+
+    t = lake.lookup(["u000000"])
+    blob = t.to_pylist()[0]["vec"]
+    q = np.frombuffer(blob, dtype="<f4").astype(np.float64)
+    hits = idx.search(q, k=10, probe_hamming=2)
+    return hits.select(["key", "cosine"])
+
+
+def cdc_embed_backfill_ann_sql(nbits: int = 5, dim: int = 32,
+                               seed: int = 42) -> str:
+    """Bit-exact SQL mirror of ``cdc_embed_backfill_ann``: live text from
+    the construction rules, hashed-token embeddings via md5_number_lower,
+    seeded hyperplanes as literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(nbits, dim))
+    terms = []
+    for i in range(nbits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(e, {lit}) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    bucket_expr = " + ".join(terms)
+    return f"""
+WITH live AS (
+    SELECT printf('u%06d', doc_id) AS url,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' v3'
+                WHEN doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END AS t
+    FROM documents
+    WHERE NOT (doc_id % 10 = 0 AND doc_id % 9 <> 0)
+),
+toks AS (
+    SELECT url, unnest(regexp_extract_all(lower(t), '\\w+')) AS tok
+    FROM live
+),
+feat AS (
+    SELECT url, CAST(md5_number_lower(tok) % {dim} AS BIGINT) AS b,
+           CASE WHEN (md5_number_lower(tok) // {dim}) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM toks
+),
+agg AS (SELECT url, b, CAST(sum(s) AS DOUBLE) AS v FROM feat GROUP BY url, b),
+grid AS (
+    SELECT l.url, d.b FROM (SELECT DISTINCT url FROM live) l
+    CROSS JOIN (SELECT unnest(range({dim})) AS b) d
+),
+emb AS (
+    SELECT g.url, list(COALESCE(a.v, 0.0) ORDER BY g.b) AS e
+    FROM grid g LEFT JOIN agg a ON a.url = g.url AND a.b = g.b
+    GROUP BY g.url
+),
+bkt AS (SELECT url, e, {bucket_expr} AS bucket FROM emb),
+q AS (SELECT e AS qe, bucket AS qb FROM bkt WHERE url = 'u000000')
+SELECT url AS key,
+       round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) + 0.0
+           AS cosine
+FROM bkt
+WHERE bit_count(xor(bucket, (SELECT qb FROM q))) <= 2
+ORDER BY cosine DESC, key ASC LIMIT 10
+"""
+
+
 def cdc_vector_index_search_sql(nbits: int = 5, dim: int = 64,
                                 seed: int = 42) -> str:
     """Bit-exact SQL mirror of ``cdc_vector_index_search``: live vector
@@ -1848,6 +1942,7 @@ CDC_QUERIES = {
     "events_late_data_stats": events_late_data_stats,
     "cdc_text_index_search": cdc_text_index_search,
     "cdc_vector_index_search": cdc_vector_index_search,
+    "cdc_embed_backfill_ann": cdc_embed_backfill_ann,
 }
 
 CDC_ORACLE_SQL = {
@@ -1903,6 +1998,7 @@ CDC_ORACLE_SQL = {
     "events_late_data_stats": EVENTS_LATE_DATA_SQL,
     "cdc_text_index_search": CDC_TEXT_INDEX_SEARCH_SQL,
     "cdc_vector_index_search": cdc_vector_index_search_sql(),
+    "cdc_embed_backfill_ann": cdc_embed_backfill_ann_sql(),
     "cdc_epoch_windows": """
         SELECT epoch_day, count(*) AS n,
                round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value

@@ -225,6 +225,74 @@ class TestCompactVerifyPurge:
         assert again["rows_removed"] == 0
 
 
+class TestEmbedBackfillIntegration:
+    """The embed-backfill → vector-index loop: a lake with NO vector column
+    gains one via a derived-column backfill; the follower must (a) tolerate
+    pre-evolution epochs, (b) see the backfill epoch's vectors even though
+    the (warc_ts, seq)-keyed change feed reports nothing for it (the
+    value-level candidate rule), (c) preserve time travel across it."""
+
+    def _text_lake(self, root) -> Lake:
+        lake = Lake(str(root), 2)
+        t = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "delta epsilon"],
+                             pa.string()),
+            "deleted": pa.array([False, False], pa.bool_()),
+        })
+        for part in (0, 1):
+            lake.commit_delta(part, 0, t.slice(part, 1), Lineage(
+                part=part, epoch=0, events_consumed=1, rows_upserted=1,
+                rows_deleted=0, seq_min=part + 1, seq_max=part + 1))
+        return lake
+
+    def test_backfill_embed_feeds_index(self, tmp_path, ray_session):
+        from opendataloader_pdf_ray.cdc import backfill
+        from opendataloader_pdf_ray.functions.text_stats import embed_text
+
+        lake = self._text_lake(tmp_path / "lake")
+        idx = VectorIndex(str(tmp_path / "vi"), num_partitions=4,
+                          nbits=4, seed=7, dim=32)
+        # pre-backfill: no vec column anywhere — empty index, no crash
+        idx.refresh(lake)
+        assert idx.read_state().num_rows == 0
+        lineage = backfill(lake, embed_text, name="embed")
+        e_bf = lineage[0]["epoch"]
+        idx.refresh(lake)
+        live = live_postings(idx)
+        assert sorted(k for _, k in live) == ["a", "b"]
+        # change feed sees NOTHING for the backfill epoch (by design) …
+        feed = lake.changes(since=e_bf - 1).take_all()
+        assert feed == []
+        # … yet the index picked the vectors up; time travel: empty before
+        assert live_postings(idx, as_of=e_bf - 1) == []
+        # self-search at 1.0 through the packed live vector
+        blob = lake.lookup(["a"]).to_pylist()[0]["vec"]
+        q = np.frombuffer(blob, dtype="<f4").astype(np.float64)
+        hits = idx.search(q, k=2, probe_hamming=4)
+        got = dict(zip(hits["key"].to_pylist(), hits["cosine"].to_pylist()))
+        assert got["a"] == 1.0
+
+    def test_re_embed_emits_only_changed(self, tmp_path, ray_session):
+        """A second identical backfill (same transform) emits no posting
+        deltas — the value diff, not the epoch, drives index churn."""
+        from opendataloader_pdf_ray.cdc import backfill
+        from opendataloader_pdf_ray.functions.text_stats import embed_text
+
+        lake = self._text_lake(tmp_path / "lake")
+        backfill(lake, embed_text, name="embed")
+        idx = VectorIndex(str(tmp_path / "vi"), num_partitions=4,
+                          nbits=4, seed=7, dim=32)
+        idx.refresh(lake)
+        lineage2 = backfill(lake, embed_text, name="embed2")
+        e2 = lineage2[0]["epoch"]
+        idx.refresh(lake)
+        for part in range(4):
+            assert not idx.lake.fs.exists(idx.lake._delta_path(part, e2))
+
+
 class TestCLI:
     def test_vec_index_and_search_cli(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main
