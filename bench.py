@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "cdc_near_dup_attribution", "cdc_backfill_token_stats",
     "cdc_changefeed", "cdc_quarantine_stats", "doc_decontaminate",
     "cdc_scd2_history", "events_late_data_stats", "cdc_text_index_search",
+    "cdc_vector_index_search", "cdc_embed_backfill_ann",
 ]
 
 

@@ -163,14 +163,26 @@ def cmd_ingest(args) -> int:
                     quarantine_errors=args.quarantine,
                     auto_compact_chain=args.auto_compact_chain,
                     extract_concurrency=max(1, min(8, cpus - 1)))
+    followers = []
+    if args.text_index:
+        from .cdc import TextIndex, text_index_root
+
+        t_root = text_index_root(args.lake)
+        n_idx = None
+        if not os.path.exists(os.path.join(t_root, "_commits", "lake.json")):
+            n_idx = 32  # fresh index with no persisted metadata
+        followers.append(TextIndex(t_root, num_partitions=n_idx))
     if args.mode == "follow":
         from .cdc.ingest import follow
 
         lineage = follow(args.events, args.lake, cfg,
-                         poll_interval=args.poll_interval)
+                         poll_interval=args.poll_interval,
+                         followers=followers)
     else:
         lineage = replay(args.events, args.lake, cfg, mode=args.mode)
     lake = Lake(args.lake, cfg.num_partitions)
+    for f in followers:  # batch modes: one refresh after the replay;
+        f.refresh(lake)  # follow mode: a no-op catch-up (watermark current)
     state = lake.read_state()
     summary = {
         "partitions_committed": len(lineage),
@@ -190,6 +202,8 @@ def cmd_ingest(args) -> int:
 
         summary["near_index_band_entries"] = NearDupIndex(
             near_index_root(args.lake)).count_fingerprints()
+    if followers:
+        summary["text_index_watermark"] = followers[0].watermark()
     print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
         ray.shutdown()
@@ -269,10 +283,21 @@ def cmd_fsck(args) -> int:
         # seq, no tombstone column), so deep's snapshot invariants
         # (url-sorted, unique, deleted col) do not apply
         report["quarantine"] = Lake(q_root).verify(deep=False)
+    from .cdc import (TextIndex, VectorIndex, text_index_root,
+                      vec_index_root)
+
+    t_root = text_index_root(args.lake)
+    if lake.fs.exists(t_root):  # and the inverted token keyspace
+        report["textidx"] = TextIndex(t_root).verify(deep=args.deep)
+    v_root = vec_index_root(args.lake)
+    if lake.fs.exists(v_root):  # and the ANN bucket keyspace
+        report["vecidx"] = VectorIndex(v_root).verify(deep=args.deep)
     print(json.dumps(report))
     ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
           and report.get("nearidx", {"ok": True})["ok"]
-          and report.get("quarantine", {"ok": True})["ok"])
+          and report.get("quarantine", {"ok": True})["ok"]
+          and report.get("textidx", {"ok": True})["ok"]
+          and report.get("vecidx", {"ok": True})["ok"])
     return 0 if ok else 1
 
 
@@ -823,6 +848,11 @@ def main(argv=None) -> int:
     ing.add_argument("--near-index-commits", default="snapshot",
                      choices=("snapshot", "delta"), dest="near_index_commits",
                      help="near-index commit mode (see --dup-index-commits)")
+    ing.add_argument("--text-index", action="store_true", dest="text_index",
+                     help="keep the inverted full-text index at "
+                          "<lake>/textidx fresh: refreshed after every "
+                          "committed epoch in follow mode, once after a "
+                          "batch replay (query with the search command)")
     ing.add_argument("--quarantine", action="store_true",
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "

@@ -590,7 +590,8 @@ def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
 
 def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
            poll_interval: float = 0.5, stop_marker: str = ".end",
-           max_idle_polls: Optional[int] = None) -> List[dict]:
+           max_idle_polls: Optional[int] = None,
+           followers: Optional[List] = None) -> List[dict]:
     """TAIL a growing binlog segment directory — the streaming half of the
     north rule ("tails a binlog/WAL stream"), built entirely on the existing
     exactly-once machinery: each poll reads only parquet footers, ingests
@@ -613,6 +614,14 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     never became readable), which raises instead of reporting a clean drain
     that silently skipped data. Without ``max_idle_polls`` a post-stop hole
     keeps the tailer polling (visible to operators), never lying.
+
+    ``followers`` (optional): lake-follower indexes (``FollowerIndex`` —
+    text/vector keyspaces) refreshed after every poll that commits epochs,
+    so indexes stay fresh AS the tail ingests. Each refresh is the
+    follower's own exactly-once watermark protocol; a crash between an
+    epoch commit and its index refresh is healed by the catch-up refresh
+    on the next poll (and on the stop path), so tail + followers resume
+    consistently from any interruption.
     """
     import os as _os
     import time as _time
@@ -647,8 +656,14 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
             lake.mark_epoch_done(e)
             _auto_compact(lake, cfg)
             progressed = True
+        if progressed:
+            for f in (followers or []):
+                f.refresh(lake)
         if stopping and (dense or max_seq < 0) \
                 and all(lake.is_epoch_done(e) for e in epochs):
+            # catch-up: heal a prior crash between epoch commit and refresh
+            for f in (followers or []):
+                f.refresh(lake)
             return lineage
         idle = 0 if progressed else idle + 1
         if max_idle_polls is not None and idle >= max_idle_polls:

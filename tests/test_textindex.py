@@ -227,6 +227,57 @@ class TestPurge:
         assert again["rows_removed"] == 0
 
 
+class TestTailFollowers:
+    """ingest --mode follow with followers: the text index stays fresh AS
+    the tail commits epochs, and a restart heals a crash between an epoch
+    commit and its index refresh (catch-up refresh)."""
+
+    def test_tail_keeps_index_fresh(self, tmp_path, ray_session):
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake, TextIndex, \
+            text_index_root
+        from opendataloader_pdf_ray.cdc.ingest import follow
+        from opendataloader_pdf_ray.config import CDCConfig
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        cfg = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                        extract_batch_size=16, extract_concurrency=2)
+        events = gen_events(120, 30, seed=11)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+        os.makedirs(seg_dir, exist_ok=True)
+
+        def write(lo, hi):
+            part = events.filter((pc.field("seq") >= lo)
+                                 & (pc.field("seq") < hi))
+            pq.write_table(part, f"{seg_dir}/seg-{lo:06d}.parquet")
+
+        idx = TextIndex(text_index_root(lake_root), num_partitions=4)
+        # phase 1: epoch 0 completes; the follower must already serve it
+        write(0, 60)
+        follow(seg_dir, lake_root, cfg, poll_interval=0.05,
+               max_idle_polls=1, followers=[idx])
+        assert idx.watermark() == 0
+        state1 = idx.read_state()
+        assert state1.num_rows > 0
+        # phase 2 (restart): remaining segments + stop marker — the tail
+        # resumes, the follower advances to the final epoch
+        write(60, 120)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        follow(seg_dir, lake_root, cfg, poll_interval=0.05,
+               followers=[TextIndex(text_index_root(lake_root))])
+        idx2 = TextIndex(text_index_root(lake_root))
+        assert idx2.watermark() == 1
+        # the final index equals a from-scratch rebuild over the same lake
+        rebuilt = TextIndex(str(tmp_path / "rebuild"), num_partitions=4)
+        rebuilt.refresh(Lake(lake_root))
+        assert idx2.read_state().equals(rebuilt.read_state())
+
+
 class TestCLI:
     def test_text_index_and_search_cli(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main

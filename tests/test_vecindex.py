@@ -314,6 +314,18 @@ class TestCLI:
         assert res["key"] == "a"
         assert res["hits"][0] == {"key": "a", "cosine": 1.0}
 
+    def test_fsck_audits_vec_index(self, tmp_path, capsys, ray_session):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lake_root = tmp_path / "lake"
+        lake = seed_lake(lake_root)
+        idx = VectorIndex(vec_index_root(str(lake_root)), num_partitions=4,
+                          nbits=4, seed=7, dim=DIM)
+        idx.refresh(lake)
+        assert main(["fsck", str(lake_root), "--deep"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip())
+        assert rep["vecidx"]["ok"] and rep["vecidx"]["issues"] == []
+
     def test_purge_cli_scrubs_vec_index(self, tmp_path, capsys,
                                         ray_session):
         from opendataloader_pdf_ray.__main__ import main
