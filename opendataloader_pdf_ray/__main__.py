@@ -322,11 +322,22 @@ def cmd_seed(args) -> int:
                     maintain_near_index=args.near_index,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     lineage = seed_from_warc(args.warc, args.lake, cfg)
-    print(json.dumps({
+    summary = {
         "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
         "records_consumed": int(sum(l["events_consumed"] for l in lineage)),
         "rows": int(sum(l["rows_upserted"] for l in lineage)),
-    }))
+    }
+    if args.text_index:  # bootstrap the full-text follower at epoch 0 too
+        from .cdc import Lake, TextIndex, text_index_root
+
+        t_root = text_index_root(args.lake)
+        n_idx = None
+        if not os.path.exists(os.path.join(t_root, "_commits", "lake.json")):
+            n_idx = 32
+        idx = TextIndex(t_root, num_partitions=n_idx)
+        idx.refresh(Lake(args.lake, cfg.num_partitions))
+        summary["text_index_watermark"] = idx.watermark()
+    print(json.dumps(summary))
     if started_ray:
         ray.shutdown()
     return 0
@@ -875,6 +886,10 @@ def main(argv=None) -> int:
     sd.add_argument("--quarantine", action="store_true")
     sd.add_argument("--dup-index", action="store_true", dest="dup_index")
     sd.add_argument("--near-index", action="store_true", dest="near_index")
+    sd.add_argument("--text-index", action="store_true", dest="text_index",
+                    help="bootstrap the full-text index over the seeded "
+                         "epoch 0 (the crawl-loop tail keeps it fresh with "
+                         "ingest --text-index)")
     sd.set_defaults(fn=cmd_seed)
 
     st = sub.add_parser("stats",

@@ -274,9 +274,15 @@ class TestSeedCLI:
              f"<html><body><p>cli seed {i}</p></body></html>".encode())
             for i in range(5)])
         lake_dir = str(tmp_path / "lake")
-        assert main(["seed", seg, lake_dir, "--partitions", "4"]) == 0
+        assert main(["seed", seg, lake_dir, "--partitions", "4",
+                     "--text-index"]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rows"] == 5 and rep["records_consumed"] == 5
+        assert rep["text_index_watermark"] == 0
+        assert main(["search", lake_dir, "cli", "zzznever"]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        hits = [json.loads(l) for l in lines[-2:]]
+        assert hits[0]["n_urls"] == 5 and hits[1]["n_urls"] == 0
         out = str(tmp_path / "wet")
         assert main(["export", lake_dir, out, "--wet"]) == 0
         rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
