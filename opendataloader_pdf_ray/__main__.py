@@ -154,6 +154,11 @@ def cmd_ingest(args) -> int:
     # actors deadlocks a smaller cluster (all CPUs reserved, none left for
     # the read/shuffle stages)
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    derive = None
+    if args.embed:
+        from .functions.text_stats import embed_text
+
+        derive = embed_text  # picklable module-level callable
     cfg = CDCConfig(num_partitions=args.partitions, epoch_size=args.epoch_size,
                     epoch_commits=args.commit_mode,
                     maintain_dup_index=args.dup_index,
@@ -162,6 +167,7 @@ def cmd_ingest(args) -> int:
                     near_index_commits=args.near_index_commits,
                     quarantine_errors=args.quarantine,
                     auto_compact_chain=args.auto_compact_chain,
+                    derive=derive,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     followers = []
     if args.text_index:
@@ -172,6 +178,14 @@ def cmd_ingest(args) -> int:
         if not os.path.exists(os.path.join(t_root, "_commits", "lake.json")):
             n_idx = 32  # fresh index with no persisted metadata
         followers.append(TextIndex(t_root, num_partitions=n_idx))
+    if args.vec_index:
+        from .cdc import VectorIndex, vec_index_root
+
+        v_root = vec_index_root(args.lake)
+        n_idx = None
+        if not os.path.exists(os.path.join(v_root, "_commits", "lake.json")):
+            n_idx = 32
+        followers.append(VectorIndex(v_root, num_partitions=n_idx, dim=32))
     if args.mode == "follow":
         from .cdc.ingest import follow
 
@@ -202,8 +216,10 @@ def cmd_ingest(args) -> int:
 
         summary["near_index_band_entries"] = NearDupIndex(
             near_index_root(args.lake)).count_fingerprints()
-    if followers:
-        summary["text_index_watermark"] = followers[0].watermark()
+    for f in followers:
+        kind = "text_index" if type(f).__name__ == "TextIndex" \
+            else "vec_index"
+        summary[f"{kind}_watermark"] = f.watermark()
     print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
         ray.shutdown()
@@ -864,6 +880,14 @@ def main(argv=None) -> int:
                           "<lake>/textidx fresh: refreshed after every "
                           "committed epoch in follow mode, once after a "
                           "batch replay (query with the search command)")
+    ing.add_argument("--embed", action="store_true",
+                     help="derive a hashed-token embedding column (vec) at "
+                          "extract time — the stand-in embedding model; "
+                          "pair with --vec-index for streaming ANN")
+    ing.add_argument("--vec-index", action="store_true", dest="vec_index",
+                     help="keep the ANN vector index at <lake>/vecidx "
+                          "fresh over the vec column (same follower "
+                          "cadence as --text-index; query with vec-search)")
     ing.add_argument("--quarantine", action="store_true",
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "

@@ -406,6 +406,8 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
+        ds = ds.map_batches(cfg.derive, batch_format="pyarrow")
     if cfg.maintain_dup_index or cfg.maintain_near_index \
             or cfg.quarantine_errors:
         # fork point: materialize the extracted stream once so the url
@@ -469,6 +471,8 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
+        ds = ds.map_batches(cfg.derive, batch_format="pyarrow")
     if cfg.maintain_dup_index or cfg.maintain_near_index \
             or cfg.quarantine_errors:
         # backlog replay folds the whole pending range as ONE index/DLQ

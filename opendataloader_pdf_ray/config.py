@@ -9,7 +9,7 @@ derives from it inside actor ``__init__``, never per batch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -205,6 +205,14 @@ class CDCConfig:
     #       grows. The write-amplification fix for high-frequency epochs.
     epoch_commits: str = "snapshot"
     drop_html_after_extract: bool = True     # project before shuffle: never shuffle html
+    # Extract-time derived columns: a row-preserving vectorized batch
+    # transform (the backfill transform contract: table → table, same row
+    # count, keys byte-identical) applied to the extracted stream before
+    # the merge — e.g. ``functions.text_stats.embed_text`` so every event
+    # carries a hashed-token embedding through ingest and the ANN follower
+    # (``ingest --vec-index``) stays fresh on the tail. Must be a picklable
+    # module-level callable (it ships to the map tasks).
+    derive: Optional[Callable] = None
     # Dedup-at-ingest (cdc/dupindex.py): fold every content-bearing event's
     # md5 fingerprint into a second, fp-partitioned keyspace at
     # <lake>/fpindex through the same exactly-once commit log, enabling

@@ -314,6 +314,33 @@ class TestCLI:
         assert res["key"] == "a"
         assert res["hits"][0] == {"key": "a", "cosine": 1.0}
 
+    def test_ingest_embed_vec_index(self, tmp_path, capsys, ray_session):
+        """ingest --embed --vec-index: the extract stage derives the
+        hashed-token embedding per event and the ANN follower stays fresh
+        per epoch — vec-search then serves a live url's own vector at 1.0."""
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = gen_events(60, 20, seed=5)
+        events_path = str(tmp_path / "events.parquet")
+        pq.write_table(events, events_path)
+        lake_root = str(tmp_path / "lake")
+        assert main(["ingest", events_path, lake_root, "--epoch-size", "30",
+                     "--partitions", "4", "--mode", "epoch", "--embed",
+                     "--vec-index"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["vec_index_watermark"] == 1
+        live = Lake(lake_root).read_state()
+        url = live["url"][0].as_py()
+        assert main(["vec-search", lake_root, url, "--topk", "3",
+                     "--probe", "2"]) == 0
+        hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert hits["hits"][0]["key"] == url
+        assert hits["hits"][0]["cosine"] == 1.0
+
     def test_fsck_audits_vec_index(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main
 
