@@ -760,9 +760,11 @@ def cmd_vec_index(args) -> int:
 
 
 def cmd_vec_search(args) -> int:
-    """ANN point lookup by live url: fetch the key's vector from the lake,
-    multi-probe the bucketed index, print top-k cosine neighbors (the
-    queried key itself ranks first at 1.0 when live)."""
+    """ANN lookup: by live url (fetch its vector from the lake) or by free
+    text (``--text`` — embed the query with the same hashed-token
+    featurizer the lake's vec column was derived with, giving semantic
+    search over the lake with no external model). Multi-probes the
+    bucketed index; a url query ranks itself first at 1.0 when live."""
     import numpy as np
 
     from .cdc import Lake, VectorIndex, vec_index_root
@@ -770,20 +772,30 @@ def cmd_vec_search(args) -> int:
 
     lake = Lake(args.lake, args.partitions)
     idx = VectorIndex(vec_index_root(args.lake))
-    t = lake.lookup([args.url])
-    blob = None
-    if t is not None and t.num_rows:
-        row = t.to_pylist()[0]
-        if not row.get("deleted"):
-            blob = row.get(idx.vec_col)
+    if args.text:
+        import pyarrow as pa
+
+        from .functions.text_stats import embed_text
+
+        one = pa.table({"text": pa.array([args.url], pa.string())})
+        blob = embed_text(one, dim=idx.dim)["vec"][0].as_py()
+        label = f"text:{args.url}"
+    else:
+        t = lake.lookup([args.url])
+        blob = None
+        if t is not None and t.num_rows:
+            row = t.to_pylist()[0]
+            if not row.get("deleted"):
+                blob = row.get(idx.vec_col)
+        label = args.url
     if blob is None:
-        print(json.dumps({"key": args.url, "hits": [],
+        print(json.dumps({"key": label, "hits": [],
                           "err": "url not live or has no vector"}))
         return 1
     q = unpack_matrix([blob], idx.dim)[0]
     hits = idx.search(np.asarray(q), k=args.topk,
                       probe_hamming=args.probe, as_of=args.as_of)
-    print(json.dumps({"key": args.url, "hits": [
+    print(json.dumps({"key": label, "hits": [
         {"key": k, "cosine": c}
         for k, c in zip(hits["key"].to_pylist(),
                         hits["cosine"].to_pylist())]}))
@@ -1111,7 +1123,12 @@ def main(argv=None) -> int:
                              "live url's vector (multi-probe bucketed "
                              "index; O(|probed buckets|) partition reads)")
     vs.add_argument("lake")
-    vs.add_argument("url")
+    vs.add_argument("url", help="live url to query by — or, with --text, "
+                                "a free-text query string")
+    vs.add_argument("--text", action="store_true",
+                    help="treat the positional argument as free text: "
+                         "embed it with the lake's hashed-token featurizer "
+                         "(semantic search, no external model)")
     vs.add_argument("--partitions", type=int, default=None)
     vs.add_argument("--topk", type=int, default=10)
     vs.add_argument("--probe", type=int, default=1,

@@ -340,6 +340,15 @@ class TestCLI:
         hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert hits["hits"][0]["key"] == url
         assert hits["hits"][0]["cosine"] == 1.0
+        # semantic free-text search: the url's own live text as the query
+        # embeds to the identical vector → the url tops the result at 1.0
+        text = live.filter(
+            pc.equal(live["url"], url))["text"][0].as_py()
+        assert main(["vec-search", lake_root, text, "--text", "--topk", "3",
+                     "--probe", "2"]) == 0
+        sem = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sem["hits"][0]["key"] == url
+        assert sem["hits"][0]["cosine"] == 1.0
 
     def test_fsck_audits_vec_index(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main
