@@ -360,11 +360,22 @@ def cmd_seed(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    """Metadata-only lake diagnostics (no Ray session needed)."""
+    """Metadata-only lake diagnostics (no Ray session needed); follower
+    keyspaces (fpindex/nearidx/textidx/vecidx) report theirs alongside."""
+    from .cdc.ingest import dup_index_root, near_index_root
     from .cdc.lake import Lake
+    from .cdc.textindex import text_index_root
+    from .cdc.vecindex import vec_index_root
 
     lake = Lake(args.lake, args.partitions)
-    print(json.dumps(lake.stats()))
+    report = lake.stats()
+    for name, root in (("fpindex", dup_index_root(args.lake)),
+                       ("nearidx", near_index_root(args.lake)),
+                       ("textidx", text_index_root(args.lake)),
+                       ("vecidx", vec_index_root(args.lake))):
+        if lake.fs.exists(root):
+            report[name] = Lake(root).stats()
+    print(json.dumps(report))
     return 0
 
 
