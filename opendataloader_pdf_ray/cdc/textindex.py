@@ -220,3 +220,31 @@ class TextIndex(FollowerIndex):
             return _rd.from_arrow(out_schema.empty_table())
         return _rd.from_items([{"part": p} for p in parts]).map_batches(
             read_part, batch_format="pyarrow", batch_size=1)
+
+    def search_local(self, tokens: List[str],
+                     as_of: Optional[int] = None) -> pa.Table:
+        """In-process point lookup (no Ray session): same probe-partition
+        pruning as :meth:`search`, folded on the calling thread — the
+        serving path for protocol servers / tooling that must not own a
+        cluster. Returns (token, key) sorted; common-token posting lists DO
+        land in this process, so batch analytics should use ``search``."""
+        probes = sorted(set(tokens))
+        probe_set = pa.array(probes, pa.string())
+        parts = sorted({int(p) for p in
+                        tok_partition(probes, self.num_partitions)})
+        out: List[pa.Table] = []
+        for part in parts:
+            t = self.read_partition(part, as_of=as_of)
+            if t is None or t.num_rows == 0:
+                continue
+            hit = t.filter(pc.and_(
+                pc.is_in(t["tok"], value_set=probe_set),
+                pc.greater(t["sign"], 0)))
+            if hit.num_rows:
+                out.append(pa.table({"token": hit["tok"],
+                                     "key": hit["key"]}))
+        empty = pa.schema([("token", pa.string()), ("key", pa.string())])
+        if not out:
+            return empty.empty_table()
+        return pa.concat_tables(out).sort_by(
+            [("token", "ascending"), ("key", "ascending")])

@@ -111,6 +111,67 @@ def probe_buckets(qbucket: int, nbits: int, hamming: int) -> np.ndarray:
     return all_b[pop <= hamming]
 
 
+_EMPTY_HITS = pa.schema([("q_id", pa.int64()), ("key", pa.string()),
+                         ("cosine", pa.float64())])
+
+
+def _partition_topk(lake: Lake, part: int, union: np.ndarray,
+                    probe_sets: List[np.ndarray], qn: np.ndarray, k: int,
+                    dim: int, as_of: Optional[int]) -> List[pa.Table]:
+    """One index partition's per-query local top-k under the total order
+    (round(cosine,6) DESC, key ASC) — shared by the Ray task path
+    (``search``) and the in-process path (``search_local``)."""
+    from .follower import read_identity_partition
+    from ..pipelines.common import round_half_away
+
+    t = read_identity_partition(lake, part, _IDENTITY, as_of=as_of)
+    if t is None or t.num_rows == 0:
+        return []
+    t = t.filter(pc.and_(
+        pc.greater(t["sign"], 0),
+        pc.is_in(t["bucket"], value_set=pa.array(union))))
+    if t.num_rows == 0:
+        return []
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    keys = np.asarray(t["key"].to_pylist())
+    mat = unpack_matrix(t["vec"].to_pylist(), dim)
+    mat = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rows: List[pa.Table] = []
+    for qi, pset in enumerate(probe_sets):
+        m = np.isin(b, pset)
+        if not m.any():
+            continue
+        sims = round_half_away(mat[m] @ qn[qi], 6) + 0.0
+        kk = keys[m]
+        order = np.lexsort((kk, -sims))[:k]
+        rows.append(pa.table({
+            "q_id": pa.array(np.full(len(order), qi, np.int64)),
+            "key": pa.array(kk[order]),
+            "cosine": pa.array(sims[order]),
+        }))
+    return rows
+
+
+def _merge_topk(local: List[dict], k: int) -> pa.Table:
+    """Driver merge of per-partition local top-k rows (≤ parts × Q × k)."""
+    if not local:
+        return _EMPTY_HITS.empty_table()
+    qi = np.array([r["q_id"] for r in local], np.int64)
+    keys = np.asarray([r["key"] for r in local])
+    sims = np.array([r["cosine"] for r in local], np.float64)
+    out_q, out_k, out_s = [], [], []
+    for g in np.unique(qi):
+        m = qi == g
+        order = np.lexsort((keys[m], -sims[m]))[:k]
+        out_q += [int(g)] * len(order)
+        out_k += list(keys[m][order])
+        out_s += list(sims[m][order])
+    return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                     "key": pa.array(out_k, pa.string()),
+                     "cosine": pa.array(out_s, pa.float64())})
+
+
 class _EmitVecDeltas:
     """map_batches(..., batch_size=1) over LAKE partition ids: fold epochs
     ``(since, up_to]`` with the change feed's pre-image discipline and emit
@@ -267,6 +328,22 @@ class VectorIndex(FollowerIndex):
                               self.dim, self.seed, self.num_partitions)
 
     # ------------------------------------------------------------- search
+    def _probe_plan(self, queries: np.ndarray, probe_hamming: int):
+        """(qn, probe_sets, union, parts): normalized queries, per-query
+        probe bucket sets, their union, and the partitions owning them."""
+        if self.dim is None:
+            raise ValueError("vecindex: index has no geometry yet — "
+                             "refresh() it against a lake first")
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+        planes = hyperplanes(self.nbits, self.dim, self.seed)
+        qb = bucket_of(q, planes)
+        probe_sets = [probe_buckets(int(b), self.nbits, probe_hamming)
+                      for b in qb]
+        union = np.unique(np.concatenate(probe_sets))
+        parts = sorted({int(b) % self.num_partitions for b in union})
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        return qn, probe_sets, union, parts
+
     def search(self, queries: np.ndarray, k: int = 10,
                probe_hamming: int = 1,
                as_of: Optional[int] = None) -> pa.Table:
@@ -278,84 +355,44 @@ class VectorIndex(FollowerIndex):
         lets the driver oracle hash-match. Only partitions owning a probed
         bucket are read; each task returns its local top-k under the same
         total order, so the driver merges ≤ parts × Q × k rows."""
-        from ..pipelines.common import round_half_away
-
-        if self.dim is None:
-            raise ValueError("vecindex: index has no geometry yet — "
-                             "refresh() it against a lake first")
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
-        planes = hyperplanes(self.nbits, self.dim, self.seed)
-        qb = bucket_of(q, planes)
-        probe_sets = [probe_buckets(int(b), self.nbits, probe_hamming)
-                      for b in qb]
-        union = np.unique(np.concatenate(probe_sets))
-        parts = sorted({int(b) % self.num_partitions for b in union})
+        qn, probe_sets, union, parts = self._probe_plan(queries,
+                                                        probe_hamming)
         if not parts:
-            return pa.table({"q_id": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.string()),
-                             "cosine": pa.array([], pa.float64())})
+            return _EMPTY_HITS.empty_table()
 
         import ray.data as _rd
 
-        root, n, identity = self.lake.root, self.num_partitions, _IDENTITY
-        dim = self.dim
-        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        root, n, dim = self.lake.root, self.num_partitions, self.dim
 
         def local_topk(batch: pa.Table) -> pa.Table:
-            from .follower import read_identity_partition
             lake = Lake(root, n)
             rows = []
             for part in batch["part"].to_pylist():
-                t = read_identity_partition(lake, int(part), identity,
-                                            as_of=as_of)
-                if t is None or t.num_rows == 0:
-                    continue
-                t = t.filter(pc.and_(
-                    pc.greater(t["sign"], 0),
-                    pc.is_in(t["bucket"], value_set=pa.array(union))))
-                if t.num_rows == 0:
-                    continue
-                b = t["bucket"].to_numpy(zero_copy_only=False)
-                keys = np.asarray(t["key"].to_pylist())
-                mat = unpack_matrix(t["vec"].to_pylist(), dim)
-                mat = mat / np.maximum(
-                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                for qi, pset in enumerate(probe_sets):
-                    m = np.isin(b, pset)
-                    if not m.any():
-                        continue
-                    sims = round_half_away(mat[m] @ qn[qi], 6) + 0.0
-                    kk, ss = keys[m], sims
-                    order = np.lexsort((kk, -ss))[:k]
-                    rows.append(pa.table({
-                        "q_id": pa.array(np.full(len(order), qi, np.int64)),
-                        "key": pa.array(kk[order]),
-                        "cosine": pa.array(ss[order]),
-                    }))
+                rows.extend(_partition_topk(lake, int(part), union,
+                                            probe_sets, qn, k, dim, as_of))
             if not rows:
-                return pa.table({"q_id": pa.array([], pa.int64()),
-                                 "key": pa.array([], pa.string()),
-                                 "cosine": pa.array([], pa.float64())})
+                return _EMPTY_HITS.empty_table()
             return pa.concat_tables(rows)
 
         local = (_rd.from_items([{"part": p} for p in parts])
                  .map_batches(local_topk, batch_format="pyarrow",
                               batch_size=1)
                  .take_all())  # ≤ parts × Q × k tiny rows
-        if not local:
-            return pa.table({"q_id": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.string()),
-                             "cosine": pa.array([], pa.float64())})
-        qi = np.array([r["q_id"] for r in local], np.int64)
-        keys = np.asarray([r["key"] for r in local])
-        sims = np.array([r["cosine"] for r in local], np.float64)
-        out_q, out_k, out_s = [], [], []
-        for g in np.unique(qi):
-            m = qi == g
-            order = np.lexsort((keys[m], -sims[m]))[:k]
-            out_q += [int(g)] * len(order)
-            out_k += list(keys[m][order])
-            out_s += list(sims[m][order])
-        return pa.table({"q_id": pa.array(out_q, pa.int64()),
-                         "key": pa.array(out_k, pa.string()),
-                         "cosine": pa.array(out_s, pa.float64())})
+        return _merge_topk(local, k)
+
+    def search_local(self, queries: np.ndarray, k: int = 10,
+                     probe_hamming: int = 1,
+                     as_of: Optional[int] = None) -> pa.Table:
+        """In-process point lookup (no Ray session): identical plan,
+        scoring and total order as :meth:`search`, folded on the calling
+        thread — the serving path for protocol servers / tooling that must
+        not own a cluster. Probed partitions DO land in this process, so
+        batch analytics should use ``search``."""
+        qn, probe_sets, union, parts = self._probe_plan(queries,
+                                                        probe_hamming)
+        rows: List[pa.Table] = []
+        for part in parts:
+            rows.extend(_partition_topk(self.lake, part, union, probe_sets,
+                                        qn, k, self.dim, as_of))
+        return _merge_topk(pa.concat_tables(rows).to_pylist() if rows
+                           else [], k)

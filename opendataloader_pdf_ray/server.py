@@ -4,11 +4,14 @@
 
 A dependency-free subset of the Model Context Protocol: JSON-RPC 2.0 over
 stdio (one JSON object per line), handling ``initialize``, ``tools/list`` and
-``tools/call``. The one tool, ``convert_html``, maps the reference tool's
-option surface onto :class:`ExtractorConfig` and runs the in-process
-:func:`opendataloader_pdf_ray.api.convert` — no Ray session is started (a
-protocol server must not own the cluster; distributed work goes through
-``process_dataset`` / the CLI ``ingest`` path instead).
+``tools/call``. ``convert_html`` maps the reference tool's option surface
+onto :class:`ExtractorConfig` and runs the in-process
+:func:`opendataloader_pdf_ray.api.convert`; ``search_lake`` /
+``semantic_search_lake`` serve point lookups over a lake's inverted-text /
+ANN-vector follower indexes via their in-process ``search_local`` paths.
+No Ray session is ever started (a protocol server must not own the
+cluster; distributed work goes through ``process_dataset`` / the CLI
+``ingest`` path instead — index reads are partition-pruned parquet).
 
 Run: ``python -m opendataloader_pdf_ray.server`` and speak JSON-RPC on stdin.
 """
@@ -100,6 +103,90 @@ def _call_convert_html(a: Dict[str, Any]) -> str:
     return json.dumps(result, ensure_ascii=False) if fmt == "json" else str(result)
 
 
+_SEARCH_TOOL = {
+    "name": "search_lake",
+    "description": "Full-text point lookup over a CDC lake's inverted "
+                   "index (<lake>/textidx): urls whose LIVE extracted text "
+                   "contains each probe token. In-process partition-pruned "
+                   "reads; no cluster is started.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake", "tokens"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "tokens": {"type": "array", "items": {"type": "string"}},
+            "as_of": {"type": "integer",
+                      "description": "Time-travel: search as of this epoch."},
+            "limit": {"type": "integer", "default": 20,
+                      "description": "Max urls returned per token."},
+        },
+    },
+}
+
+_SEMANTIC_TOOL = {
+    "name": "semantic_search_lake",
+    "description": "Semantic top-k over a CDC lake's ANN vector index "
+                   "(<lake>/vecidx): the free-text query embeds with the "
+                   "lake's hashed-token featurizer, multi-probes the "
+                   "bucketed index and returns (url, cosine) hits. "
+                   "In-process partition-pruned reads; no cluster.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake", "query"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "query": {"type": "string", "description": "Free-text query."},
+            "topk": {"type": "integer", "default": 10},
+            "probe_hamming": {"type": "integer", "default": 2},
+            "as_of": {"type": "integer"},
+        },
+    },
+}
+
+
+def _call_search_lake(a: Dict[str, Any]) -> str:
+    from .cdc.textindex import TextIndex, text_index_root
+
+    idx = TextIndex(text_index_root(a["lake"]))
+    hits = idx.search_local([str(t) for t in a["tokens"]],
+                            as_of=a.get("as_of"))
+    limit = int(a.get("limit", 20))
+    by_tok: Dict[str, list] = {}
+    for tok, key in zip(hits["token"].to_pylist(), hits["key"].to_pylist()):
+        by_tok.setdefault(tok, []).append(key)
+    return json.dumps([
+        {"token": t, "n_urls": len(by_tok.get(t, [])),
+         "urls": by_tok.get(t, [])[:limit]}
+        for t in sorted(set(str(t) for t in a["tokens"]))])
+
+
+def _call_semantic_search_lake(a: Dict[str, Any]) -> str:
+    import numpy as np
+    import pyarrow as pa
+
+    from .cdc.vecindex import VectorIndex, vec_index_root
+    from .functions.text_stats import embed_text
+
+    idx = VectorIndex(vec_index_root(a["lake"]))
+    one = pa.table({"text": pa.array([str(a["query"])], pa.string())})
+    blob = embed_text(one, dim=idx.dim)["vec"][0].as_py()
+    q = np.frombuffer(blob, dtype="<f4").astype(np.float64)
+    hits = idx.search_local(q, k=int(a.get("topk", 10)),
+                            probe_hamming=int(a.get("probe_hamming", 2)),
+                            as_of=a.get("as_of"))
+    return json.dumps([
+        {"url": k, "cosine": c}
+        for k, c in zip(hits["key"].to_pylist(),
+                        hits["cosine"].to_pylist())])
+
+
+_TOOLS = {
+    "convert_html": (_TOOL_SCHEMA, _call_convert_html),
+    "search_lake": (_SEARCH_TOOL, _call_search_lake),
+    "semantic_search_lake": (_SEMANTIC_TOOL, _call_semantic_search_lake),
+}
+
+
 def handle_request(req: Dict[str, Any]) -> Optional[Dict[str, Any]]:
     """One JSON-RPC request → response dict (None for notifications)."""
     method = req.get("method", "")
@@ -119,13 +206,14 @@ def handle_request(req: Dict[str, Any]) -> Optional[Dict[str, Any]]:
                    "capabilities": {"tools": {}},
                    "serverInfo": SERVER_INFO})
     if method == "tools/list":
-        return ok({"tools": [_TOOL_SCHEMA]})
+        return ok({"tools": [schema for schema, _ in _TOOLS.values()]})
     if method == "tools/call":
         params = req.get("params") or {}
-        if params.get("name") != "convert_html":
+        tool = _TOOLS.get(params.get("name"))
+        if tool is None:
             return err(-32602, f"unknown tool {params.get('name')!r}")
         try:
-            text = _call_convert_html(params.get("arguments") or {})
+            text = tool[1](params.get("arguments") or {})
             return ok({"content": [{"type": "text", "text": text}],
                        "isError": False})
         except Exception as e:  # tool errors are results, not protocol errors

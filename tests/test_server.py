@@ -20,7 +20,8 @@ class TestProtocol:
         init = _call("initialize")
         assert init["result"]["serverInfo"]["name"] == "opendataloader-pdf-ray"
         tools = _call("tools/list")["result"]["tools"]
-        assert [t["name"] for t in tools] == ["convert_html"]
+        assert [t["name"] for t in tools] == [
+            "convert_html", "search_lake", "semantic_search_lake"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -67,6 +68,70 @@ class TestConvertTool:
             "detect_strikethrough": True}})
         assert "~~" not in plain["result"]["content"][0]["text"]
         assert "~~" in deco["result"]["content"][0]["text"]
+
+
+class TestLakeSearchTools:
+    """The two index-serving tools: in-process (no Ray inside the server
+    handler), partition-pruned reads over follower keyspaces built by the
+    normal Ray-side maintenance."""
+
+    @staticmethod
+    def _seeded_lake(tmp_path, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import (Lake, Lineage, TextIndex,
+                                                VectorIndex, backfill,
+                                                text_index_root,
+                                                vec_index_root)
+        from opendataloader_pdf_ray.functions.text_stats import embed_text
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, 2)
+        t = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "delta beta"],
+                             pa.string()),
+            "deleted": pa.array([False, False], pa.bool_()),
+        })
+        for part in (0, 1):
+            lake.commit_delta(part, 0, t.slice(part, 1), Lineage(
+                part=part, epoch=0, events_consumed=1, rows_upserted=1,
+                rows_deleted=0, seq_min=part + 1, seq_max=part + 1))
+        backfill(lake, embed_text, name="embed")
+        TextIndex(text_index_root(root), num_partitions=4).refresh(lake)
+        VectorIndex(vec_index_root(root), num_partitions=4,
+                    dim=32).refresh(lake)
+        return root
+
+    def test_search_lake_tool(self, tmp_path, ray_session):
+        root = self._seeded_lake(tmp_path, ray_session)
+        resp = _call("tools/call", {"name": "search_lake", "arguments": {
+            "lake": root, "tokens": ["beta", "alpha", "nosuch"]}})
+        assert resp["result"]["isError"] is False
+        rows = {r["token"]: r["urls"] for r in
+                json.loads(resp["result"]["content"][0]["text"])}
+        assert rows == {"alpha": ["a"], "beta": ["a", "b"], "nosuch": []}
+
+    def test_semantic_search_lake_tool(self, tmp_path, ray_session):
+        root = self._seeded_lake(tmp_path, ray_session)
+        resp = _call("tools/call", {"name": "semantic_search_lake",
+                                    "arguments": {"lake": root,
+                                                  "query": "alpha beta gamma",
+                                                  "topk": 2,
+                                                  "probe_hamming": 5}})
+        hits = json.loads(resp["result"]["content"][0]["text"])
+        assert hits[0] == {"url": "a", "cosine": 1.0}
+
+    def test_lake_tool_error_is_result(self, tmp_path):
+        # a lake path with no index is a TOOL error (isError result),
+        # never a protocol-level error response
+        resp = _call("tools/call", {"name": "search_lake", "arguments": {
+            "lake": str(tmp_path / "nope"), "tokens": ["x"]}})
+        assert "error" not in resp
+        assert resp["result"]["isError"] is True
 
 
 class TestStdioLoop:

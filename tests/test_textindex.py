@@ -169,6 +169,21 @@ class TestSearch:
         idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
         assert idx.search(["anything"]).take_all() == []
 
+    def test_search_local_equals_ray_search(self, tmp_path, ray_session):
+        """The in-process serving path returns the same posting set as the
+        Ray Dataset path (which has no canonical row order)."""
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        for toks, as_of in ([["fox", "blue", "nosuch"]], None), \
+                           ([["fox", "blue"]], 0):
+            ray_hits = sorted((r["token"], r["key"]) for r in
+                              idx.search(toks[0], as_of=as_of).take_all())
+            loc = idx.search_local(toks[0], as_of=as_of)
+            loc_hits = list(zip(loc["token"].to_pylist(),
+                                loc["key"].to_pylist()))
+            assert ray_hits == loc_hits
+
 
 class TestCompactVerify:
     def test_compact_prunes_dead_and_preserves_reads(self, tmp_path,

@@ -186,6 +186,19 @@ class TestSearch:
         assert out["q_id"].to_pylist() == [0, 1]
         assert out["key"].to_pylist() == ["a", "b"]  # each query's self
 
+    def test_search_local_equals_ray_search(self, tmp_path, ray_session):
+        """The in-process serving path returns byte-identical results to
+        the Ray task path at every probe radius and as-of."""
+        lake = seed_lake(tmp_path / "lake")
+        idx = new_index(tmp_path / "vi")
+        idx.refresh(lake)
+        qs = np.stack([_vec(0), _vec(2), -_vec(1)])
+        for h in (0, 1, 4):
+            for as_of in (None, 0, 1):
+                a = idx.search(qs, k=3, probe_hamming=h, as_of=as_of)
+                b = idx.search_local(qs, k=3, probe_hamming=h, as_of=as_of)
+                assert a.equals(b), (h, as_of)
+
     def test_search_empty_and_pruned(self, tmp_path, ray_session):
         lake = seed_lake(tmp_path / "lake")
         idx = new_index(tmp_path / "vi")
