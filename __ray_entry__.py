@@ -76,6 +76,12 @@ _GATE_TAIL = [
     "doc_source_quota_sample",  # per-key hash-rank caps — doc_top_per_source
                                 # gates per-key ranked top-k and
                                 # doc_weighted_sample gates hash-key sampling
+    "doc_word_jaccard_adjacent",  # adjacent-pair join — the same sorted-
+                                  # bucket pair machinery backs
+                                  # doc_adjacent_levenshtein, and pair
+                                  # enrichment is gated by
+                                  # semantic_dup_cross_source (r3: slot
+                                  # freed for doc_pagerank)
 ]
 
 
@@ -129,6 +135,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(WARC_QUERIES)
     except ImportError:
         pass
+    try:
+        from opendataloader_pdf_ray.pipelines.linkgraph import LINKGRAPH_QUERIES
+
+        out.update(LINKGRAPH_QUERIES)
+    except ImportError:
+        pass
     return _gate_order(out)
 
 
@@ -169,6 +181,12 @@ def oracle_sql() -> dict[str, str]:
         from opendataloader_pdf_ray.pipelines.warc_queries import WARC_ORACLE_SQL
 
         out.update(WARC_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.linkgraph import LINKGRAPH_ORACLE_SQL
+
+        out.update(LINKGRAPH_ORACLE_SQL)
     except ImportError:
         pass
     return out

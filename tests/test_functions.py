@@ -522,3 +522,63 @@ class TestBloom:
         labels = ray.data.from_pandas(
             pd.DataFrame({"node": [], "cluster_id": []}))
         assert graph.cluster_sizes(labels).take_all() == []
+
+
+class TestPageRank:
+    """functions.graph.pagerank vs an in-test sequential integer reference."""
+
+    SCALE, DN, DD = 10 ** 12, 85, 100
+
+    def _reference(self, n, edges, iters=5):
+        from collections import Counter, defaultdict
+        od = Counter(s for s, _ in edges)
+        base = (self.SCALE * (self.DD - self.DN) // self.DD) // n
+        r = {v: self.SCALE // n for v in range(n)}
+        for _ in range(iters):
+            inflow = defaultdict(int)
+            for s, d in edges:
+                inflow[d] += r[s] // od[s]
+            dang = sum(r[v] for v in range(n) if od.get(v, 0) == 0)
+            dsh = dang // n
+            r = {v: base + (self.DN * (inflow[v] + dsh)) // self.DD
+                 for v in range(n)}
+        return r
+
+    def _run(self, n, edges, buckets=8, iters=5):
+        import pandas as pd
+
+        from opendataloader_pdf_ray.functions import graph
+        nodes = ray.data.from_pandas(pd.DataFrame({"node": range(n)}))
+        eds = ray.data.from_pandas(pd.DataFrame(
+            {"src": [s for s, _ in edges], "dst": [d for _, d in edges]}))
+        return graph.pagerank(nodes, eds, iters=iters,
+                              num_buckets=buckets).to_pandas()
+
+    def test_matches_sequential_reference(self, ray_session):
+        edges = [(0, 1), (1, 2), (2, 0), (3, 2), (3, 1), (3, 1)]  # 4=dangling
+        out = self._run(5, edges)
+        want = self._reference(5, edges)
+        assert dict(zip(out["node"], out["rank_e12"])) == want
+        degs = dict(zip(out["node"], zip(out["in_deg"], out["out_deg"])))
+        assert degs[1] == (3, 1)   # multi-edge counted per occurrence
+        assert degs[4] == (0, 0)   # isolated node present with default rank
+        assert degs[3] == (0, 3)
+
+    def test_bucket_count_invariance(self, ray_session):
+        edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + \
+                [(i, (i * 13 + 1) % 20) for i in range(0, 20, 2)]
+        edges = [(s, d) for s, d in edges if s != d]
+        a = self._run(20, edges, buckets=2).sort_values("node")
+        b = self._run(20, edges, buckets=16).sort_values("node")
+        assert a["rank_e12"].tolist() == b["rank_e12"].tolist()
+        assert a["in_deg"].tolist() == b["in_deg"].tolist()
+        assert a["out_deg"].tolist() == b["out_deg"].tolist()
+
+    def test_rank_mass_conserved_approximately(self, ray_session):
+        # integer floors only ever LOSE mass: total ≤ SCALE, and by at most
+        # (n nodes + 1 dangling share + den) floor losses per round
+        edges = [(0, 1), (1, 0), (2, 1)]
+        out = self._run(4, edges)
+        total = int(out["rank_e12"].sum())
+        assert total <= self.SCALE
+        assert total >= self.SCALE - 5 * (4 + 2) * self.DD
