@@ -82,6 +82,11 @@ _GATE_TAIL = [
                                   # enrichment is gated by
                                   # semantic_dup_cross_source (r3: slot
                                   # freed for doc_pagerank)
+    "knn_ivf",                 # IVF ANN — full-probe==bruteforce is ALSO
+                               # pytest-pinned; knn_lsh gates approximate
+                               # ANN and cdc_vector_index_search gates the
+                               # incremental ANN keyspace (r3: slot freed
+                               # for doc_pack_sequences)
 ]
 
 
@@ -141,6 +146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(LINKGRAPH_QUERIES)
     except ImportError:
         pass
+    try:
+        from opendataloader_pdf_ray.pipelines.packing import PACK_QUERIES
+
+        out.update(PACK_QUERIES)
+    except ImportError:
+        pass
     return _gate_order(out)
 
 
@@ -187,6 +198,12 @@ def oracle_sql() -> dict[str, str]:
         from opendataloader_pdf_ray.pipelines.linkgraph import LINKGRAPH_ORACLE_SQL
 
         out.update(LINKGRAPH_ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from opendataloader_pdf_ray.pipelines.packing import PACK_ORACLE_SQL
+
+        out.update(PACK_ORACLE_SQL)
     except ImportError:
         pass
     return out

@@ -582,3 +582,39 @@ class TestPageRank:
         total = int(out["rank_e12"].sum())
         assert total <= self.SCALE
         assert total >= self.SCALE - 5 * (4 + 2) * self.DD
+
+
+class TestPrefixRanges:
+    """pipelines.packing.prefix_ranges: distributed per-key prefix sums."""
+
+    def _ranges(self, rows, rb_buckets=4):
+        import pandas as pd
+
+        from opendataloader_pdf_ray.pipelines.packing import prefix_ranges
+        n = max(r[1] for r in rows) + 1
+        df = pd.DataFrame(rows, columns=["source", "doc_id", "n_tokens"])
+        df["rb"] = df["doc_id"] * rb_buckets // n
+        tokds = ray.data.from_pandas(df).materialize()
+        ranged, totals = prefix_ranges(tokds, key="source", order="doc_id",
+                                       value="n_tokens",
+                                       num_buckets=rb_buckets, n_rows_hint=n)
+        out = ranged.to_pandas().sort_values("doc_id")
+        return out, totals
+
+    def test_matches_sequential_cumsum(self, ray_session):
+        rows = [("a", 0, 5), ("a", 2, 3), ("b", 1, 7), ("a", 5, 2),
+                ("b", 4, 1), ("a", 7, 0), ("a", 9, 4)]
+        out, totals = self._ranges(rows)
+        got = {(r.source, r.doc_id): (r.start, r.end)
+               for r in out.itertuples()}
+        assert got == {("a", 0): (0, 5), ("a", 2): (5, 8), ("a", 5): (8, 10),
+                       ("a", 7): (10, 10), ("a", 9): (10, 14),
+                       ("b", 1): (0, 7), ("b", 4): (7, 8)}
+        assert totals == {"a": 14, "b": 8}
+
+    def test_bucket_count_invariance(self, ray_session):
+        rows = [("s", i, (i * 3) % 5) for i in range(30)]
+        a, _ = self._ranges(rows, rb_buckets=2)
+        b, _ = self._ranges(rows, rb_buckets=16)
+        assert a["start"].tolist() == b["start"].tolist()
+        assert a["end"].tolist() == b["end"].tolist()
