@@ -87,6 +87,12 @@ _GATE_TAIL = [
                                # ANN and cdc_vector_index_search gates the
                                # incremental ANN keyspace (r3: slot freed
                                # for doc_pack_sequences)
+    "q1_pricing_summary",      # scaled-decimal groupby agg — the exact
+                               # integer-sum machinery is gated by
+                               # events_sliding_window/cdc_incremental_view
+                               # and TPC-H stays gated via q5 + bloom
+                               # anti-join (r3: slot freed for
+                               # cdc_retention_expiry)
 ]
 
 

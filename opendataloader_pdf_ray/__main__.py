@@ -705,6 +705,37 @@ def cmd_backfill(args) -> int:
     return 0
 
 
+def cmd_retention(args) -> int:
+    """Expire live rows older than a cutoff as one exactly-once tombstone
+    epoch (cdc/retention.py): resumable per partition, time travel across
+    the expiry preserved, physical reclaim at the next compact/vacuum."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.retention import apply_retention
+
+    lake = Lake(args.lake, args.partitions)
+    lineage = apply_retention(lake, args.cutoff_ts_us, ts_col=args.ts_col)
+    print(json.dumps({
+        "cutoff_ts_us": args.cutoff_ts_us,
+        "epoch": lineage[0]["epoch"] if lineage else None,
+        "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
+        "partitions_skipped": sum(1 for l in lineage if l["skipped"]),
+        "rows_expired": sum(l["rows_deleted"] for l in lineage
+                            if not l["skipped"]),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -1070,6 +1101,20 @@ def main(argv=None) -> int:
     bf.add_argument("--transform", default="token-stats",
                     choices=("token-stats", "quality-score", "embed"))
     bf.set_defaults(fn=cmd_backfill)
+
+    rt = sub.add_parser("retention",
+                        help="expire live rows older than a warc_ts cutoff "
+                             "as one exactly-once tombstone epoch "
+                             "(resumable; time travel preserved; reclaim "
+                             "at next compact)")
+    rt.add_argument("lake")
+    rt.add_argument("cutoff_ts_us", type=int,
+                    help="rows with ts_col < this (int64 microseconds) "
+                         "are tombstoned")
+    rt.add_argument("--ts-col", default="warc_ts")
+    rt.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    rt.set_defaults(fn=cmd_retention)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

@@ -22,8 +22,10 @@ the feed streams out through the Dataset.
 
 Epoch winner sets come from:
 - the epoch's DELTA file (delta-mode commits) — exact winner set, or
-- for SNAPSHOT-kind commits (CoW epochs, backfills), the diff of the
-  snapshot against the running state — rows whose (warc_ts, seq) changed.
+- for SNAPSHOT-kind commits (CoW epochs, backfills, retention), the diff of
+  the snapshot against the running state — rows whose (warc_ts, seq,
+  deleted) changed (``deleted`` included so retention's tombstone flips
+  surface as deletes even though they mint no new version key).
 
 Raises when a needed file was vacuumed: a feed over reclaimed history would
 be silently incomplete, and explicit failure ("re-seed the consumer from a
@@ -169,9 +171,13 @@ def epoch_winners(lake: Lake, part: int, epoch: int,
 
 
 def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
-    """Change rows implied by a SNAPSHOT commit: rows whose (warc_ts, seq)
-    differ from the pre-image. CoW snapshots carry the whole partition, so
-    unchanged carried-over rows must not re-enter the feed."""
+    """Change rows implied by a SNAPSHOT commit: rows whose (warc_ts, seq,
+    deleted) differ from the pre-image. CoW snapshots carry the whole
+    partition, so unchanged carried-over rows must not re-enter the feed.
+    ``deleted`` is part of the event coordinates: a retention epoch flips
+    tombstones WITHOUT minting a new (warc_ts, seq) version, and those
+    expiries must surface as deletes (a delta-mode delete likewise carries
+    its pre-image coordinates with deleted=True)."""
     if state is None or state.num_rows == 0:
         return snap
     import pandas as pd
@@ -180,6 +186,8 @@ def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
         "warc_ts": state["warc_ts"].cast(pa.int64()).to_numpy(
             zero_copy_only=False),
         "seq": state["seq"].to_numpy(zero_copy_only=False),
+        "deleted": pc.fill_null(state["deleted"], False).to_numpy(
+            zero_copy_only=False),
     }, index=state["url"].to_numpy(zero_copy_only=False))
     urls = snap["url"].to_numpy(zero_copy_only=False)
     hit = prev.reindex(urls)  # NaN where the url is new
@@ -187,7 +195,10 @@ def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
         (hit["warc_ts"].to_numpy()
          == snap["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
         & (hit["seq"].to_numpy()
-           == snap["seq"].to_numpy(zero_copy_only=False)))
+           == snap["seq"].to_numpy(zero_copy_only=False))
+        & (hit["deleted"].to_numpy()
+           == pc.fill_null(snap["deleted"], False).to_numpy(
+               zero_copy_only=False)))
     return snap.filter(pa.array(changed))
 
 

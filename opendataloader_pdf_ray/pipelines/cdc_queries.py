@@ -1916,6 +1916,128 @@ ORDER BY url
 """
 
 
+def cdc_retention_expiry(sf_dir: str):
+    """Retention/TTL end-to-end through the REAL lake machinery
+    (cdc/retention.py): seed a lake from ``documents`` (epoch 0, warc_ts =
+    BASE + doc_id), apply a CDC refresh epoch 1 (every doc_id%3==0 url
+    re-upserted at warc_ts = BASE + max_id + 1 + doc_id — so retention must
+    see the LWW-merged timestamps, not the seed's), then expire everything
+    older than cutoff = BASE + (max_id + 1) // 2 as exactly-once epoch 2.
+    In-query invariants: replaying the committed retention epoch is an
+    all-skipped no-op, and time travel ``as_of=1`` still sees every row.
+    Returns the post-retention live (url, warc_ts) — survivors are the
+    refreshed urls plus the younger half of the originals; the SQL oracle
+    recomputes the LWW state and the cutoff filter algebraically."""
+    import shutil
+
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.merge import merge_base_with_updates
+    from ..cdc.retention import apply_retention
+    from ..cdc.ingest import url_partition
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_retention_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    lake = Lake(root, num_partitions)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    import pyarrow.parquet as _pq
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    max_id = max(meta.row_group(rg).column(col).statistics.max
+                 for rg in range(meta.num_row_groups))
+
+    def to_rows(epoch: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if epoch == 1:
+                ids = ids[ids % 3 == 0]
+            urls = [f"u{i:06d}" for i in ids]
+            ts = BASE_TS_US + ids if epoch == 0 \
+                else BASE_TS_US + max_id + 1 + ids
+            t = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()),
+                "seq": pa.array(ids + epoch * (max_id + 1), pa.int64()),
+                "deleted": pa.array(np.zeros(len(ids), bool)),
+            })
+            parts = url_partition(urls, num_partitions)
+            return t.append_column("part", pa.array(parts, pa.int32()))
+        return fn
+
+    class CommitPartition:
+        """Distributed epoch commit: LWW-merge onto the pre-state."""
+
+        __name__ = "CommitPartition"
+
+        def __init__(self, epoch: int):
+            self.epoch = epoch
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, num_partitions)
+            part = int(group["part"][0].as_py())
+            ups = group.drop_columns(["part"])
+            base = None if self.epoch == 0 \
+                else lk.read_partition(part, as_of=self.epoch - 1)
+            state = merge_base_with_updates(base, ups)
+            seqs = ups["seq"].to_pylist()
+            lk.commit_partition(part, self.epoch, state, Lineage(
+                part=part, epoch=self.epoch, events_consumed=ups.num_rows,
+                rows_upserted=ups.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    for epoch in (0, 1):
+        (ray.data.read_parquet(docs_path, columns=["doc_id"])
+         .map_batches(to_rows(epoch), batch_format="pyarrow")
+         .groupby("part")
+         .map_groups(CommitPartition(epoch), batch_format="pyarrow")
+         ).take_all()  # ≤ P tiny rows — drives the commits
+
+    cutoff = BASE_TS_US + (max_id + 1) // 2
+    lineage = apply_retention(lake, cutoff)
+    if not lineage or any(l["skipped"] for l in lineage):
+        raise AssertionError("retention epoch did not commit cleanly")
+    # exactly-once: replaying the committed epoch must no-op
+    replay = apply_retention(lake, cutoff, epoch=lineage[0]["epoch"])
+    if not all(l["skipped"] for l in replay):
+        raise AssertionError("retention epoch replay was not idempotent")
+    # time travel: the pre-retention state still sees every row
+    n_before = lake.read_dataset(as_of=1).count()
+    n_docs = ray.data.read_parquet(docs_path, columns=["doc_id"]).count()
+    if n_before != n_docs:
+        raise AssertionError(
+            f"time travel broken: as_of=1 sees {n_before} of {n_docs}")
+    return (lake.read_dataset()
+            .select_columns(["url", "warc_ts"]).sort("url"))
+
+
+CDC_RETENTION_EXPIRY_SQL = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+v AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         {base} + doc_id AS warc_ts FROM documents
+  UNION ALL
+  SELECT printf('u%06d', doc_id),
+         {base} + (SELECT m FROM mx) + 1 + doc_id
+  FROM documents WHERE doc_id % 3 = 0),
+lww AS (SELECT url, max(warc_ts) AS warc_ts FROM v GROUP BY url)
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts FROM lww
+WHERE warc_ts >= {base} + ((SELECT m FROM mx) + 1) // 2
+ORDER BY url
+"""
+
+
+def _retention_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return CDC_RETENTION_EXPIRY_SQL.format(base=BASE_TS_US)
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_changefeed": cdc_changefeed,
@@ -1923,6 +2045,7 @@ CDC_QUERIES = {
     "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_near_dup_attribution": cdc_near_dup_attribution,
     "cdc_backfill_token_stats": cdc_backfill_token_stats,
+    "cdc_retention_expiry": cdc_retention_expiry,
     "cdc_asof_enrich": cdc_asof_enrich,
     "cdc_user_sessions": cdc_user_sessions,
     "cdc_latest_state": cdc_latest_state,
@@ -1951,6 +2074,7 @@ CDC_ORACLE_SQL = {
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
     "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
+    "cdc_retention_expiry": _retention_sql(),
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
