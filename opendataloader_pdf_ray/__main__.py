@@ -736,6 +736,37 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Distributed live-state equivalence check between two lakes
+    (cdc/lakediff.py): the verifier for rescale / export round trips /
+    replica drift. Prints per-status counts; exit 1 on any difference."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.lakediff import lake_diff
+
+    diff = lake_diff(Lake(args.lake_a), Lake(args.lake_b),
+                     columns=args.columns)
+    if args.out:
+        diff = diff.materialize()
+        diff.write_parquet(args.out)
+    counts = {"only_a": 0, "only_b": 0, "differ": 0}
+    for row in diff.groupby("status").count().take_all():
+        counts[row["status"]] = int(row["count()"])
+    total = sum(counts.values())
+    print(json.dumps({"equivalent": total == 0, **counts}))
+    if started_ray:
+        ray.shutdown()
+    return 0 if total == 0 else 1
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -1115,6 +1146,18 @@ def main(argv=None) -> int:
     rt.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     rt.set_defaults(fn=cmd_retention)
+
+    df = sub.add_parser("diff",
+                        help="distributed live-state equivalence check "
+                             "between two lakes (rescale/export verifier); "
+                             "exit 1 on any difference")
+    df.add_argument("lake_a")
+    df.add_argument("lake_b")
+    df.add_argument("--columns", nargs="*", default=["text"],
+                    help="value columns hashed into the comparison")
+    df.add_argument("--out", default=None,
+                    help="also write the difference rows as parquet")
+    df.set_defaults(fn=cmd_diff)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "
