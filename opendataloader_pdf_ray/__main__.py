@@ -736,6 +736,38 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack live lake text into fixed-token-budget training-sequence
+    manifests (cdc/pack.py): one shard per partition, atomic + tip-epoch
+    stamped — re-runs skip unchanged partitions, rewrite churned ones."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.pack import pack_lake
+
+    lake = Lake(args.lake, args.partitions)
+    summary = pack_lake(lake, args.out, budget=args.budget,
+                        text_col=args.text_col, as_of=args.as_of)
+    written = [s for s in summary if not s["skipped"]]
+    print(json.dumps({
+        "out": args.out, "budget": args.budget,
+        "partitions_written": len(written),
+        "partitions_skipped": len(summary) - len(written),
+        "sequences": int(sum(s["sequences"] for s in written)),
+        "tokens": int(sum(s["tokens"] for s in written)),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Distributed live-state equivalence check between two lakes
     (cdc/lakediff.py): the verifier for rescale / export round trips /
@@ -1158,6 +1190,21 @@ def main(argv=None) -> int:
     df.add_argument("--out", default=None,
                     help="also write the difference rows as parquet")
     df.set_defaults(fn=cmd_diff)
+
+    pk = sub.add_parser("pack",
+                        help="pack live lake text into fixed-token-budget "
+                             "training-sequence manifest shards (one per "
+                             "partition; resumable + incremental like "
+                             "export)")
+    pk.add_argument("lake")
+    pk.add_argument("out")
+    pk.add_argument("--budget", type=int, default=2048,
+                    help="tokens per sequence")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--as-of", type=int, default=None)
+    pk.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    pk.set_defaults(fn=cmd_pack)
 
     vw = sub.add_parser("view",
                         help="refresh + print an incrementally-maintained "

@@ -1,0 +1,155 @@
+"""Pack the lake into training shards: the LLM-serving sink.
+
+``pipelines/packing.py`` proves the packing math over the driver testdata;
+this module is the PRODUCT surface: live lake text → fixed-token-budget
+sequence manifests, one shard file per lake partition, written with the
+same resumable/incremental contract as ``Lake.export_resumable``:
+
+- one Ray task per partition (the lake's unit of parallelism and memory
+  bound) reads its merge-on-read live state, sorts by url (the canonical
+  per-partition order), whitespace-tokenizes, and cuts the partition's
+  token stream into ``budget``-token sequences with documents spanning
+  boundaries;
+- the shard is a MANIFEST — rows ``(part, seq_id, url, tok_start,
+  tok_end)`` mapping each sequence to the document token slices that fill
+  it (``tok_*`` are offsets WITHIN the sequence) — so the trainer joins
+  text (or real tokenizer output) at load time and the shard stays slim;
+- ``out/part=NNNN.parquet`` is written atomically (temp+rename) and
+  stamped with the partition's tip epoch: re-runs skip unchanged
+  partitions and rewrite only churned ones — crash resume and cheap
+  periodic refresh in one mechanism, packing cost scales with churn.
+
+Determinism: url order and whitespace token counts fully determine the
+manifest — equal lake state gives byte-equal shards at any concurrency.
+Partitioning note: sequences never span partitions (shards are the
+resume/refresh unit); at 100 TB the partition count bounds shard size,
+exactly like export.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import fsspec
+
+from .lake import Lake
+from .merge import live_view
+
+_STAMP = b"odl_pack_epoch"
+
+
+def _pack_partition(state: pa.Table, part: int, budget: int,
+                    text_col: str) -> pa.Table:
+    """Sequence manifest for ONE partition's live rows (already merged)."""
+    state = state.sort_by([("url", "ascending")])
+    urls = state["url"].to_numpy(zero_copy_only=False)
+    texts = state[text_col].to_pylist()
+    toks = np.fromiter(
+        (len(t.split()) if isinstance(t, str) else 0 for t in texts),
+        np.int64, count=len(texts))
+    keep = toks > 0
+    urls, toks = urls[keep], toks[keep]
+    end = np.cumsum(toks)
+    start = end - toks
+    first = start // budget
+    last = (end - 1) // budget
+    cnt = (last - first + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(cnt)), cnt)
+    cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    seq = first[idx] + (np.arange(cnt.sum()) - np.repeat(cum, cnt))
+    lo = np.maximum(start[idx], seq * budget)
+    hi = np.minimum(end[idx], (seq + 1) * budget)
+    n = len(idx)
+    return pa.table({
+        "part": pa.array(np.full(n, part, np.int32)),
+        "seq_id": pa.array(seq, pa.int64()),
+        "url": pa.array(urls[idx], pa.string()),
+        "tok_start": pa.array(lo - seq * budget, pa.int64()),
+        "tok_end": pa.array(hi - seq * budget, pa.int64()),
+    })
+
+
+def pack_lake(lake: Lake, out: str, budget: int = 2048,
+              text_col: str = "text",
+              as_of: Optional[int] = None) -> List[Dict]:
+    """Write one sequence-manifest shard per live partition (module
+    docstring). Returns ≤P summary dicts (part, rows, sequences, tokens,
+    tip_epoch, skipped)."""
+    import ray.data as _rd
+
+    live_parts, target = lake._unified_live(as_of)
+    if target is None:
+        return []
+    root, n_parts = lake.root, lake.num_partitions
+
+    def task(batch: pa.Table) -> pa.Table:
+        ofs, _ = fsspec.core.url_to_fs(out)
+        is_local = "file" in (ofs.protocol if isinstance(
+            ofs.protocol, (list, tuple)) else (ofs.protocol,))
+        lk = Lake(root, n_parts)
+        res = {"part": [], "rows": [], "sequences": [], "tokens": [],
+               "tip_epoch": [], "skipped": []}
+        for part in batch["part"].to_pylist():
+            part = int(part)
+            tip = lk.latest_epoch(part, as_of)
+            path = posixpath.join(out, f"part={part:04d}.parquet")
+            if ofs.exists(path):
+                meta = pq.read_metadata(path, filesystem=ofs)
+                kv = meta.metadata or {}
+                stamped = kv.get(_STAMP)
+                if stamped is not None and tip is not None \
+                        and int(stamped) == tip:
+                    res["part"].append(part)
+                    res["rows"].append(meta.num_rows)
+                    res["sequences"].append(-1)  # not recounted on skip
+                    res["tokens"].append(-1)
+                    res["tip_epoch"].append(tip)
+                    res["skipped"].append(True)
+                    continue
+            # projection keeps the merge keys (deleted included), so the
+            # live filter works without schema unification
+            t = lk.read_partition(part, as_of,
+                                  columns=["url", text_col])
+            if t is None:
+                continue
+            t = live_view(t)
+            manifest = _pack_partition(t, part, budget, text_col)
+            manifest = manifest.replace_schema_metadata(
+                {**(manifest.schema.metadata or {}),
+                 _STAMP: str(tip).encode()})
+            ofs.makedirs(out, exist_ok=True)
+            if is_local:
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(manifest, tmp, compression="zstd",
+                               filesystem=ofs)
+                ofs.mv(tmp, path)
+            else:
+                pq.write_table(manifest, path, compression="zstd",
+                               filesystem=ofs)
+            res["part"].append(part)
+            res["rows"].append(manifest.num_rows)
+            res["sequences"].append(
+                len(np.unique(manifest["seq_id"].to_numpy(
+                    zero_copy_only=False))) if manifest.num_rows else 0)
+            res["tokens"].append(int(pa.compute.sum(pa.compute.subtract(
+                manifest["tok_end"], manifest["tok_start"])).as_py() or 0))
+            res["tip_epoch"].append(tip)
+            res["skipped"].append(False)
+        return pa.table({
+            "part": pa.array(res["part"], pa.int32()),
+            "rows": pa.array(res["rows"], pa.int64()),
+            "sequences": pa.array(res["sequences"], pa.int64()),
+            "tokens": pa.array(res["tokens"], pa.int64()),
+            "tip_epoch": pa.array(res["tip_epoch"], pa.int64()),
+            "skipped": pa.array(res["skipped"], pa.bool_()),
+        })
+
+    parts_ds = _rd.from_items([{"part": p} for p in live_parts])
+    return parts_ds.map_batches(task, batch_format="pyarrow",
+                                batch_size=1).take_all()  # ≤ P rows
