@@ -58,6 +58,9 @@ GUARDED_QUERIES = [
     "doc_weighted_sample",    # driver sees <=k rows per batch (A-ES top-k)
     "cdc_near_dup_attribution",  # driver sees <=P lineage rows per epoch
     "cdc_backfill_token_stats",  # driver sees <=P lineage/seed rows
+    "doc_pagerank",            # driver sees O(1) scalar rows per round
+    "doc_pack_sequences",      # driver sees O(buckets×keys) offset rows
+    "cdc_retention_expiry",    # driver sees <=P lineage rows per epoch
 ]
 
 SF = "/root/testdata/sf0.001"
