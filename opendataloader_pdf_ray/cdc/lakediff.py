@@ -78,17 +78,26 @@ def _compare(group: pa.Table) -> pa.Table:
     if group.num_columns == 0 or group.num_rows == 0:
         return _EMPTY
     df = group.to_pandas()
+    # Nullable dtypes BEFORE reindex: plain int64/uint64 columns coerce to
+    # float64 when reindex introduces missing rows, and float64 cannot
+    # represent all uint64 hashes (two distinct vhashes above 2^53 would
+    # falsely compare equal — a silently missed drift).
+    df = df.astype({"warc_ts": "Int64", "seq": "Int64", "vhash": "UInt64"})
     a = df[df["side"] == 0].set_index("url")
     b = df[df["side"] == 1].set_index("url")
     urls = a.index.union(b.index)
     ai = a.reindex(urls)
     bi = b.reindex(urls)
-    in_a = ~ai["side"].isna().to_numpy()
-    in_b = ~bi["side"].isna().to_numpy()
-    differ = in_a & in_b & (
-        (ai["warc_ts"].to_numpy() != bi["warc_ts"].to_numpy())
-        | (ai["seq"].to_numpy() != bi["seq"].to_numpy())
-        | (ai["vhash"].to_numpy() != bi["vhash"].to_numpy()))
+    in_a = ai["side"].notna().to_numpy()
+    in_b = bi["side"].notna().to_numpy()
+
+    def neq(name: str) -> np.ndarray:
+        # index-aligned exact nullable comparison (never .to_numpy() a
+        # nullable side first — NA forces a float64 round trip); NA rows
+        # resolve False (guarded by in_a & in_b anyway)
+        return (~ai[name].eq(bi[name])).fillna(False).to_numpy(bool)
+
+    differ = in_a & in_b & (neq("warc_ts") | neq("seq") | neq("vhash"))
     status = np.where(differ, "differ",
                       np.where(in_a & ~in_b, "only_a",
                                np.where(in_b & ~in_a, "only_b", "")))

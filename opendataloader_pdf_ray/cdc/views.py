@@ -117,18 +117,27 @@ def _fold_partition(lake_root: str, num_partitions: int, part: int,
                 # its whole state applies), so the telescoped sum is intact.
                 changed = np.array([], dtype=object)
                 post = prev
-            # seq-diff: urls whose (presence, seq) changed vs prev
+            # seq-diff: urls whose (presence, seq, deleted) changed vs prev
+            # — ``deleted`` is part of the event coordinates so a retention
+            # epoch's tombstone flips (same seq, deleted 0→1) RETRACT their
+            # contributions (same rule as changefeed._snapshot_diff)
             elif prev is None or prev.num_rows == 0:
                 changed = np.unique(
                     post[MERGE_KEY].to_numpy(zero_copy_only=False))
             else:
+                import pyarrow.compute as _pc
+
                 pu = prev[MERGE_KEY].to_numpy(zero_copy_only=False)
                 ps = prev["seq"].to_numpy(zero_copy_only=False)
+                pd_ = _pc.fill_null(prev["deleted"], False).to_numpy(
+                    zero_copy_only=False)
                 nu = post[MERGE_KEY].to_numpy(zero_copy_only=False)
                 ns = post["seq"].to_numpy(zero_copy_only=False)
-                old_seq = dict(zip(pu, ps))
-                mask = np.array([old_seq.get(u, -1) != s
-                                 for u, s in zip(nu, ns)])
+                nd_ = _pc.fill_null(post["deleted"], False).to_numpy(
+                    zero_copy_only=False)
+                old_key = dict(zip(pu, zip(ps, pd_)))
+                mask = np.array([old_key.get(u, (-1, False)) != (s, d)
+                                 for u, s, d in zip(nu, ns, nd_)])
                 changed = np.unique(nu[mask]) if mask.any() else nu[:0]
 
         def restrict(t: Optional[pa.Table]) -> Optional[pa.Table]:

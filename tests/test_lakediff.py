@@ -101,6 +101,25 @@ class TestLakeDiff:
         out = lake_diff(a, b, num_buckets=8).to_pandas()
         assert dict(zip(out["url"], out["status"])) == {"u002": "differ"}
 
+    def test_uint64_vhash_exact_compare(self):
+        """Regression: reindex against a url missing on one side used to
+        coerce the whole frame to float64, where uint64 vhashes above 2^53
+        lose precision — 2^63 and 2^63+1 compared EQUAL and the drift was
+        silently missed. _compare must stay exact."""
+        from opendataloader_pdf_ray.cdc.lakediff import _compare
+
+        group = pa.table({
+            "url": pa.array(["x", "x", "y"], pa.string()),
+            "warc_ts": pa.array([1, 1, 2], pa.int64()),
+            "seq": pa.array([0, 0, 1], pa.int64()),
+            "vhash": pa.array([2**63, 2**63 + 1, 7], pa.uint64()),
+            "side": pa.array([0, 1, 0], pa.int8()),
+            "bucket": pa.array([0, 0, 0], pa.int32()),
+        })
+        out = _compare(group)
+        got = dict(zip(out["url"].to_pylist(), out["status"].to_pylist()))
+        assert got == {"x": "differ", "y": "only_a"}
+
     def test_cli_exit_codes(self, tmp_path):
         import json
         import subprocess

@@ -155,6 +155,33 @@ class TestMaterializedView:
             cur[1] += int(v)
         assert view_dict(view) == want
 
+    def test_retention_epoch_retracts(self, events_path, tmp_path):
+        """A retention epoch flips ``deleted`` WITHOUT changing seq — the
+        seq-diff fold must treat the flip as a change (regression: a
+        seq-only diff saw nothing and the view kept counting expired
+        rows). Snapshot commits force the seq-diff path."""
+        from opendataloader_pdf_ray.cdc.retention import apply_retention
+
+        lake = Lake(str(tmp_path / "lake"), SNAP_CFG.num_partitions)
+        for e in range(N_EPOCHS):
+            ingest_epoch(events_path, lake, e, SNAP_CFG)
+        view = MaterializedView(lake, "lang_stats")
+        view.refresh()
+        before = view_dict(view)
+        assert before == batch_view(lake)
+        ts = sorted(lake.read_state()["warc_ts"].cast(pa.int64()).to_pylist())
+        cutoff = ts[len(ts) // 2] + 1  # expire roughly half the live rows
+        lins = apply_retention(lake, cutoff)
+        assert sum(l["rows_deleted"] for l in lins) > 0
+        assert view.refresh() > 0
+        after = view_dict(view)
+        assert after == batch_view(lake)
+        assert after != before
+        # a fresh view folding the whole log agrees (cold replay parity)
+        v2 = MaterializedView(lake, "lang_stats_cold")
+        v2.refresh()
+        assert view_dict(v2) == after
+
     def test_sequential_equals_parallel(self, events_path, tmp_path):
         lake = Lake(str(tmp_path / "lake"), DELTA_CFG.num_partitions)
         for e in range(N_EPOCHS):
