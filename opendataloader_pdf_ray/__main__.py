@@ -799,6 +799,29 @@ def cmd_diff(args) -> int:
     return 0 if total == 0 else 1
 
 
+def cmd_replicate(args) -> int:
+    """Apply the source lake's committed change log into a replica lake
+    (cdc/replicate.py): exactly-once, epoch-aligned, resumable; re-run
+    after the primary advances to catch up (a cron loop is follow mode)."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.replicate import replicate
+
+    out = replicate(Lake(args.src), args.dst, until=args.until)
+    print(json.dumps(out))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -1190,6 +1213,16 @@ def main(argv=None) -> int:
     df.add_argument("--out", default=None,
                     help="also write the difference rows as parquet")
     df.set_defaults(fn=cmd_diff)
+
+    rp = sub.add_parser("replicate",
+                        help="apply the source lake's change log into a "
+                             "replica lake (exactly-once, epoch-aligned, "
+                             "resumable; re-run to catch up)")
+    rp.add_argument("src")
+    rp.add_argument("dst")
+    rp.add_argument("--until", type=int, default=None,
+                    help="replicate only epochs <= this")
+    rp.set_defaults(fn=cmd_replicate)
 
     pk = sub.add_parser("pack",
                         help="pack live lake text into fixed-token-budget "

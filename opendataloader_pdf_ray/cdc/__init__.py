@@ -1,5 +1,6 @@
 from .backfill import backfill, resolve_backfill_epoch
 from .changefeed import changes
+from .replicate import replicate
 from .rescale import rescale
 from .seed import seed_from_warc
 from .dupindex import DupIndex
@@ -24,7 +25,8 @@ from .views import MaterializedView, group_lang, value_text_len
 __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
-    "backfill", "resolve_backfill_epoch", "changes", "rescale",
+    "backfill", "resolve_backfill_epoch", "changes", "replicate",
+    "rescale",
     "seed_from_warc",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
     "num_epochs_in", "replay", "url_partition",

@@ -1,0 +1,159 @@
+"""Lake replication: apply a source lake's committed change log into a
+replica lake, exactly-once, epoch-aligned, resumable.
+
+The missing third leg of the CDC story — ingest IN (``cdc/ingest.py``),
+changes OUT (``cdc/changefeed.py``), and HERE the standard consumer of
+that feed: a follower lake that replays the primary's per-partition
+winner sets and converges to the identical live state (and identical
+time-travel states at every epoch, because the same winner sets fold in
+the same order). Use cases: read replicas, region copies, blue/green
+lake migration, disaster recovery with bounded replication lag.
+
+Design (one Ray task per partition — the unit of parallelism, same as
+ingest/compact/changefeed):
+
+- per partition, the pending work is src's committed epochs not yet in
+  dst's commit log; each pending epoch's winner set comes from
+  ``changefeed.epoch_winners`` (delta file verbatim, or snapshot commits
+  diffed against the running pre-image — retention tombstone flips
+  included), and is committed into dst as a DELTA epoch with the SAME
+  epoch number, carrying the source lineage tagged ``kind="delta"``;
+- exactly-once by the same commit-record protocol everything else uses:
+  re-running a finished replication is an all-skip no-op, a crash
+  mid-run resumes from each partition's last committed epoch;
+- incremental: after the primary advances, re-running applies only the
+  new epochs (a cron loop IS follow mode — or tail
+  ``changefeed.follow_changes`` and call ``replicate`` per window);
+- epoch-done markers are mirrored on the driver (metadata scale) so
+  downstream consumers of the REPLICA (views, follower indexes, its own
+  change feed) see the same watermarks as the primary's.
+
+The replica is verified by ``lakediff.lake_diff`` (empty diff ⇔
+equivalent live state) — the same verifier rescale/export use.
+
+Guards: dst must be managed by replicate alone — a dst epoch that src
+does not have means independent writes and raises (replicating onto a
+diverged lake would silently interleave histories). A src whose history
+needed by dst was vacuumed raises via ``epoch_winners`` ("re-seed the
+replica"), the correct CDC semantics for a consumer that fell behind the
+retention horizon.
+
+Determinism: winner sets and commit contents derive from src's commit
+log alone — equal primaries give byte-equal replicas at any concurrency.
+
+Reference parity: the reference engine is single-corpus with no lake, so
+no counterpart; this completes the engine's lake lifecycle ops
+(rescale = layout change, export = format change, replicate = copy).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from .changefeed import epoch_winners
+from .lake import Lake
+from .merge import merge_base_with_updates
+
+
+def _replicate_partition(src: Lake, dst: Lake, part: int,
+                         until: Optional[int]) -> Dict[str, int]:
+    all_src = src.committed_epochs(part)
+    src_epochs = [e for e in all_src if until is None or e <= until]
+    done = set(dst.committed_epochs(part))
+    foreign = done - set(all_src)
+    if foreign:
+        raise ValueError(
+            f"replicate: dst partition {part} has epochs {sorted(foreign)} "
+            f"the source lake does not — dst was written independently; "
+            f"refusing to interleave histories")
+    pending = [e for e in src_epochs if e not in done]
+    applied = skipped = 0
+    if not pending:
+        return {"applied": 0, "skipped": len(src_epochs)}
+    # pre-image for snapshot-commit diffs: src state just before the first
+    # pending epoch (dst holds the same state — src is authoritative and
+    # does not depend on dst's read path)
+    state = src.read_partition(part, as_of=pending[0] - 1) \
+        if pending[0] > 0 else None
+    for e in pending:
+        winners = epoch_winners(src, part, e, state)
+        lin = src.read_lineage(part, e)
+        lin.skipped = False
+        out = dst.commit_delta(part, e, winners, lin)
+        if out.skipped:
+            skipped += 1
+        else:
+            applied += 1
+        state = merge_base_with_updates(state, winners)
+    return {"applied": applied, "skipped": skipped + len(done)}
+
+
+class _ReplicateTask:
+    """map_groups callable: one partition id per group."""
+
+    __name__ = "_ReplicateTask"
+
+    def __init__(self, src_root: str, dst_root: str, num_partitions: int,
+                 until: Optional[int]):
+        self.src_root = src_root
+        self.dst_root = dst_root
+        self.n = num_partitions
+        self.until = until
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        src = Lake(self.src_root, self.n)
+        dst = Lake(self.dst_root, self.n)
+        part = int(group["part"][0].as_py())
+        r = _replicate_partition(src, dst, part, self.until)
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "applied": pa.array([r["applied"]], pa.int64()),
+                         "skipped": pa.array([r["skipped"]], pa.int64())})
+
+
+def replicate(src: Lake, dst_root: str,
+              until: Optional[int] = None) -> Dict[str, int]:
+    """Replicate ``src`` into the lake at ``dst_root`` (created with src's
+    partition count on first run). Returns
+    ``{"partitions", "commits_applied", "commits_skipped",
+    "epochs_done_marked"}``. Idempotent; incremental; one Ray task per
+    partition when a Ray session exists, else in-process."""
+    import ray
+
+    dst = Lake(dst_root, src.num_partitions)
+    if dst.num_partitions != src.num_partitions:
+        raise ValueError(
+            f"replicate preserves layout: src has {src.num_partitions} "
+            f"partitions, dst metadata says {dst.num_partitions} "
+            f"(use rescale for layout changes)")
+    parts = list(range(src.num_partitions))
+    if ray.is_initialized():
+        import ray.data as _rd
+
+        results = (_rd.from_items([{"part": p} for p in parts])
+                   .groupby("part")
+                   .map_groups(_ReplicateTask(src.root, dst_root,
+                                              src.num_partitions, until),
+                               batch_format="pyarrow")
+                   .take_all())
+        applied = sum(r["applied"] for r in results)
+        skipped = sum(r["skipped"] for r in results)
+    else:
+        applied = skipped = 0
+        for p in parts:
+            r = _replicate_partition(src, dst, p, until)
+            applied += r["applied"]
+            skipped += r["skipped"]
+    # mirror the primary's epoch-done watermarks (driver-side, metadata
+    # scale): every src-done epoch in range is now fully replicated
+    marked = 0
+    seen: List[int] = sorted({e for p in parts
+                              for e in src.committed_epochs(p)
+                              if until is None or e <= until})
+    for e in seen:
+        if src.is_epoch_done(e) and not dst.is_epoch_done(e):
+            dst.mark_epoch_done(e)
+            marked += 1
+    return {"partitions": len(parts), "commits_applied": applied,
+            "commits_skipped": skipped, "epochs_done_marked": marked}

@@ -1466,6 +1466,62 @@ def cdc_changefeed(sf_dir: str):
             .sort(["epoch", "url"]))
 
 
+def cdc_replicated_state(sf_dir: str):
+    """Lake replication end-to-end through the REAL machinery
+    (cdc/replicate.py): seed the shared 3-epoch lake as the primary,
+    replicate its change log into a fresh replica (delta commits of each
+    epoch's winner set, exactly-once asserted by a second all-skip run),
+    and return the REPLICA's live state (url, seq, text_len) read through
+    the distributed merge-on-read path. The SQL oracle derives the same
+    final state algebraically from the construction rules (%9 re-inserted
+    v3 at E2, %5 updated v2 at E1, %10-not-%9 deleted, ghosts never
+    live), so the replica is gated bit-for-bit against the primary's
+    intended history."""
+    import shutil
+
+    from ..cdc import Lake
+    from ..cdc.replicate import replicate
+
+    src = _seed_three_epoch_lake(sf_dir, "/tmp/odl_ray_replicate_query_src")
+    dst_root = "/tmp/odl_ray_replicate_query_dst"
+    shutil.rmtree(dst_root, ignore_errors=True)
+    first = replicate(src, dst_root)
+    assert first["commits_applied"] > 0, "replication applied nothing"
+    again = replicate(src, dst_root)
+    assert again["commits_applied"] == 0, (
+        f"replication replay must be an all-skip no-op, applied "
+        f"{again['commits_applied']}")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "seq": pa.array([], pa.int64()),
+                             "text_len": pa.array([], pa.int64())})
+        return pa.table({
+            "url": t["url"],
+            "seq": t["seq"].cast(pa.int64()),
+            "text_len": pc.utf8_length(t["text"]).cast(pa.int64()),
+        })
+
+    return (Lake(dst_root).read_dataset(columns=["url", "seq", "text"])
+            .map_batches(project, batch_format="pyarrow")
+            .sort("url"))
+
+
+CDC_REPLICATED_STATE_SQL = """
+SELECT printf('u%06d', doc_id) AS url,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 20000000 + doc_id
+                 WHEN doc_id % 5 = 0 THEN 10000000 + doc_id
+                 ELSE doc_id END AS BIGINT) AS seq,
+       CAST(length(CASE WHEN doc_id % 9 = 0 THEN text || ' v3'
+                        WHEN doc_id % 5 = 0 THEN text || ' v2'
+                        ELSE text END) AS BIGINT) AS text_len
+FROM documents
+WHERE NOT (doc_id % 10 = 0 AND doc_id % 9 <> 0)
+ORDER BY url
+"""
+
+
 def cdc_text_index_search(sf_dir: str):
     """Inverted-full-text-index end-to-end through the REAL maintainer
     (cdc/textindex.py): seed the shared 3-epoch lake (updates REPLACE token
@@ -2048,6 +2104,7 @@ def _retention_sql() -> str:
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
     "cdc_near_dup_attribution": cdc_near_dup_attribution,
@@ -2077,6 +2134,7 @@ CDC_QUERIES = {
 
 CDC_ORACLE_SQL = {
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
+    "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
