@@ -813,10 +813,16 @@ def cmd_replicate(args) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     from .cdc import Lake
-    from .cdc.replicate import replicate
+    from .cdc.replicate import follow_replicate, replicate
 
-    out = replicate(Lake(args.src), args.dst, until=args.until)
-    print(json.dumps(out))
+    if args.follow:
+        for win in follow_replicate(Lake(args.src), args.dst,
+                                    poll_interval=args.poll,
+                                    max_idle_polls=args.idle_stop):
+            print(json.dumps(win), flush=True)
+    else:
+        out = replicate(Lake(args.src), args.dst, until=args.until)
+        print(json.dumps(out))
     if started_ray:
         ray.shutdown()
     return 0
@@ -1222,6 +1228,13 @@ def main(argv=None) -> int:
     rp.add_argument("dst")
     rp.add_argument("--until", type=int, default=None,
                     help="replicate only epochs <= this")
+    rp.add_argument("--follow", action="store_true",
+                    help="tail the primary's epoch-done markers and keep "
+                         "the replica at bounded lag")
+    rp.add_argument("--poll", type=float, default=0.5,
+                    help="follow-mode poll interval seconds")
+    rp.add_argument("--idle-stop", type=int, default=None,
+                    help="follow mode: stop after N idle polls")
     rp.set_defaults(fn=cmd_replicate)
 
     pk = sub.add_parser("pack",

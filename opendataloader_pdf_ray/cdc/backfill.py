@@ -178,4 +178,9 @@ def backfill(lake: Lake, fn: Callable[[pa.Table], pa.Table],
         _BackfillPartition(lake.root, lake.num_partitions, epoch, fn,
                            key_col),
         batch_format="pyarrow", batch_size=None)
-    return lineage.take_all()  # ≤ P tiny rows
+    out = lineage.take_all()  # ≤ P tiny rows
+    # publish the MAINTENANCE watermark (not epoch_done — that would make
+    # a resumed binlog tail skip the colliding epoch silently), or every
+    # watermark tail (follow_changes, follow_replicate) stalls here forever
+    lake.mark_epoch_maint(epoch)
+    return out

@@ -209,8 +209,9 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
     a generator yielding one ``(lo_epoch, hi_epoch, pa.Table)`` tuple per
     newly COMPLETED epoch window as the producer commits them.
 
-    The watermark is the epoch-done marker: an epoch enters the feed only
-    once every partition's commit landed (``Lake.is_epoch_done``), so a
+    The watermark is the epoch-complete marker (binlog ``.done`` or
+    maintenance ``.maint`` — ``Lake.is_epoch_complete``): an epoch enters
+    the feed only once every partition's commit landed, so a
     consumer never sees a half-committed epoch and each epoch is yielded
     exactly once per generator. Offset persistence across consumer restarts
     is the caller's (pass the last consumed ``hi_epoch`` back as
@@ -227,7 +228,7 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
     while True:
         stopping = bool(stopped()) if stopped is not None else False
         hi = watermark
-        while lake.is_epoch_done(hi + 1):
+        while lake.is_epoch_complete(hi + 1):
             hi += 1
         if hi > watermark:
             feed = changes(lake, since=watermark, until=hi)

@@ -176,6 +176,9 @@ class Lake:
     def epoch_done_path(self, epoch: int) -> str:
         return posixpath.join(self._commits_dir(), f"epoch-{epoch:06d}.done")
 
+    def epoch_maint_path(self, epoch: int) -> str:
+        return posixpath.join(self._commits_dir(), f"epoch-{epoch:06d}.maint")
+
     # ------------------------------------------------------------- atomic write
     def _write_table_atomic(self, table: pa.Table, path: str) -> None:
         """Parquet write that never exposes a partial file at its final
@@ -223,6 +226,23 @@ class Lake:
 
     def mark_epoch_done(self, epoch: int) -> None:
         self._write_small_atomic(self.epoch_done_path(epoch), b"done")
+
+    def mark_epoch_maint(self, epoch: int) -> None:
+        """Maintenance-epoch watermark (retention/backfill): a SEPARATE
+        marker from ``epoch_done`` on purpose — ``replay`` skips binlog
+        epochs on the done marker, and a maintenance epoch wearing it
+        would make a resumed tail silently drop the colliding binlog
+        epoch's events (the `_guard_cdc_epoch` loud-fail must still
+        fire). Watermark consumers advance on EITHER marker via
+        ``is_epoch_complete``."""
+        self._write_small_atomic(self.epoch_maint_path(epoch), b"maint")
+
+    def is_epoch_complete(self, epoch: int) -> bool:
+        """True when the epoch is a completed binlog epoch (done marker)
+        OR a completed maintenance epoch (maint marker) — the watermark
+        walk for change-feed / replication tails."""
+        return (self.fs.exists(self.epoch_done_path(epoch))
+                or self.fs.exists(self.epoch_maint_path(epoch)))
 
     def committed_epochs(self, part: int) -> List[int]:
         prefix = f"part-{part:04d}-epoch-"

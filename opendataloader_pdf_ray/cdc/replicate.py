@@ -145,8 +145,10 @@ def replicate(src: Lake, dst_root: str,
             r = _replicate_partition(src, dst, p, until)
             applied += r["applied"]
             skipped += r["skipped"]
-    # mirror the primary's epoch-done watermarks (driver-side, metadata
-    # scale): every src-done epoch in range is now fully replicated
+    # mirror the primary's watermarks (driver-side, metadata scale): every
+    # src-complete epoch in range is now fully replicated; the marker KIND
+    # is preserved so a replica promoted to primary keeps binlog-resume
+    # semantics (replay must not skip a maintenance epoch's number)
     marked = 0
     seen: List[int] = sorted({e for p in parts
                               for e in src.committed_epochs(p)
@@ -155,5 +157,52 @@ def replicate(src: Lake, dst_root: str,
         if src.is_epoch_done(e) and not dst.is_epoch_done(e):
             dst.mark_epoch_done(e)
             marked += 1
+        if (src.fs.exists(src.epoch_maint_path(e))
+                and not dst.fs.exists(dst.epoch_maint_path(e))):
+            dst.mark_epoch_maint(e)
+            marked += 1
     return {"partitions": len(parts), "commits_applied": applied,
             "commits_skipped": skipped, "epochs_done_marked": marked}
+
+
+def follow_replicate(src: Lake, dst_root: str, poll_interval: float = 0.5,
+                     max_idle_polls: Optional[int] = None, stopped=None):
+    """TAIL the primary — the replication dual of ``ingest --mode follow``:
+    a generator yielding one replicate() summary per newly COMPLETED epoch
+    window, keeping the replica at bounded lag.
+
+    The watermark is the primary's epoch-complete marker (binlog ``.done``
+    or maintenance ``.maint`` — same rule as
+    ``changefeed.follow_changes``): an epoch replicates only once every
+    partition's commit landed, so the replica never holds a half-committed
+    epoch and its own done markers advance in lockstep. Restart resume is
+    free — the watermark re-derives from the REPLICA's done markers, and
+    replicate() itself skips already-committed (part, epoch) work.
+
+    Stop conditions: ``stopped()`` returning True (drains what is done,
+    then returns) or ``max_idle_polls`` consecutive polls with no
+    progress."""
+    import time as _time
+
+    dst = Lake(dst_root, src.num_partitions)
+    watermark = -1
+    while dst.is_epoch_complete(watermark + 1):
+        watermark += 1
+    idle = 0
+    while True:
+        stopping = bool(stopped()) if stopped is not None else False
+        hi = watermark
+        while src.is_epoch_complete(hi + 1):
+            hi += 1
+        if hi > watermark:
+            out = replicate(src, dst_root, until=hi)
+            yield {"lo_epoch": watermark, "hi_epoch": hi, **out}
+            watermark = hi
+            idle = 0
+        else:
+            idle += 1
+        if stopping and hi == watermark:
+            return
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            return
+        _time.sleep(poll_interval)

@@ -153,4 +153,8 @@ def rescale(src: Lake, dst_root: str, new_partitions: int,
     for e in range(epoch + 1):
         if src.is_epoch_done(e) and not dst.is_epoch_done(e):
             dst.mark_epoch_done(e)
+        if (src.fs.exists(src.epoch_maint_path(e))
+                and not dst.fs.exists(dst.epoch_maint_path(e))):
+            dst.mark_epoch_maint(e)  # keep maintenance epochs out of
+            # epoch_done so binlog-resume semantics survive the rescale
     return summary

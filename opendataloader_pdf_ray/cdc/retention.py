@@ -108,4 +108,9 @@ def apply_retention(lake: Lake, cutoff_ts_us: int, ts_col: str = "warc_ts",
         _RetentionPartition(lake.root, lake.num_partitions, epoch,
                             cutoff_ts_us, ts_col),
         batch_format="pyarrow", batch_size=None)
-    return lineage.take_all()  # ≤ P tiny rows
+    out = lineage.take_all()  # ≤ P tiny rows
+    # publish the MAINTENANCE watermark (not epoch_done — that would make
+    # a resumed binlog tail skip the colliding epoch silently), or every
+    # watermark tail (follow_changes, follow_replicate) stalls here forever
+    lake.mark_epoch_maint(epoch)
+    return out

@@ -140,6 +140,62 @@ class TestReplicate:
         with pytest.raises(Exception, match="independently"):
             replicate(src, str(tmp_path / "dst"))
 
+    def test_follow_replicate_tails_done_markers(self, events_path,
+                                                 tmp_path):
+        """Follow mode: epochs replicate only once DONE, each exactly once;
+        a restarted tail resumes from the replica's own done markers."""
+        from opendataloader_pdf_ray.cdc.replicate import follow_replicate
+
+        src = Lake(str(tmp_path / "src"), DELTA_CFG.num_partitions)
+        dst_root = str(tmp_path / "dst")
+        ingest_epoch(events_path, src, 0, DELTA_CFG)
+        src.mark_epoch_done(0)
+        gen = follow_replicate(src, dst_root, poll_interval=0.05,
+                               max_idle_polls=3)
+        win = next(gen)
+        assert (win["lo_epoch"], win["hi_epoch"]) == (-1, 0)
+        assert win["commits_applied"] > 0
+        # epoch 1 commits but is NOT done → the tail must not replicate it
+        ingest_epoch(events_path, src, 1, DELTA_CFG)
+        assert list(gen) == []
+        dst = Lake(dst_root)
+        assert max(max(dst.committed_epochs(p) or [-1])
+                   for p in range(dst.num_partitions)) == 0
+        # mark done + one more epoch; a RESTARTED tail resumes at 1
+        src.mark_epoch_done(1)
+        ingest_epoch(events_path, src, 2, DELTA_CFG)
+        src.mark_epoch_done(2)
+        wins = list(follow_replicate(src, dst_root, poll_interval=0.05,
+                                     max_idle_polls=3))
+        assert len(wins) == 1
+        assert (wins[0]["lo_epoch"], wins[0]["hi_epoch"]) == (0, 2)
+        assert lake_diff(src, dst, num_buckets=8).count() == 0
+
+    def test_tail_progresses_across_maintenance_epoch(self, events_path,
+                                                      tmp_path):
+        """Regression: retention/backfill epochs published no epoch-done
+        marker, so every done-marker tail stalled at the maintenance epoch
+        forever (later ingest epochs invisible despite their own markers).
+        apply_retention/backfill now publish the watermark."""
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc.replicate import follow_replicate
+        from opendataloader_pdf_ray.cdc.retention import apply_retention
+
+        src = Lake(str(tmp_path / "src"), DELTA_CFG.num_partitions)
+        ingest_epoch(events_path, src, 0, DELTA_CFG)
+        src.mark_epoch_done(0)
+        ts = sorted(src.read_state()["warc_ts"].cast(pa.int64()).to_pylist())
+        apply_retention(src, ts[len(ts) // 2] + 1)  # epoch 1, maint marker
+        assert src.is_epoch_complete(1) and not src.is_epoch_done(1)
+        ingest_epoch(events_path, src, 2, DELTA_CFG)
+        src.mark_epoch_done(2)
+        wins = list(follow_replicate(src, str(tmp_path / "dst"),
+                                     poll_interval=0.05, max_idle_polls=3))
+        assert wins and wins[-1]["hi_epoch"] == 2
+        assert lake_diff(src, Lake(str(tmp_path / "dst")),
+                         num_buckets=8).count() == 0
+
     def test_cli_round_trip(self, events_path, tmp_path):
         import json
         import subprocess
