@@ -93,6 +93,15 @@ _GATE_TAIL = [
                                # and TPC-H stays gated via q5 + bloom
                                # anti-join (r3: slot freed for
                                # cdc_retention_expiry)
+    "dedup_minhash",           # MinHash-LSH pairs — a strict sub-pipeline
+                               # of dedup_minhash_clusters, which stays in
+                               # the gate and executes the identical
+                               # signature/band/verify stages (r3: slot
+                               # freed for doc_mixture_sample)
+    "embedding_label_stats",   # grouped agg over list<float> — k-means,
+                               # knn_lsh and embedding_dup_pairs_lsh gate
+                               # the embedding column far more deeply
+                               # (r3: slot freed for doc_pack_sequences)
 ]
 
 

@@ -1240,6 +1240,126 @@ def doc_weighted_sample(sf_dir: str, k: int = 50):
     })
 
 
+def doc_mixture_sample(sf_dir: str, frac_num: int = 3, frac_den: int = 10,
+                       n_bucket_bits: int = 12):
+    """Mixture subsampling to a per-language char budget — the corpus-mix
+    step every training-data pipeline runs (CCNet / RedPajama style: cap
+    each language/domain at a target byte share): keep, per lang, docs in
+    deterministic (md5-hash, doc_id) order until the RUNNING total of
+    ``n_chars`` reaches ``frac_num/frac_den`` of that lang's corpus
+    (selected = docs whose prefix sum BEFORE them is under budget).
+
+    Prefix-sum-threshold selection is not associative, so the scale shape
+    is the distributed weighted-quantile pattern (same family as
+    ``doc_length_percentiles``'s bounded histogram and ``pack``'s two-level
+    prefix sum): pass 1 streams the corpus once and reduces to a bounded
+    histogram of per-(lang, hash-bucket) char sums (≤ langs × 2^bits tiny
+    rows — the only data the driver sees); the driver prefix-sums buckets
+    to find each lang's BOUNDARY bucket + remaining budget; pass 2 fully
+    selects buckets below the boundary with a stateless filter and exactly
+    resolves the one boundary bucket per lang with a per-lang local cumsum
+    bounded by ~corpus/2^bits rows (raise ``n_bucket_bits`` with corpus
+    size, or recurse, to keep that bound). No global sort, no shuffle of
+    the corpus — one tiny groupby on histogram partials."""
+    import ray as _ray
+
+    from ..functions.sampling import _hash64
+
+    n_buckets = 1 << n_bucket_bits
+    shift = np.uint64(64 - n_bucket_bits)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang",
+                                                  "n_chars"])
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch["doc_id"].to_pylist())
+        b = (h >> shift).astype(np.int64)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lang, return_inverse=True)
+        comb = inv * n_buckets + b
+        uc, cinv = np.unique(comb, return_inverse=True)
+        sums = np.zeros(len(uc), np.int64)
+        np.add.at(sums, cinv, chars)
+        return pa.table({
+            "lb": pa.array([f"{ul[c // n_buckets]}|{c % n_buckets:06d}"
+                            for c in uc], pa.string()),
+            "chars": pa.array(sums, pa.int64())})
+
+    hist = (ds.map_batches(bucket_partial, batch_format="pyarrow")
+              .groupby("lb")
+              .aggregate(Sum("chars", alias_name="chars"))
+              .take_all())  # bounded: ≤ langs × n_buckets tiny rows
+    per_lang: dict = {}
+    for r in hist:
+        lang, b = r["lb"].rsplit("|", 1)
+        per_lang.setdefault(lang, []).append((int(b), int(r["chars"])))
+    # boundary bucket per lang: first b where cumulative-through-b >= budget
+    full_below: dict = {}     # lang -> boundary bucket (all b < it are full)
+    boundary_rem: dict = {}   # lang -> remaining budget entering boundary
+    for lang, pairs in per_lang.items():
+        pairs.sort()
+        total = sum(c for _, c in pairs)
+        budget = (frac_num * total) // frac_den
+        cum = 0
+        bstar = n_buckets  # budget >= total: every bucket full, no boundary
+        for b, c in pairs:
+            if cum + c >= budget:
+                bstar = b
+                boundary_rem[lang] = budget - cum
+                break
+            cum += c
+        full_below[lang] = bstar
+    plan_ref = _ray.put((full_below, boundary_rem))
+
+    def keep(boundary: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            full, rem = _ray.get(plan_ref)
+            h = _hash64(batch["doc_id"].to_pylist())
+            b = (h >> shift).astype(np.int64)
+            lang = batch["lang"].to_numpy(zero_copy_only=False)
+            cut = np.array([full.get(l, 0) for l in lang], np.int64)
+            mask = (b == cut) if boundary else (b < cut)
+            return batch.filter(pa.array(mask))
+        fn.__name__ = "keep_boundary" if boundary else "keep_full"
+        return fn
+
+    def resolve(group: pa.Table) -> pa.Table:
+        # one lang's boundary-bucket docs: exact local prefix-sum threshold
+        full, rem = _ray.get(plan_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = _hash64(ids.tolist())
+        chars = group["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        prior = np.cumsum(chars[order]) - chars[order]
+        sel = order[prior < rem[group["lang"][0].as_py()]]
+        return group.take(pa.array(np.sort(sel)))
+
+    cols = ["doc_id", "lang", "n_chars"]
+    full_sel = (ds.map_batches(keep(False), batch_format="pyarrow")
+                  .select_columns(cols))
+    boundary_sel = (ds.map_batches(keep(True), batch_format="pyarrow")
+                      .groupby("lang")
+                      .map_groups(resolve, batch_format="pyarrow")
+                      .select_columns(cols))
+    return full_sel.union(boundary_sel)
+
+
+DOC_MIXTURE_SAMPLE_SQL = """
+WITH ordered AS (
+    SELECT doc_id, lang, n_chars,
+           sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS prior
+    FROM documents),
+b AS (SELECT lang, (3 * sum(n_chars)) // 10 AS budget
+      FROM documents GROUP BY lang)
+SELECT o.doc_id, o.lang, o.n_chars
+FROM ordered o JOIN b USING (lang)
+WHERE o.prior < b.budget
+"""
+
+
 DOC_WEIGHTED_SAMPLE_SQL = """
 SELECT doc_id, source, n_chars FROM (
     SELECT doc_id, source, n_chars,
@@ -1365,6 +1485,7 @@ DOC_QUERIES = {
     "doc_top_per_source": doc_top_per_source,
     "doc_top_words_mg": doc_top_words_mg,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_mixture_sample": doc_mixture_sample,
 }
 
 DOC_ORACLE_SQL = {
@@ -1395,4 +1516,5 @@ DOC_ORACLE_SQL = {
     "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
     "doc_top_words_mg": DOC_TOP_WORDS_MG_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_mixture_sample": DOC_MIXTURE_SAMPLE_SQL,
 }
