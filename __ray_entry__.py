@@ -102,6 +102,13 @@ _GATE_TAIL = [
                                # knn_lsh and embedding_dup_pairs_lsh gate
                                # the embedding column far more deeply
                                # (r3: slot freed for doc_pack_sequences)
+    "hybrid_routed_extract",   # rows-only smoke (reconcile output is not
+                               # SQL-expressible): pytest + in-query
+                               # invariant assertions gate it; its triage
+                               # and enrichment stages are oracled in-gate
+                               # via hybrid_triage_tally /
+                               # hybrid_enriched_entities (r3: slot freed
+                               # for doc_ranked_search)
 ]
 
 

@@ -1240,6 +1240,90 @@ def doc_weighted_sample(sf_dir: str, k: int = 50):
     })
 
 
+_RANKED_QUERY_TERMS = ("scan", "merge", "window", "query")
+
+
+def doc_ranked_search(sf_dir: str, k: int = 10):
+    """Ranked full-text retrieval (tf-idf family — the batch twin of the
+    lake text index's ``search``): score docs against a fixed term set and
+    return the top-k. The scoring kernel is EXACT-INTEGER so the DuckDB
+    oracle matches bit-for-bit (no float idf/log):
+    ``W(t) = (N·2^16) // df(t)`` (monotone inverse document frequency),
+    ``score(d) = (Σ_t tf(t,d)·W(t)) · 2^8 // dl(d)`` (doc-length
+    normalization — the BM25 ingredient that matters at corpus scale).
+    Integer bound: tf·N·2^24 < 2^63 holds to ~1e9 docs × tf 500.
+
+    Scale shape — two-pass broadcast (same family as tfidf_top_terms):
+    pass 1 reduces the corpus to |terms| df partials (tiny groupby);
+    pass 2 streams once, scores locally, and pre-selects ≤ k rows per
+    batch (top-k is associative) so the final sort touches k×n_batches
+    candidate rows, never the corpus."""
+    import re
+    import ray as _ray
+
+    terms = _RANKED_QUERY_TERMS
+    tok_re = re.compile(r"\w+")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, not a scan
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(terms, 0)
+        for txt in batch["text"].to_pylist():
+            toks = set(tok_re.findall(txt.lower()))
+            for t in terms:
+                if t in toks:
+                    counts[t] += 1
+        return pa.table({"term": pa.array(list(terms), pa.string()),
+                         "df": pa.array([counts[t] for t in terms],
+                                        pa.int64())})
+
+    dfs = {r["term"]: r["df"]
+           for r in (ds.map_batches(df_partial, batch_format="pyarrow")
+                       .groupby("term")
+                       .aggregate(Sum("df", alias_name="df"))
+                       .take_all())}  # bounded: |terms| rows
+    weights = {t: (n_docs * 65536) // dfs[t] for t in terms if dfs.get(t)}
+    w_ref = _ray.put(weights)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = _ray.get(w_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_s = [], []
+        for i, txt in enumerate(batch["text"].to_pylist()):
+            toks = tok_re.findall(txt.lower())
+            raw = sum(toks.count(t) * wt for t, wt in w.items())
+            if raw > 0:
+                out_id.append(int(ids[i]))
+                out_s.append((raw * 256) // len(toks))
+        order = np.lexsort((out_id, [-s for s in out_s]))[:k]
+        return pa.table({
+            "doc_id": pa.array([out_id[j] for j in order], pa.int64()),
+            "score": pa.array([out_s[j] for j in order], pa.int64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .sort(["score", "doc_id"], descending=[True, False])
+              .limit(k))
+
+
+DOC_RANKED_SEARCH_SQL = """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+'))
+                  AS tok FROM documents),
+q AS (SELECT unnest(['scan', 'merge', 'window', 'query']) AS tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+       WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+n AS (SELECT count(*) AS nd FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN (SELECT tok FROM q) GROUP BY doc_id, tok),
+raw AS (SELECT tf.doc_id, sum(tf.tf * ((n.nd * 65536) // df.df)) AS raw
+        FROM tf JOIN df USING (tok), n GROUP BY tf.doc_id)
+SELECT r.doc_id, CAST((r.raw * 256) // d.dl AS BIGINT) AS score
+FROM raw r JOIN dl d USING (doc_id)
+WHERE r.raw > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def doc_mixture_sample(sf_dir: str, frac_num: int = 3, frac_den: int = 10,
                        n_bucket_bits: int = 12):
     """Mixture subsampling to a per-language char budget — the corpus-mix
@@ -1486,6 +1570,7 @@ DOC_QUERIES = {
     "doc_top_words_mg": doc_top_words_mg,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_mixture_sample": doc_mixture_sample,
+    "doc_ranked_search": doc_ranked_search,
 }
 
 DOC_ORACLE_SQL = {
@@ -1517,4 +1602,5 @@ DOC_ORACLE_SQL = {
     "doc_top_words_mg": DOC_TOP_WORDS_MG_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_mixture_sample": DOC_MIXTURE_SAMPLE_SQL,
+    "doc_ranked_search": DOC_RANKED_SEARCH_SQL,
 }
