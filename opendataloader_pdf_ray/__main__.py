@@ -862,6 +862,12 @@ def cmd_search(args) -> int:
     from .cdc import TextIndex, text_index_root
 
     idx = TextIndex(text_index_root(args.lake))
+    if args.ranked:
+        top = idx.ranked_search(args.token, k=args.topk,
+                                as_of=args.as_of).take_all()
+        for r in top:
+            print(json.dumps({"url": r["key"], "score": r["score"]}))
+        return 0
     rows = idx.search(args.token, as_of=args.as_of).take_all()
     by_tok = {}
     for r in rows:
@@ -1286,6 +1292,12 @@ def main(argv=None) -> int:
                     help="time-travel: search the index as of this epoch")
     se.add_argument("--show", type=int, default=10,
                     help="max urls printed per token")
+    se.add_argument("--ranked", action="store_true",
+                    help="rank urls by exact-integer tf-idf (tf from the "
+                         "index postings, idf from per-token posting "
+                         "counts) instead of boolean membership")
+    se.add_argument("--topk", type=int, default=10,
+                    help="ranked mode: rows returned")
     se.set_defaults(fn=cmd_search)
 
     vi = sub.add_parser("vec-index",

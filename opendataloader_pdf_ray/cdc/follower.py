@@ -149,8 +149,11 @@ def read_identity_partition(lake: Lake, part: int,
             pieces.append(pq.read_table(dpath, filesystem=lake.fs))
     if not pieces:
         return None
+    # promote: an index upgraded across a posting-schema version (e.g.
+    # textidx gaining tf) folds old epochs with nulls instead of crashing
     merged = pieces[0] if len(pieces) == 1 \
-        else latest_per_identity(pa.concat_tables(pieces), identity)
+        else latest_per_identity(
+            pa.concat_tables(pieces, promote_options="default"), identity)
     return merged.sort_by([(c, "ascending") for c in identity])
 
 

@@ -54,6 +54,10 @@ POSTING_SCHEMA = pa.schema([
     ("key", pa.string()),
     ("epoch", pa.int64()),
     ("sign", pa.int8()),
+    ("tf", pa.int32()),  # term frequency in the key's live text — carried
+                         # for ranked retrieval; set-membership consumers
+                         # (search) ignore it. Indexes built before this
+                         # column fold with tf=null (ranked treats as 1).
 ])
 
 _IDENTITY = ("tok", "key")
@@ -112,6 +116,13 @@ class _EmitTokenDeltas:
     def _tokens(self, text: Optional[str], tok_re) -> Set[str]:
         return set(tok_re.findall(text.lower())) if text else set()
 
+    def _counts(self, text: Optional[str], tok_re) -> Dict[str, int]:
+        if not text:
+            return {}
+        from collections import Counter
+
+        return Counter(tok_re.findall(text.lower()))
+
     def _live_text(self, state: Optional[pa.Table]) -> Dict[str, str]:
         if state is None or state.num_rows == 0:
             return {}
@@ -131,25 +142,33 @@ class _EmitTokenDeltas:
         out: List[pa.Table] = []
         for e in epochs:
             winners, state = follower_epoch_candidates(lake, part, e, state)
-            toks, keys, signs = [], [], []
+            toks, keys, signs, tfs = [], [], [], []
             w_keys = winners[self.key_col].to_numpy(zero_copy_only=False)
             w_texts = column_or_nulls(winners, self.text_col)
             w_dead = (pc.fill_null(winners["deleted"], False).to_numpy(
                 zero_copy_only=False) if "deleted" in winners.column_names
                 else np.zeros(len(w_keys), bool))
             for k, t, d in zip(w_keys, w_texts, w_dead):
-                old = self._tokens(live.get(k), tok_re)
-                new = set() if d else self._tokens(t, tok_re)
-                for tok in sorted(new - old):
-                    toks.append(tok); keys.append(k); signs.append(1)
-                for tok in sorted(old - new):
-                    toks.append(tok); keys.append(k); signs.append(-1)
+                # COUNT diff, not set diff: a count-only change (token
+                # kept, tf moved) re-applies with the new tf so ranked
+                # retrieval stays fresh; set membership is unchanged.
+                # Delta volume still scales with churned tokens only.
+                old = self._counts(live.get(k), tok_re)
+                new = {} if d else self._counts(t, tok_re)
+                for tok in sorted(set(old) | set(new)):
+                    o, nw = old.get(tok, 0), new.get(tok, 0)
+                    if nw == o:
+                        continue
+                    toks.append(tok); keys.append(k)
+                    signs.append(1 if nw > 0 else -1)
+                    tfs.append(nw)
             if toks:
                 t = pa.table({
                     "tok": pa.array(toks, pa.string()),
                     "key": pa.array(keys, pa.string()),
                     "epoch": pa.array(np.full(len(toks), e, np.int64)),
                     "sign": pa.array(np.array(signs, np.int8)),
+                    "tf": pa.array(np.array(tfs, np.int32)),
                 })
                 out.append(t.append_column(
                     HELPER_COL,
@@ -248,3 +267,93 @@ class TextIndex(FollowerIndex):
             return empty.empty_table()
         return pa.concat_tables(out).sort_by(
             [("token", "ascending"), ("key", "ascending")])
+
+    # ------------------------------------------------------- ranked search
+    SCORE_SCALE = 1 << 24
+
+    @staticmethod
+    def _partition_partials(t: Optional[pa.Table], probes: List[str]
+                            ) -> Dict[str, int]:
+        """Per-key partial scores for the probe tokens living in ONE index
+        partition. A token's postings are entirely within its hash
+        partition, so df(t) (live posting count) is exact here — no
+        cross-partition exchange. Exact-integer weights
+        ``W(t) = 2^24 // df(t)`` (same monotone-idf kernel as
+        ``documents.doc_ranked_search``, minus the corpus-size factor that
+        cancels in ranking); pre-tf-column postings score tf=1."""
+        scores: Dict[str, int] = {}
+        if t is None or t.num_rows == 0:
+            return scores
+        live = t.filter(pc.and_(
+            pc.is_in(t["tok"], value_set=pa.array(probes, pa.string())),
+            pc.greater(t["sign"], 0)))
+        if not live.num_rows:
+            return scores
+        toks = live["tok"].to_numpy(zero_copy_only=False)
+        keys = live["key"].to_numpy(zero_copy_only=False)
+        tfs = column_or_nulls(live, "tf")
+        utoks, counts = np.unique(toks, return_counts=True)
+        w = {tok: TextIndex.SCORE_SCALE // int(df)
+             for tok, df in zip(utoks, counts)}
+        for tok, key, tf in zip(toks, keys, tfs):
+            scores[key] = scores.get(key, 0) + \
+                (1 if tf is None else int(tf)) * w[tok]
+        return scores
+
+    def ranked_search(self, tokens: List[str], k: int = 10,
+                      as_of: Optional[int] = None):
+        """Top-k keys by exact-integer tf-idf over the LIVE index — the
+        ranked serving path (``search`` = boolean membership; this scores).
+        Same ``O(|probed partitions|)`` read pruning: each probe partition
+        folds once and emits per-key PARTIAL scores (bounded by its own
+        posting lists), a key groupby sums partials across partitions, and
+        sort+limit returns k rows. Ties break on key ascending."""
+        import ray.data as _rd
+        from ray.data.aggregate import Sum as _Sum
+
+        probes = sorted(set(tokens))
+        parts = sorted({int(p) for p in
+                        tok_partition(probes, self.num_partitions)})
+        root, n = self.lake.root, self.num_partitions
+        out_schema = pa.schema([("key", pa.string()),
+                                ("score", pa.int64())])
+
+        def score_part(batch: pa.Table) -> pa.Table:
+            lake = Lake(root, n)
+            scores: Dict[str, int] = {}
+            for part in batch["part"].to_pylist():
+                t = read_posting_partition(lake, int(part), as_of=as_of)
+                for key, s in TextIndex._partition_partials(
+                        t, probes).items():
+                    scores[key] = scores.get(key, 0) + s
+            ks = sorted(scores)
+            return pa.table({"key": pa.array(ks, pa.string()),
+                             "score": pa.array([scores[x] for x in ks],
+                                               pa.int64())})
+
+        if not parts:
+            return _rd.from_arrow(out_schema.empty_table())
+        return (_rd.from_items([{"part": p} for p in parts])
+                .map_batches(score_part, batch_format="pyarrow",
+                             batch_size=1)
+                .groupby("key")
+                .aggregate(_Sum("score", alias_name="score"))
+                .sort(["score", "key"], descending=[True, False])
+                .limit(k))
+
+    def ranked_search_local(self, tokens: List[str], k: int = 10,
+                            as_of: Optional[int] = None) -> pa.Table:
+        """In-process :meth:`ranked_search` (no Ray session) — the serving
+        path for protocol servers / tooling."""
+        probes = sorted(set(tokens))
+        parts = sorted({int(p) for p in
+                        tok_partition(probes, self.num_partitions)})
+        scores: Dict[str, int] = {}
+        for part in parts:
+            t = self.read_partition(part, as_of=as_of)
+            for key, s in self._partition_partials(t, probes).items():
+                scores[key] = scores.get(key, 0) + s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pa.table({
+            "key": pa.array([x for x, _ in top], pa.string()),
+            "score": pa.array([s for _, s in top], pa.int64())})

@@ -293,7 +293,109 @@ class TestTailFollowers:
         assert idx2.read_state().equals(rebuilt.read_state())
 
 
+class TestRanked:
+    @staticmethod
+    def _brute(lake: Lake, probes, k=10):
+        """Reference: exact-integer tf-idf over the lake's LIVE text —
+        recomputed from scratch, independent of the index machinery."""
+        import re
+        from collections import Counter
+
+        tok_re = re.compile(r"\w+")
+        state = lake.read_state()
+        docs = {u: Counter(tok_re.findall((t or "").lower()))
+                for u, t in zip(state["url"].to_pylist(),
+                                state["text"].to_pylist())}
+        df = {p: sum(1 for c in docs.values() if c.get(p)) for p in probes}
+        scores = {}
+        for u, c in docs.items():
+            s = sum(c.get(p, 0) * ((1 << 24) // df[p])
+                    for p in probes if df[p])
+            if s:
+                scores[u] = s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def test_ranked_matches_brute_reference(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        # epoch 3: count-only change (fox set-unchanged, tf 1→3) + new doc
+        # sharing 'fox' so df>1 exercises the idf weight
+        commit_rows(lake, 0, 3, [("a", 7, "red wolf fox fox fox", False)])
+        commit_rows(lake, 1, 3, [("c", 8, "fox den", False)])
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        for probes in (["fox"], ["fox", "red"], ["fox", "red", "den"],
+                       ["absent"]):
+            want = self._brute(lake, probes)
+            got = idx.ranked_search_local(probes, k=10)
+            assert list(zip(got["key"].to_pylist(),
+                            got["score"].to_pylist())) == want, probes
+
+    def test_count_only_change_refreshes_tf(self, tmp_path, ray_session):
+        """The count-diff emitter: a token whose SET membership is
+        unchanged but whose tf moved must re-apply with the new count
+        (the set-diff emitter was blind to this)."""
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        before = idx.ranked_search_local(["fox"], k=5)
+        assert before["score"].to_pylist() == [1 << 24]  # tf=1, df=1
+        commit_rows(lake, 0, 3, [("a", 7, "red wolf fox fox", False)])
+        idx.refresh(lake)
+        after = idx.ranked_search_local(["fox"], k=5)
+        assert after["score"].to_pylist() == [2 * (1 << 24)]  # tf=2
+        # set-stable tokens with stable counts still emit nothing
+        import pyarrow.parquet as pq
+        toks_e3 = []
+        for part in range(4):
+            p = idx.lake._delta_path(part, 3)
+            if idx.lake.fs.exists(p):
+                toks_e3 += pq.read_table(
+                    p, filesystem=idx.lake.fs)["tok"].to_pylist()
+        assert set(toks_e3) == {"fox"}
+
+    def test_ray_ranked_equals_local(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        commit_rows(lake, 1, 3, [("c", 8, "fox fox wolf", False)])
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        probes = ["fox", "wolf", "red"]
+        local = idx.ranked_search_local(probes, k=10)
+        dist = idx.ranked_search(probes, k=10).take_all()
+        assert [(r["key"], r["score"]) for r in dist] == \
+            list(zip(local["key"].to_pylist(), local["score"].to_pylist()))
+
+    def test_ranked_as_of_and_compact(self, tmp_path, ray_session):
+        lake = seed_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        # as-of epoch 0: both a and b carry fox tf=1, df=2
+        t0 = idx.ranked_search_local(["fox"], k=5, as_of=0)
+        assert t0["key"].to_pylist() == ["a", "b"]
+        assert t0["score"].to_pylist() == [(1 << 24) // 2] * 2
+        tip = idx.ranked_search_local(["fox", "wolf"], k=5)
+        idx.compact()
+        assert idx.ranked_search_local(["fox", "wolf"], k=5).equals(tip)
+
+
 class TestCLI:
+    def test_ranked_search_cli(self, tmp_path, capsys, ray_session):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lake_root = tmp_path / "lake"
+        lake = seed_lake(lake_root)
+        commit_rows(lake, 0, 3, [("c", 7, "fox fox fox", False)])
+        assert main(["text-index", str(lake_root)]) == 0
+        capsys.readouterr()
+        assert main(["search", str(lake_root), "fox", "red", "--ranked",
+                     "--topk", "2"]) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines()]
+        # c: tf(fox)=3 × (2^24//2); a: tf(fox)=1 × (2^24//2) + tf(red)=1
+        # × (2^24//1) — a outranks c on the rare 'red' term
+        assert [r["url"] for r in rows] == ["a", "c"]
+        assert rows[0]["score"] == (1 << 24) // 2 + (1 << 24)
+        assert rows[1]["score"] == 3 * ((1 << 24) // 2)
+
     def test_text_index_and_search_cli(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main
 
