@@ -10,7 +10,7 @@ from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
 from .neardup import NearDupIndex
 from .textindex import TextIndex, text_index_root
 from .vecindex import VectorIndex, vec_index_root
-from .lake import Lake, Lineage
+from .lake import Lake, Lineage, WriterFencedError
 from .merge import (
     ensure_deleted_col,
     latest_per_key,
@@ -30,7 +30,8 @@ __all__ = [
     "seed_from_warc",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",
     "num_epochs_in", "replay", "url_partition",
-    "Lake", "Lineage", "ensure_deleted_col", "latest_per_key", "live_view",
+    "Lake", "Lineage", "WriterFencedError", "ensure_deleted_col",
+    "latest_per_key", "live_view",
     "merge_base_with_updates", "unified_schema", "unify_to_schema",
     "oracle_final_state", "oracle_live_texts",
     "MaterializedView", "group_lang", "value_text_len",

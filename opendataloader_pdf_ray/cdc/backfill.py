@@ -169,6 +169,8 @@ def backfill(lake: Lake, fn: Callable[[pa.Table], pa.Table],
 
     if epoch is None:
         epoch = resolve_backfill_epoch(lake, name)
+    from .retention import _fence_writer
+    _fence_writer(lake, "backfill")  # zombie tails die at their next poll
     parts = _live_parts(lake)
     if not parts:
         return []

@@ -49,6 +49,15 @@ _LINEAGE_AGGS = {"n_events": "sum", "seq_lo": "min", "seq_hi": "max"}
 _HELPER_COLS = ["part", "salt", "n_events", "seq_lo", "seq_hi"]
 
 
+def _writer_owner(role: str) -> str:
+    """Ops-plane writer identity for fencing tokens (host:pid:role) —
+    metadata only, never influences data bytes."""
+    import os as _os
+    import socket as _socket
+
+    return f"{_socket.gethostname()}:{_os.getpid()}:{role}"
+
+
 def dup_index_root(lake_root: str) -> str:
     """The fingerprint keyspace lives INSIDE the lake root (one deployment
     unit, shared fsspec credentials) but under its own commit log — the main
@@ -619,6 +628,13 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     that silently skipped data. Without ``max_idle_polls`` a post-stop hole
     keeps the tailer polling (visible to operators), never lying.
 
+    Single-writer FENCING: the tail acquires the lake's writer token at
+    start and re-checks it at every poll, so a zombie tail (wedged, then
+    woken after an operator restarted it elsewhere) or a tail racing a
+    maintenance op (retention/backfill, which also bump the token) raises
+    ``WriterFencedError`` at its next poll instead of double-writing. The
+    commit log makes the fenced writer's progress safe to resume.
+
     ``followers`` (optional): lake-follower indexes (``FollowerIndex`` —
     text/vector keyspaces) refreshed after every poll that commits epochs,
     so indexes stay fresh AS the tail ingests. Each refresh is the
@@ -632,9 +648,14 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
 
     cfg = cfg or CDCConfig()
     lake = Lake(lake_root, cfg.num_partitions)
+    # fencing token: a restarted tail (or a maintenance op) bumps the
+    # generation, and THIS process dies loudly at its next poll instead of
+    # zombie-writing alongside the new owner (lake.acquire_writer)
+    fence_tok = lake.acquire_writer(_writer_owner("follow"))
     lineage: List[dict] = []
     idle = 0
     while True:
+        lake.check_writer(fence_tok)
         # marker BEFORE extent (TOCTOU guard): the producer contract is
         # "write all segments, then the marker", so sampling the marker
         # first guarantees the extent read afterwards covers everything

@@ -90,6 +90,11 @@ def _bloom_maybe_any(bloom: Dict, urls: List[str]) -> bool:
                                int(bloom["k"])).any())
 
 
+class WriterFencedError(RuntimeError):
+    """A newer writer acquired the lake's fencing token; this writer must
+    stop (its commit-log progress is safe — the new writer resumes it)."""
+
+
 @dataclass
 class Lineage:
     part: int
@@ -243,6 +248,45 @@ class Lake:
         walk for change-feed / replication tails."""
         return (self.fs.exists(self.epoch_done_path(epoch))
                 or self.fs.exists(self.epoch_maint_path(epoch)))
+
+    # --------------------------------------------------------- writer fence
+    def writer_path(self) -> str:
+        return posixpath.join(self._commits_dir(), "writer.json")
+
+    def writer_token(self) -> Optional[dict]:
+        if not self.fs.exists(self.writer_path()):
+            return None
+        with self.fs.open(self.writer_path(), "rb") as f:
+            return json.loads(f.read().decode())
+
+    def acquire_writer(self, owner: str) -> dict:
+        """Take writership by bumping the generation — the lease-less
+        fencing token (Kleppmann-style). The NEW writer always wins: any
+        holder of an older token sees the bump at its next
+        ``check_writer`` and dies loudly instead of double-writing. On
+        stores without compare-and-swap two simultaneous acquires can both
+        think they won for one check interval; the guarantee is
+        check-before-publish, so at most one of them advances past the
+        next epoch boundary (the commit protocol keeps even that window
+        idempotent for identical sources). The token is ops-plane
+        metadata — it never influences data bytes, so determinism of
+        lake content is untouched."""
+        cur = self.writer_token()
+        tok = {"gen": (int(cur["gen"]) if cur else 0) + 1, "owner": owner}
+        self._write_small_atomic(self.writer_path(),
+                                 json.dumps(tok).encode())
+        return tok
+
+    def check_writer(self, token: dict) -> None:
+        """Raise :class:`WriterFencedError` unless ``token`` is still the
+        current writer — called by tails before each poll/publish."""
+        cur = self.writer_token()
+        if cur != token:
+            raise WriterFencedError(
+                f"writer fenced: lake {self.root} is now owned by "
+                f"{cur} (this writer held {token}) — a newer tail or "
+                f"maintenance op took over; stop this process and let "
+                f"the new writer resume from the commit log")
 
     def committed_epochs(self, part: int) -> List[int]:
         prefix = f"part-{part:04d}-epoch-"

@@ -184,12 +184,19 @@ def follow_replicate(src: Lake, dst_root: str, poll_interval: float = 0.5,
     progress."""
     import time as _time
 
+    from .ingest import _writer_owner
+
     dst = Lake(dst_root, src.num_partitions)
+    # fence the REPLICA: a second follow_replicate (or a replica promoted
+    # to primary with its own tail) bumps the token and this one dies at
+    # its next poll instead of double-applying (see ingest.follow)
+    fence_tok = dst.acquire_writer(_writer_owner("replicate"))
     watermark = -1
     while dst.is_epoch_complete(watermark + 1):
         watermark += 1
     idle = 0
     while True:
+        dst.check_writer(fence_tok)
         stopping = bool(stopped()) if stopped is not None else False
         hi = watermark
         while src.is_epoch_complete(hi + 1):

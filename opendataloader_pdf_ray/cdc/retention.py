@@ -99,6 +99,7 @@ def apply_retention(lake: Lake, cutoff_ts_us: int, ts_col: str = "warc_ts",
 
     if epoch is None:
         epoch = resolve_backfill_epoch(lake, f"retention:{cutoff_ts_us}")
+    _fence_writer(lake, "retention")  # zombie tails die at their next poll
     parts = _live_parts(lake)
     if not parts:
         return []
@@ -114,3 +115,13 @@ def apply_retention(lake: Lake, cutoff_ts_us: int, ts_col: str = "warc_ts",
     # watermark tail (follow_changes, follow_replicate) stalls here forever
     lake.mark_epoch_maint(epoch)
     return out
+
+
+def _fence_writer(lake: Lake, role: str) -> dict:
+    """Maintenance ops are writers too: bump the fencing token so a
+    concurrently-running tail dies loudly at its next poll instead of
+    colliding with the maintenance epoch (the data-plane
+    ``_guard_cdc_epoch`` loud-fail stays as the backstop)."""
+    from .ingest import _writer_owner
+
+    return lake.acquire_writer(_writer_owner(role))
