@@ -160,6 +160,40 @@ def _call_search_lake(a: Dict[str, Any]) -> str:
         for t in sorted(set(str(t) for t in a["tokens"]))])
 
 
+_RANKED_TOOL = {
+    "name": "ranked_search_lake",
+    "description": "Ranked full-text top-k over a CDC lake's inverted "
+                   "index: scores LIVE urls by exact-integer tf-idf "
+                   "(postings carry tf; idf from per-token posting "
+                   "counts). In-process partition-pruned reads; no "
+                   "cluster is started.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake", "tokens"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "tokens": {"type": "array", "items": {"type": "string"}},
+            "topk": {"type": "integer", "default": 10},
+            "as_of": {"type": "integer",
+                      "description": "Time-travel: search as of this epoch."},
+        },
+    },
+}
+
+
+def _call_ranked_search_lake(a: Dict[str, Any]) -> str:
+    from .cdc.textindex import TextIndex, text_index_root
+
+    idx = TextIndex(text_index_root(a["lake"]))
+    hits = idx.ranked_search_local([str(t) for t in a["tokens"]],
+                                   k=int(a.get("topk", 10)),
+                                   as_of=a.get("as_of"))
+    return json.dumps([
+        {"url": k, "score": s}
+        for k, s in zip(hits["key"].to_pylist(),
+                        hits["score"].to_pylist())])
+
+
 def _call_semantic_search_lake(a: Dict[str, Any]) -> str:
     import numpy as np
     import pyarrow as pa
@@ -183,6 +217,7 @@ def _call_semantic_search_lake(a: Dict[str, Any]) -> str:
 _TOOLS = {
     "convert_html": (_TOOL_SCHEMA, _call_convert_html),
     "search_lake": (_SEARCH_TOOL, _call_search_lake),
+    "ranked_search_lake": (_RANKED_TOOL, _call_ranked_search_lake),
     "semantic_search_lake": (_SEMANTIC_TOOL, _call_semantic_search_lake),
 }
 

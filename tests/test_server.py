@@ -21,7 +21,8 @@ class TestProtocol:
         assert init["result"]["serverInfo"]["name"] == "opendataloader-pdf-ray"
         tools = _call("tools/list")["result"]["tools"]
         assert [t["name"] for t in tools] == [
-            "convert_html", "search_lake", "semantic_search_lake"]
+            "convert_html", "search_lake", "ranked_search_lake",
+            "semantic_search_lake"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -114,6 +115,20 @@ class TestLakeSearchTools:
         rows = {r["token"]: r["urls"] for r in
                 json.loads(resp["result"]["content"][0]["text"])}
         assert rows == {"alpha": ["a"], "beta": ["a", "b"], "nosuch": []}
+
+    def test_ranked_search_lake_tool(self, tmp_path, ray_session):
+        root = self._seeded_lake(tmp_path, ray_session)
+        resp = _call("tools/call", {"name": "ranked_search_lake",
+                                    "arguments": {"lake": root,
+                                                  "tokens": ["beta",
+                                                             "alpha"],
+                                                  "topk": 2}})
+        assert resp["result"]["isError"] is False
+        hits = json.loads(resp["result"]["content"][0]["text"])
+        # a: beta (df=2) + alpha (df=1) = 3×2^23; b: beta only = 2^23
+        assert [h["url"] for h in hits] == ["a", "b"]
+        assert hits[0]["score"] == (1 << 23) + (1 << 24)
+        assert hits[1]["score"] == 1 << 23
 
     def test_semantic_search_lake_tool(self, tmp_path, ray_session):
         root = self._seeded_lake(tmp_path, ray_session)
