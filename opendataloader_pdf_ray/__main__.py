@@ -849,7 +849,8 @@ def cmd_text_index(args) -> int:
     if n_idx is None and not os.path.exists(
             os.path.join(root, "_commits", "lake.json")):
         n_idx = 32  # fresh index with no persisted metadata
-    idx = TextIndex(root, num_partitions=n_idx)
+    idx = TextIndex(root, num_partitions=n_idx,
+                    positional=(True if args.positional else None))
     lineage = idx.refresh(lake, up_to=args.up_to)
     committed = sum(1 for r in lineage if not r["skipped"])
     print(json.dumps({"lake": args.lake, "watermark": idx.watermark(),
@@ -862,6 +863,12 @@ def cmd_search(args) -> int:
     from .cdc import TextIndex, text_index_root
 
     idx = TextIndex(text_index_root(args.lake))
+    if args.phrase:
+        hits = idx.phrase_search(args.token, as_of=args.as_of).take_all()
+        keys = sorted(r["key"] for r in hits)
+        print(json.dumps({"phrase": " ".join(args.token),
+                          "n_urls": len(keys), "urls": keys[:args.show]}))
+        return 0
     if args.ranked:
         top = idx.ranked_search(args.token, k=args.topk,
                                 as_of=args.as_of).take_all()
@@ -1275,6 +1282,10 @@ def main(argv=None) -> int:
     ti.add_argument("lake")
     ti.add_argument("--partitions", type=int, default=None,
                     help="lake partitions override; persisted metadata wins")
+    ti.add_argument("--positional", action="store_true",
+                    help="store token positions in postings (4B/occurrence"
+                         " — enables `search --phrase`); index-persistent,"
+                         " a mismatched reopen fails loudly")
     ti.add_argument("--idx-partitions", type=int, default=None,
                     help="index partitions at creation (default 32; "
                          "existing index metadata wins)")
@@ -1298,6 +1309,10 @@ def main(argv=None) -> int:
                          "counts) instead of boolean membership")
     se.add_argument("--topk", type=int, default=10,
                     help="ranked mode: rows returned")
+    se.add_argument("--phrase", action="store_true",
+                    help="treat the tokens as an exact consecutive phrase "
+                         "(requires a positional index: text-index "
+                         "--positional)")
     se.set_defaults(fn=cmd_search)
 
     vi = sub.add_parser("vec-index",

@@ -58,6 +58,11 @@ POSTING_SCHEMA = pa.schema([
                          # for ranked retrieval; set-membership consumers
                          # (search) ignore it. Indexes built before this
                          # column fold with tf=null (ranked treats as 1).
+    ("pos", pa.binary()),  # OPTIONAL token positions (packed uint32 LE,
+                           # len == 4·tf) for phrase search — only when the
+                           # index is built with positional=True; null
+                           # otherwise (the ~4B/occurrence cost is the
+                           # standard positional-index trade, opt-in).
 ])
 
 _IDENTITY = ("tok", "key")
@@ -95,12 +100,14 @@ class _EmitTokenDeltas:
 
     def __init__(self, lake_root: str, lake_partitions: Optional[int],
                  since: int, up_to: int, key_col: str, text_col: str,
-                 token_pattern: str, num_idx_partitions: int):
+                 token_pattern: str, num_idx_partitions: int,
+                 positional: bool = False):
         self.lake_root, self.lake_partitions = lake_root, lake_partitions
         self.since, self.up_to = since, up_to
         self.key_col, self.text_col = key_col, text_col
         self.token_pattern = token_pattern
         self.num_idx_partitions = num_idx_partitions
+        self.positional = positional
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lake = Lake(self.lake_root, self.lake_partitions)
@@ -123,6 +130,22 @@ class _EmitTokenDeltas:
 
         return Counter(tok_re.findall(text.lower()))
 
+    def _profile(self, text: Optional[str], tok_re) -> Dict:
+        """Per-token diff unit: count (int) in count mode, packed uint32-LE
+        positions (bytes) in positional mode — inequality IS the emit
+        rule either way. Positional is strictly finer: an edit that shifts
+        positions re-emits shifted tokens even at equal tf (the inherent
+        positional-index update cost); unchanged-prefix tokens still skip."""
+        if not self.positional:
+            return self._counts(text, tok_re)
+        if not text:
+            return {}
+        pos: Dict[str, List[int]] = {}
+        for i, tok in enumerate(tok_re.findall(text.lower())):
+            pos.setdefault(tok, []).append(i)
+        return {tok: np.asarray(p, "<u4").tobytes()
+                for tok, p in pos.items()}
+
     def _live_text(self, state: Optional[pa.Table]) -> Dict[str, str]:
         if state is None or state.num_rows == 0:
             return {}
@@ -142,26 +165,32 @@ class _EmitTokenDeltas:
         out: List[pa.Table] = []
         for e in epochs:
             winners, state = follower_epoch_candidates(lake, part, e, state)
-            toks, keys, signs, tfs = [], [], [], []
+            toks, keys, signs, tfs, poss = [], [], [], [], []
             w_keys = winners[self.key_col].to_numpy(zero_copy_only=False)
             w_texts = column_or_nulls(winners, self.text_col)
             w_dead = (pc.fill_null(winners["deleted"], False).to_numpy(
                 zero_copy_only=False) if "deleted" in winners.column_names
                 else np.zeros(len(w_keys), bool))
             for k, t, d in zip(w_keys, w_texts, w_dead):
-                # COUNT diff, not set diff: a count-only change (token
-                # kept, tf moved) re-applies with the new tf so ranked
-                # retrieval stays fresh; set membership is unchanged.
-                # Delta volume still scales with churned tokens only.
-                old = self._counts(live.get(k), tok_re)
-                new = {} if d else self._counts(t, tok_re)
+                # COUNT diff (or POSITION diff when positional), not set
+                # diff: a count-only change (token kept, tf moved)
+                # re-applies with the new tf so ranked retrieval stays
+                # fresh; set membership is unchanged. Delta volume still
+                # scales with churned tokens only.
+                old = self._profile(live.get(k), tok_re)
+                new = {} if d else self._profile(t, tok_re)
                 for tok in sorted(set(old) | set(new)):
-                    o, nw = old.get(tok, 0), new.get(tok, 0)
+                    o, nw = old.get(tok), new.get(tok)
                     if nw == o:
                         continue
                     toks.append(tok); keys.append(k)
-                    signs.append(1 if nw > 0 else -1)
-                    tfs.append(nw)
+                    signs.append(1 if nw is not None else -1)
+                    if self.positional:
+                        tfs.append(0 if nw is None else len(nw) // 4)
+                        poss.append(nw)
+                    else:
+                        tfs.append(nw or 0)
+                        poss.append(None)
             if toks:
                 t = pa.table({
                     "tok": pa.array(toks, pa.string()),
@@ -169,6 +198,7 @@ class _EmitTokenDeltas:
                     "epoch": pa.array(np.full(len(toks), e, np.int64)),
                     "sign": pa.array(np.array(signs, np.int8)),
                     "tf": pa.array(np.array(tfs, np.int32)),
+                    "pos": pa.array(poss, pa.binary()),
                 })
                 out.append(t.append_column(
                     HELPER_COL,
@@ -190,17 +220,54 @@ class TextIndex(FollowerIndex):
 
     def __init__(self, root: str, num_partitions: Optional[int] = None,
                  key_col: str = "url", text_col: str = "text",
-                 token_pattern: str = r"\w+"):
+                 token_pattern: str = r"\w+",
+                 positional: Optional[bool] = None):
         super().__init__(root, num_partitions)
         self.key_col, self.text_col = key_col, text_col
         self.token_pattern = token_pattern
+        # positional is INDEX-persistent config (a count-mode refresh into
+        # a positional index would silently break phrase semantics): the
+        # stored choice wins on reopen; a conflicting explicit request
+        # fails loudly. Persisted at first refresh, never on read-only
+        # opens (constructing over a missing index stays side-effect-free).
+        stored = self._stored_config()
+        if stored is not None and positional is not None \
+                and bool(stored.get("positional")) != positional:
+            raise ValueError(
+                f"index at {root} was built with "
+                f"positional={stored.get('positional')}; refusing "
+                f"positional={positional} (rebuild the index to switch)")
+        self.positional = (bool(stored.get("positional")) if stored
+                           is not None else bool(positional))
         self._extra_init = {"key_col": key_col, "text_col": text_col,
-                            "token_pattern": token_pattern}
+                            "token_pattern": token_pattern,
+                            "positional": self.positional}
+
+    def _config_path(self) -> str:
+        return posixpath.join(self.lake._commits_dir(), "textidx.json")
+
+    def _stored_config(self) -> Optional[dict]:
+        import json as _json
+
+        if not self.lake.fs.exists(self._config_path()):
+            return None
+        with self.lake.fs.open(self._config_path(), "rb") as f:
+            return _json.loads(f.read().decode())
+
+    def refresh(self, lake: Lake, up_to: Optional[int] = None):
+        import json as _json
+
+        if self._stored_config() is None:
+            self.lake._write_small_atomic(
+                self._config_path(),
+                _json.dumps({"positional": self.positional}).encode())
+        return super().refresh(lake, up_to)
 
     def make_emitter(self, lake: Lake, since: int, up_to: int):
         return _EmitTokenDeltas(lake.root, lake.num_partitions, since,
                                 up_to, self.key_col, self.text_col,
-                                self.token_pattern, self.num_partitions)
+                                self.token_pattern, self.num_partitions,
+                                positional=self.positional)
 
     # ------------------------------------------------------------- search
     def search(self, tokens: List[str], as_of: Optional[int] = None):
@@ -357,3 +424,114 @@ class TextIndex(FollowerIndex):
         return pa.table({
             "key": pa.array([x for x, _ in top], pa.string()),
             "score": pa.array([s for _, s in top], pa.int64())})
+
+    # -------------------------------------------------------- phrase search
+    @staticmethod
+    def _phrase_hits(posmap: Dict[str, Dict[str, bytes]],
+                     phrase: List[str]) -> List[str]:
+        """Keys whose positions contain the phrase tokens CONSECUTIVELY:
+        start from token 0's positions, keep starts p where token j sits
+        at p+j — the classic positional-index adjacency walk, vectorized
+        per key. ``posmap``: tok → key → packed uint32 positions."""
+        if not phrase:
+            return []
+        first = posmap.get(phrase[0], {})
+        cands = set(first)
+        for tok in phrase[1:]:
+            cands &= set(posmap.get(tok, {}))
+        hits = []
+        for key in sorted(cands):
+            cur = np.frombuffer(first[key], "<u4").astype(np.int64)
+            for j, tok in enumerate(phrase[1:], 1):
+                nxt = np.frombuffer(posmap[tok][key], "<u4").astype(np.int64)
+                cur = cur[np.isin(cur + j, nxt)]
+                if not cur.size:
+                    break
+            if cur.size:
+                hits.append(key)
+        return hits
+
+    def _require_positional(self) -> None:
+        if not self.positional:
+            raise ValueError(
+                f"index at {self.lake.root} carries no positions — build "
+                "it with positional=True (text-index --positional) for "
+                "phrase search")
+
+    def phrase_search(self, phrase_tokens: List[str],
+                      as_of: Optional[int] = None):
+        """Keys whose LIVE text contains the exact token sequence — a Ray
+        Dataset of (key) rows. Same ``O(|probed partitions|)`` pruning as
+        :meth:`search`; partitions emit (tok, key, pos) rows bounded by the
+        probe tokens' posting lists, a key groupby co-locates each
+        candidate's positions, and the adjacency walk verifies per key."""
+        import ray.data as _rd
+
+        self._require_positional()
+        phrase = [t.lower() for t in phrase_tokens]
+        probes = sorted(set(phrase))
+        parts = sorted({int(p) for p in
+                        tok_partition(probes, self.num_partitions)})
+        root, n = self.lake.root, self.num_partitions
+        probe_set = pa.array(probes, pa.string())
+        mid_schema = pa.schema([("tok", pa.string()), ("key", pa.string()),
+                                ("pos", pa.binary())])
+        out_schema = pa.schema([("key", pa.string())])
+
+        def read_part(batch: pa.Table) -> pa.Table:
+            lake = Lake(root, n)
+            out: List[pa.Table] = []
+            for part in batch["part"].to_pylist():
+                t = read_posting_partition(lake, int(part), as_of=as_of)
+                if t is None or t.num_rows == 0:
+                    continue
+                hit = t.filter(pc.and_(
+                    pc.is_in(t["tok"], value_set=probe_set),
+                    pc.greater(t["sign"], 0)))
+                if hit.num_rows:
+                    out.append(hit.select(["tok", "key", "pos"]))
+            return (pa.concat_tables(out) if out
+                    else mid_schema.empty_table())
+
+        def verify(group: pa.Table) -> pa.Table:
+            # one candidate key's postings for the probe tokens
+            posmap: Dict[str, Dict[str, bytes]] = {}
+            for tok, key, pos in zip(group["tok"].to_pylist(),
+                                     group["key"].to_pylist(),
+                                     group["pos"].to_pylist()):
+                posmap.setdefault(tok, {})[key] = pos or b""
+            return pa.table({"key": pa.array(
+                TextIndex._phrase_hits(posmap, phrase), pa.string())})
+
+        if not parts:
+            return _rd.from_arrow(out_schema.empty_table())
+        return (_rd.from_items([{"part": p} for p in parts])
+                .map_batches(read_part, batch_format="pyarrow",
+                             batch_size=1)
+                .groupby("key")
+                .map_groups(verify, batch_format="pyarrow"))
+
+    def phrase_search_local(self, phrase_tokens: List[str],
+                            as_of: Optional[int] = None) -> pa.Table:
+        """In-process :meth:`phrase_search` (no Ray session) — the serving
+        path; returns sorted (key) rows."""
+        self._require_positional()
+        phrase = [t.lower() for t in phrase_tokens]
+        probes = sorted(set(phrase))
+        probe_set = pa.array(probes, pa.string())
+        parts = sorted({int(p) for p in
+                        tok_partition(probes, self.num_partitions)})
+        posmap: Dict[str, Dict[str, bytes]] = {}
+        for part in parts:
+            t = self.read_partition(part, as_of=as_of)
+            if t is None or t.num_rows == 0:
+                continue
+            hit = t.filter(pc.and_(
+                pc.is_in(t["tok"], value_set=probe_set),
+                pc.greater(t["sign"], 0)))
+            for tok, key, pos in zip(hit["tok"].to_pylist(),
+                                     hit["key"].to_pylist(),
+                                     hit["pos"].to_pylist()):
+                posmap.setdefault(tok, {})[key] = pos or b""
+        return pa.table({"key": pa.array(
+            self._phrase_hits(posmap, phrase), pa.string())})

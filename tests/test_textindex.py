@@ -377,6 +377,91 @@ class TestRanked:
         assert idx.ranked_search_local(["fox", "wolf"], k=5).equals(tip)
 
 
+class TestPhrase:
+    def _idx(self, tmp_path):
+        lake = Lake(str(tmp_path / "lake"), 2)
+        commit_rows(lake, 0, 0, [("a", 1, "the big bad wolf howls", False)])
+        commit_rows(lake, 1, 0, [("b", 2, "bad wolf the big den", False),
+                                 ("c", 3, "big bad ideas", False)])
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4,
+                        positional=True)
+        idx.refresh(lake)
+        return lake, idx
+
+    def test_phrase_adjacency(self, tmp_path, ray_session):
+        lake, idx = self._idx(tmp_path)
+        # 'big bad wolf' consecutive only in a; 'big bad' in a and c;
+        # b has all three tokens but never consecutively
+        assert idx.phrase_search_local(
+            ["big", "bad", "wolf"])["key"].to_pylist() == ["a"]
+        assert idx.phrase_search_local(
+            ["big", "bad"])["key"].to_pylist() == ["a", "c"]
+        assert idx.phrase_search_local(
+            ["wolf", "howls"])["key"].to_pylist() == ["a"]
+        assert idx.phrase_search_local(
+            ["bad", "howls"])["key"].to_pylist() == []
+        # single token degenerates to membership
+        assert idx.phrase_search_local(
+            ["wolf"])["key"].to_pylist() == ["a", "b"]
+
+    def test_phrase_tracks_updates_and_as_of(self, tmp_path, ray_session):
+        lake, idx = self._idx(tmp_path)
+        # b's edit makes the phrase: positions shift — the position-diff
+        # emitter must re-apply shifted tokens
+        commit_rows(lake, 1, 1, [("b", 4, "the big bad wolf den", False)])
+        idx.refresh(lake)
+        assert idx.phrase_search_local(
+            ["big", "bad", "wolf"])["key"].to_pylist() == ["a", "b"]
+        assert idx.phrase_search_local(
+            ["big", "bad", "wolf"], as_of=0)["key"].to_pylist() == ["a"]
+
+    def test_ray_phrase_equals_local(self, tmp_path, ray_session):
+        lake, idx = self._idx(tmp_path)
+        dist = sorted(r["key"] for r in
+                      idx.phrase_search(["big", "bad"]).take_all())
+        assert dist == idx.phrase_search_local(
+            ["big", "bad"])["key"].to_pylist()
+
+    def test_positional_config_is_persistent(self, tmp_path, ray_session):
+        lake, idx = self._idx(tmp_path)
+        # reopen with no flag: stored positional wins
+        reopened = TextIndex(str(tmp_path / "ti"))
+        assert reopened.positional
+        assert reopened.phrase_search_local(
+            ["big", "bad"])["key"].to_pylist() == ["a", "c"]
+        # conflicting reopen fails loudly
+        with pytest.raises(ValueError, match="rebuild"):
+            TextIndex(str(tmp_path / "ti"), positional=False)
+        # non-positional index refuses phrase search
+        other = TextIndex(str(tmp_path / "flat"), num_partitions=4)
+        other.refresh(lake)
+        with pytest.raises(ValueError, match="no positions"):
+            other.phrase_search_local(["big", "bad"])
+
+    def test_ranked_unaffected_by_positions(self, tmp_path, ray_session):
+        """tf from positional postings == tf from count postings."""
+        lake, idx = self._idx(tmp_path)
+        flat = TextIndex(str(tmp_path / "flat"), num_partitions=4)
+        flat.refresh(lake)
+        probes = ["big", "bad", "wolf", "the"]
+        assert idx.ranked_search_local(probes, k=5).equals(
+            flat.ranked_search_local(probes, k=5))
+
+    def test_phrase_cli(self, tmp_path, capsys, ray_session):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lake_root = str(tmp_path / "lake")
+        lake = Lake(lake_root, 2)
+        commit_rows(lake, 0, 0, [("a", 1, "alpha beta gamma", False)])
+        commit_rows(lake, 1, 0, [("b", 2, "beta alpha gamma", False)])
+        assert main(["text-index", lake_root, "--positional"]) == 0
+        capsys.readouterr()
+        assert main(["search", lake_root, "alpha", "beta",
+                     "--phrase"]) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out == {"phrase": "alpha beta", "n_urls": 1, "urls": ["a"]}
+
+
 class TestCLI:
     def test_ranked_search_cli(self, tmp_path, capsys, ray_session):
         from opendataloader_pdf_ray.__main__ import main
