@@ -509,6 +509,10 @@ def cmd_export(args) -> int:
     from .cdc import Lake
 
     lake = Lake(args.lake, args.partitions)
+    if args.partition_by and (args.stream or args.wet):
+        print("error: --partition-by requires the default resumable "
+              "export (not --stream/--wet)", file=sys.stderr)
+        return 2
     if args.wet:
         from .sources.warc import export_wet
 
@@ -539,7 +543,8 @@ def cmd_export(args) -> int:
         # skips every part=NNNN.parquet that already exists (atomic writes
         # make existence mean complete)
         summary = lake.export_resumable(args.out, as_of=args.as_of,
-                                        include_tombstones=args.tombstones)
+                                        include_tombstones=args.tombstones,
+                                        partition_by=args.partition_by)
         print(json.dumps({
             "rows": sum(s["rows"] for s in summary),
             "out": args.out,
@@ -1134,6 +1139,11 @@ def main(argv=None) -> int:
                     help="one streaming write_parquet instead of the "
                          "default resumable per-partition files (a crashed "
                          "default export re-run skips finished partitions)")
+    ex.add_argument("--partition-by", default=None, metavar="COL",
+                    help="Hive-layout export: out/COL=value/part=NNNN."
+                         "parquet per lake partition (resumable +"
+                         " incremental via per-partition manifests; stale"
+                         " value slices removed on rewrite)")
     ex.add_argument("--wet", action="store_true",
                     help="write WET-style WARC conversion records (the "
                          "Common-Crawl extracted-text format) instead of "

@@ -456,7 +456,8 @@ class Lake:
         return _changes(self, since=since, until=until, columns=columns)
 
     def export_resumable(self, out: str, as_of: Optional[int] = None,
-                         include_tombstones: bool = False) -> List[Dict]:
+                         include_tombstones: bool = False,
+                         partition_by: Optional[str] = None) -> List[Dict]:
         """RESUMABLE + INCREMENTAL partitioned export (the brief's
         resumable-output rule): one task per live partition writes
         ``out/part=NNNN.parquet`` atomically (temp+rename on local
@@ -470,6 +471,19 @@ class Lake:
           (incremental refresh: cost scales with churn, not lake size),
         - rewrites unstamped files (pre-stamp exports: can't prove currency).
 
+        ``partition_by``: Hive-layout export — each lake partition's live
+        rows split by the column's values into
+        ``out/<col>=<val>/part=NNNN.parquet`` (the layout downstream
+        training jobs read one language/domain slice of, with parquet
+        dataset value pruning). Resume/refresh bookkeeping moves to a tiny
+        per-lake-partition manifest (``out/_parts/part=NNNN.json``: tip
+        epoch + file list) because the VALUE SET can churn between epochs:
+        a rewrite deletes the manifest's now-stale value files, so a lang
+        that vanished from a partition cannot leave a stale slice behind.
+        Crash anywhere → next run sees a missing/old-tip manifest and
+        rewrites that partition's value files (atomic each) before
+        re-manifesting: convergent.
+
         Schema-unified like :meth:`read_dataset`; the driver handles
         partition ids and ≤P summary rows only."""
         import ray.data as _rd
@@ -477,8 +491,85 @@ class Lake:
         live_parts, target = self._unified_live(as_of)
         if target is None:
             return []
+        if partition_by is not None and partition_by not in target.names:
+            raise ValueError(f"partition_by column {partition_by!r} not in "
+                             f"lake schema {target.names}")
         root, n_parts = self.root, self.num_partitions
         _STAMP = b"odl_export_epoch"
+
+        def _atomic_write(ofs, is_local: bool, t: pa.Table,
+                          path: str) -> None:
+            ofs.makedirs(posixpath.dirname(path), exist_ok=True)
+            if is_local:
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(t, tmp, compression="zstd", filesystem=ofs)
+                ofs.mv(tmp, path)
+            else:
+                pq.write_table(t, path, compression="zstd", filesystem=ofs)
+
+        def hive_task(batch: pa.Table) -> pa.Table:
+            from urllib.parse import quote
+
+            ofs, _ = fsspec.core.url_to_fs(out)
+            is_local = "file" in (ofs.protocol if isinstance(
+                ofs.protocol, (list, tuple)) else (ofs.protocol,))
+            lake = Lake(root, n_parts)
+            parts, rows, tips, skipped = [], [], [], []
+            for part in batch["part"].to_pylist():
+                part = int(part)
+                tip = lake.latest_epoch(part, as_of)
+                mpath = posixpath.join(out, "_parts",
+                                       f"part={part:04d}.json")
+                old = None
+                if ofs.exists(mpath):
+                    with ofs.open(mpath, "rb") as f:
+                        old = json.loads(f.read().decode())
+                if old is not None and tip is not None \
+                        and old.get("tip") == tip:
+                    parts.append(part); rows.append(int(old["rows"]))
+                    tips.append(tip); skipped.append(True)
+                    continue
+                t = lake.read_partition(part, as_of)
+                if t is None:
+                    continue
+                t = unify_to_schema(t, target)
+                if not include_tombstones:
+                    t = live_view(t)
+                vals = [str(x) if x is not None else None
+                        for x in t[partition_by].to_pylist()]
+                written: List[str] = []
+                for v in sorted(set(vals), key=lambda x: (x is None, x)):
+                    mask = pa.array([x == v for x in vals])
+                    sub = t.filter(mask)
+                    leaf = ("__HIVE_DEFAULT_PARTITION__" if v is None
+                            else quote(v, safe=""))
+                    rel = posixpath.join(f"{partition_by}={leaf}",
+                                         f"part={part:04d}.parquet")
+                    _atomic_write(ofs, is_local, sub,
+                                  posixpath.join(out, rel))
+                    written.append(rel)
+                for rel in (old or {}).get("files", []):
+                    if rel not in written:  # value vanished: drop the slice
+                        stale = posixpath.join(out, rel)
+                        if ofs.exists(stale):
+                            ofs.rm_file(stale)
+                ofs.makedirs(posixpath.join(out, "_parts"), exist_ok=True)
+                manifest = json.dumps({"tip": tip, "rows": t.num_rows,
+                                       "files": written}).encode()
+                if is_local:
+                    tmpm = mpath + f".tmp-{uuid.uuid4().hex}"
+                    with ofs.open(tmpm, "wb") as f:
+                        f.write(manifest)
+                    ofs.mv(tmpm, mpath)
+                else:
+                    with ofs.open(mpath, "wb") as f:
+                        f.write(manifest)
+                parts.append(part); rows.append(t.num_rows)
+                tips.append(tip); skipped.append(False)
+            return pa.table({"part": pa.array(parts, pa.int32()),
+                             "rows": pa.array(rows, pa.int64()),
+                             "tip_epoch": pa.array(tips, pa.int64()),
+                             "skipped": pa.array(skipped, pa.bool_())})
 
         def task(batch: pa.Table) -> pa.Table:
             ofs, _ = fsspec.core.url_to_fs(out)
@@ -529,8 +620,9 @@ class Lake:
                              "skipped": pa.array(skipped, pa.bool_())})
 
         parts_ds = _rd.from_items([{"part": p} for p in live_parts])
-        return parts_ds.map_batches(task, batch_format="pyarrow",
-                                    batch_size=1).take_all()  # ≤ P rows
+        return parts_ds.map_batches(
+            hive_task if partition_by is not None else task,
+            batch_format="pyarrow", batch_size=1).take_all()  # ≤ P rows
 
     def partition_files(self, as_of: Optional[int] = None) -> List[str]:
         """Latest committed (and still-present) snapshot file per partition —

@@ -155,6 +155,84 @@ class TestExportCLI:
         rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep3["rows"] == want.num_rows
 
+    def test_export_partition_by_hive_layout(self, tmp_path, capsys,
+                                              ray_session):
+        """export --partition-by lang: Hive-layout slices, union == live
+        view, re-run skips, a rewrite drops stale value slices."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake, Lineage
+
+        def commit(lake, part, epoch, rows):
+            t = pa.table({
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "seq": pa.array([r[1] for r in rows], pa.int64()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "lang": pa.array([r[3] for r in rows], pa.string()),
+                "deleted": pa.array([False] * len(rows), pa.bool_()),
+            })
+            lake.commit_delta(part, epoch, t, Lineage(
+                part=part, epoch=epoch, events_consumed=len(rows),
+                rows_upserted=len(rows), rows_deleted=0,
+                seq_min=min(r[1] for r in rows),
+                seq_max=max(r[1] for r in rows)))
+
+        lake_dir, out = str(tmp_path / "lake"), str(tmp_path / "hive")
+        lake = Lake(lake_dir, 2)
+        commit(lake, 0, 0, [("a", 1, "hello", "en"), ("b", 2, "salut", "fr")])
+        commit(lake, 1, 0, [("c", 3, "welt", "de")])
+        assert main(["export", lake_dir, out, "--partition-by",
+                     "lang"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 3 and rep["files_written"] == 2
+        assert sorted(d for d in os.listdir(out)
+                      if not d.startswith("_")) == [
+            "lang=de", "lang=en", "lang=fr"]
+        got = pads.dataset(out, format="parquet",
+                           partitioning="hive",
+                           ignore_prefixes=["_"]).to_table()
+        assert sorted(got["url"].to_pylist()) == ["a", "b", "c"]
+        # re-run: manifests skip every partition
+        assert main(["export", lake_dir, out, "--partition-by",
+                     "lang"]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["files_skipped"] == 2 and rep2["files_written"] == 0
+        # b's lang flips fr→en: the rewrite must DROP the stale fr slice
+        commit(lake, 0, 1, [("b", 4, "hello again", "en")])
+        assert main(["export", lake_dir, out, "--partition-by",
+                     "lang"]) == 0
+        rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep3["files_written"] == 1 and rep3["files_skipped"] == 1
+        assert not os.path.exists(
+            os.path.join(out, "lang=fr", "part=0000.parquet"))
+        got2 = pads.dataset(out, format="parquet", partitioning="hive",
+                            ignore_prefixes=["_"]).to_table()
+        assert sorted(zip(got2["url"].to_pylist(),
+                          (str(x) for x in got2["lang"].to_pylist()))) == [
+            ("a", "en"), ("b", "en"), ("c", "de")]
+        # crash resume: delete one value file — its manifest still claims
+        # the tip, so force by deleting the manifest too
+        os.remove(os.path.join(out, "lang=de", "part=0001.parquet"))
+        os.remove(os.path.join(out, "_parts", "part=0001.json"))
+        assert main(["export", lake_dir, out, "--partition-by",
+                     "lang"]) == 0
+        rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep4["files_written"] == 1
+        assert pq.read_metadata(
+            os.path.join(out, "lang=de", "part=0001.parquet")).num_rows == 1
+        # guard: --partition-by composes only with the resumable export
+        assert main(["export", lake_dir, str(tmp_path / "x"),
+                     "--partition-by", "lang", "--stream"]) == 2
+        # guard: unknown column fails loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not in"):
+            lake.export_resumable(str(tmp_path / "y"), partition_by="nope")
+
     def test_stats_metadata_only(self, tmp_path, capsys, ray_session):
         """stats reports partition sizes / delta chains from footers only."""
         import pyarrow.parquet as pq
