@@ -452,18 +452,21 @@ def cmd_changes(args) -> int:
             return 2
         _os.makedirs(args.out, exist_ok=True)
         watermark = args.since
-        pat = _re.compile(r"feed-(-?\d+)-(\d+)\.parquet$")
-        for name in _os.listdir(args.out):
-            m = pat.match(name)
-            if m:
-                watermark = max(watermark, int(m.group(2)))
+        if args.consumer is None:
+            # no consumer group: resume from the output file names
+            pat = _re.compile(r"feed-(-?\d+)-(\d+)\.parquet$")
+            for name in _os.listdir(args.out):
+                m = pat.match(name)
+                if m:
+                    watermark = max(watermark, int(m.group(2)))
         import pyarrow.parquet as _pq
 
         windows = 0
         for lo, hi, table in follow_changes(
                 lake, since=watermark,
                 poll_interval=args.poll_interval,
-                max_idle_polls=args.idle_stop):
+                max_idle_polls=args.idle_stop,
+                consumer=args.consumer):
             path = _os.path.join(args.out, f"feed-{lo + 1}-{hi}.parquet")
             tmp = path + ".tmp"
             _pq.write_table(table, tmp, compression="zstd")
@@ -1170,6 +1173,11 @@ def main(argv=None) -> int:
     cf.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
                     help="stop after N polls with no new epochs (default: "
                          "poll forever)")
+    cf.add_argument("--consumer", default=None,
+                    help="follow mode: named consumer group — the offset "
+                         "persists in the lake (_commits/consumers/) and is "
+                         "authoritative over the output file names; a crash "
+                         "mid-window redelivers that window (at-least-once)")
     cf.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     cf.set_defaults(fn=cmd_changes)

@@ -202,9 +202,43 @@ def _snapshot_diff(snap: pa.Table, state: Optional[pa.Table]) -> pa.Table:
     return snap.filter(pa.array(changed))
 
 
+def _consumer_offset_path(lake: Lake, consumer: str) -> str:
+    import posixpath
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._\-]{1,128}", consumer):
+        raise ValueError(
+            f"consumer name {consumer!r} must match [A-Za-z0-9._-]{{1,128}}")
+    return posixpath.join(lake._commits_dir(), "consumers",
+                          f"{consumer}.json")
+
+
+def consumer_offset(lake: Lake, consumer: str) -> int:
+    """Last epoch the named consumer group fully processed (-1 = none)."""
+    import json as _json
+
+    path = _consumer_offset_path(lake, consumer)
+    if not lake.fs.exists(path):
+        return -1
+    with lake.fs.open(path, "rb") as f:
+        return int(_json.loads(f.read().decode())["epoch"])
+
+
+def store_consumer_offset(lake: Lake, consumer: str, epoch: int) -> None:
+    """Persist the named consumer group's offset (atomic tiny record in the
+    lake's ops plane — ``_commits/consumers/<name>.json``)."""
+    import json as _json
+    import posixpath
+
+    path = _consumer_offset_path(lake, consumer)
+    lake.fs.makedirs(posixpath.dirname(path), exist_ok=True)
+    lake._write_small_atomic(path, _json.dumps({"epoch": int(epoch)}).encode())
+
+
 def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
                    max_idle_polls: Optional[int] = None,
-                   stopped=None):
+                   stopped=None, consumer: Optional[str] = None,
+                   use_offset: bool = True):
     """TAIL the change feed — the consumer dual of ``ingest --mode follow``:
     a generator yielding one ``(lo_epoch, hi_epoch, pa.Table)`` tuple per
     newly COMPLETED epoch window as the producer commits them.
@@ -213,9 +247,18 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
     maintenance ``.maint`` — ``Lake.is_epoch_complete``): an epoch enters
     the feed only once every partition's commit landed, so a
     consumer never sees a half-committed epoch and each epoch is yielded
-    exactly once per generator. Offset persistence across consumer restarts
-    is the caller's (pass the last consumed ``hi_epoch`` back as
-    ``since``; the CLI derives it from its output file names).
+    exactly once per generator.
+
+    Offset persistence: pass ``consumer`` to name a durable consumer group —
+    the start point becomes ``max(since, stored offset)`` and the offset is
+    persisted only after the caller's loop RESUMES the generator past the
+    yield (i.e. the window was fully processed), giving at-least-once
+    delivery: a crash mid-window redelivers exactly that window on restart.
+    Independent names hold independent offsets. ``use_offset=False`` ignores
+    the stored offset for the START (explicit ``since`` wins — a replay) but
+    still advances it as windows complete. Without ``consumer``, offset
+    persistence is the caller's (pass the last consumed ``hi_epoch`` back as
+    ``since``; the CLI can derive it from its output file names).
 
     Stop conditions: ``stopped()`` returning True (drains whatever is done,
     then returns) or ``max_idle_polls`` consecutive polls with no progress.
@@ -224,6 +267,8 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
     import time as _time
 
     watermark = since
+    if consumer is not None and use_offset:
+        watermark = max(watermark, consumer_offset(lake, consumer))
     idle = 0
     while True:
         stopping = bool(stopped()) if stopped is not None else False
@@ -240,6 +285,10 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
                                        ("part", "ascending"),
                                        ("url", "ascending")])
                 yield watermark, hi, table
+                # reached only when the consumer resumed us past the yield:
+                # the window is processed, so the offset may advance
+            if consumer is not None:
+                store_consumer_offset(lake, consumer, hi)
             watermark = hi
             idle = 0
         else:

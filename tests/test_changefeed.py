@@ -186,6 +186,70 @@ class TestChangeFeed:
                           tailed["url"].to_pylist())) == \
             sorted(zip(bulk["epoch"].to_pylist(), bulk["url"].to_pylist()))
 
+    def test_named_consumer_offsets(self, events_path, tmp_path):
+        """Consumer groups: a named consumer's offset persists only after
+        its loop RESUMES the generator (the window was processed), so a
+        crash mid-window redelivers exactly that window; independent names
+        hold independent offsets."""
+        from opendataloader_pdf_ray.cdc.changefeed import follow_changes
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+
+        lk = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        ingest_epoch(events_path, lk, 0, CFG)
+        lk.mark_epoch_done(0)
+        # consumer crashes after RECEIVING the window but before finishing
+        # it: close() skips the post-yield persist → offset not advanced
+        gen = follow_changes(lk, poll_interval=0.05, max_idle_polls=3,
+                             consumer="c1")
+        lo, hi, _ = next(gen)
+        assert (lo, hi) == (-1, 0)
+        gen.close()
+        # restart: the window REDELIVERS, and draining the generator
+        # (resume past the yield) persists the offset
+        wins = list(follow_changes(lk, poll_interval=0.05,
+                                   max_idle_polls=3, consumer="c1"))
+        assert [(w[0], w[1]) for w in wins] == [(-1, 0)]
+        # third start: offset holds, nothing redelivers
+        assert list(follow_changes(lk, poll_interval=0.05,
+                                   max_idle_polls=3, consumer="c1")) == []
+        # a different consumer name starts from the beginning
+        wins_c2 = list(follow_changes(lk, poll_interval=0.05,
+                                      max_idle_polls=3, consumer="c2"))
+        assert [(w[0], w[1]) for w in wins_c2] == [(-1, 0)]
+        # explicit since overrides the stored offset
+        lk_more = ingest_epoch(events_path, lk, 1, CFG)
+        lk.mark_epoch_done(1)
+        wins2 = list(follow_changes(lk, since=-1, poll_interval=0.05,
+                                    max_idle_polls=3, consumer="c1",
+                                    use_offset=False))
+        assert [(w[0], w[1]) for w in wins2] == [(-1, 1)]
+
+    def test_follow_cli_consumer_flag(self, events_path, tmp_path, capsys):
+        import json as _json
+        import os
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+
+        lk = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+        ingest_epoch(events_path, lk, 0, CFG)
+        lk.mark_epoch_done(0)
+        out = str(tmp_path / "feed")
+        assert main(["changes", str(tmp_path / "lake"), "--follow",
+                     "--out", out, "--idle-stop", "2", "--consumer",
+                     "cli1"]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["windows_written"] == 1
+        # output dir wiped, but the consumer offset is authoritative:
+        # nothing redelivers
+        for f in os.listdir(out):
+            os.remove(os.path.join(out, f))
+        assert main(["changes", str(tmp_path / "lake"), "--follow",
+                     "--out", out, "--idle-stop", "2", "--consumer",
+                     "cli1"]) == 0
+        rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["windows_written"] == 0 and os.listdir(out) == []
+
     def test_follow_cli_resumes_from_output(self, events_path, tmp_path,
                                             capsys):
         import json as _json
