@@ -102,15 +102,35 @@ def unify_to_schema(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.table(cols, schema=schema)
 
 
+class SchemaEvolutionError(TypeError):
+    """A column changed to a type Arrow cannot promote (e.g. string→int)."""
+
+
+def _promote_field(fa: pa.Field, fb: pa.Field) -> pa.Field:
+    """Widened type for a field present on both sides (Arrow permissive
+    promotion: int32+int64→int64, float32+float64→float64, int+float→float64,
+    null→other, timestamp unit widening). Commutative — the unified type
+    never depends on which epoch introduced the wider type."""
+    if fa.type == fb.type:
+        return fa
+    try:
+        return pa.unify_schemas([pa.schema([fa]), pa.schema([fb])],
+                                promote_options="permissive").field(0)
+    except pa.ArrowTypeError as exc:
+        raise SchemaEvolutionError(
+            f"column {fa.name!r} evolved to an unpromotable type: "
+            f"{fa.type} vs {fb.type}") from exc
+
+
 def unified_schema(a: pa.Schema, b: pa.Schema) -> pa.Schema:
-    """Additive unification: a's fields in order, then b's new fields in b's
-    order. Deterministic regardless of which side is the base."""
-    fields = list(a)
+    """Additive + widening unification: a's fields in order (types promoted
+    where b widened them), then b's new fields in b's order. Deterministic
+    regardless of which side is the base."""
+    b_fields = {f.name: f for f in b}
+    fields = [_promote_field(f, b_fields[f.name]) if f.name in b_fields else f
+              for f in a]
     names = {f.name for f in a}
-    for f in b:
-        if f.name not in names:
-            fields.append(f)
-            names.add(f.name)
+    fields += [f for f in b if f.name not in names]
     return pa.schema(fields)
 
 

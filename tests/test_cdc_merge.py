@@ -145,3 +145,66 @@ class TestAgainstNaiveFold:
                 ref[url] = (ts, seq, op == "D")
         want = {u: (s, d) for u, (t, s, d) in ref.items()}
         assert got == want
+
+
+class TestTypeWidening:
+    """Schema evolution beyond additive: a later epoch WIDENS a column's
+    type (int32→int64, float32→float64, int→float, timestamp unit). The
+    unified type is the Arrow permissive promotion, commutative in merge
+    order, and unpromotable changes (string↔int) fail loudly."""
+
+    def test_unified_schema_promotes(self):
+        a = pa.schema([("x", pa.int32()), ("y", pa.float32())])
+        b = pa.schema([("x", pa.int64()), ("y", pa.float64()), ("z", pa.string())])
+        u = unified_schema(a, b)
+        assert u.field("x").type == pa.int64()
+        assert u.field("y").type == pa.float64()
+        assert [f.name for f in u] == ["x", "y", "z"]
+
+    def test_promotion_commutative(self):
+        combos = [(pa.int32(), pa.int64()), (pa.float32(), pa.float64()),
+                  (pa.int64(), pa.float64()),
+                  (pa.timestamp("us"), pa.timestamp("ns"))]
+        for ta, tb in combos:
+            ab = unified_schema(pa.schema([("x", ta)]), pa.schema([("x", tb)]))
+            ba = unified_schema(pa.schema([("x", tb)]), pa.schema([("x", ta)]))
+            assert ab.field("x").type == ba.field("x").type
+
+    def test_unpromotable_raises(self):
+        from opendataloader_pdf_ray.cdc.merge import SchemaEvolutionError
+        with pytest.raises(SchemaEvolutionError, match="x"):
+            unified_schema(pa.schema([("x", pa.string())]),
+                           pa.schema([("x", pa.int64())]))
+
+    def test_merge_widens_beyond_int32(self):
+        big = 2**40  # does not fit int32 — a downcast would raise/truncate
+        base = ensure_deleted_col(ev_table([(0, "I", "a", 100)])).append_column(
+            "size", pa.array([7], pa.int32()))
+        upd = ensure_deleted_col(ev_table([(1, "I", "b", 100)])).append_column(
+            "size", pa.array([big], pa.int64()))
+        merged = merge_base_with_updates(base, upd)
+        assert merged["size"].type == pa.int64()
+        by_url = {r["url"]: r["size"] for r in merged.to_pylist()}
+        assert by_url == {"a": 7, "b": big}
+
+    def test_lake_fold_across_widened_epoch(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.lake import Lake, Lineage
+        lk = Lake(str(tmp_path / "lake"), 1)
+        t0 = pa.table({"url": ["a"], "warc_ts": pa.array([1], pa.int64()),
+                       "seq": pa.array([0], pa.int64()), "deleted": [False],
+                       "size": pa.array([7], pa.int32())})
+        t1 = pa.table({"url": ["b"], "warc_ts": pa.array([2], pa.int64()),
+                       "seq": pa.array([1], pa.int64()), "deleted": [False],
+                       "size": pa.array([2**40], pa.int64())})
+        lin = lambda e: Lineage(part=0, epoch=e, events_consumed=1,
+                                rows_upserted=1, rows_deleted=0,
+                                seq_min=0, seq_max=0)
+        lk.commit_delta(0, 0, t0, lin(0))
+        lk.commit_delta(0, 1, t1, lin(1))
+        out = lk.read_partition(0)
+        assert out["size"].type == pa.int64()
+        by_url = {r["url"]: r["size"] for r in out.to_pylist()}
+        assert by_url == {"a": 7, "b": 2**40}
+        # time travel BEFORE the widening keeps the original narrow type
+        old = lk.read_partition(0, as_of=0)
+        assert old["size"].type == pa.int32()
