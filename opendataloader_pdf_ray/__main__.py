@@ -362,6 +362,7 @@ def cmd_seed(args) -> int:
 def cmd_stats(args) -> int:
     """Metadata-only lake diagnostics (no Ray session needed); follower
     keyspaces (fpindex/nearidx/textidx/vecidx) report theirs alongside."""
+    from .cdc.changefeed import list_consumers
     from .cdc.ingest import dup_index_root, near_index_root
     from .cdc.lake import Lake
     from .cdc.textindex import text_index_root
@@ -369,6 +370,9 @@ def cmd_stats(args) -> int:
 
     lake = Lake(args.lake, args.partitions)
     report = lake.stats()
+    consumers = list_consumers(lake)
+    if consumers:
+        report["consumers"] = consumers
     for name, root in (("fpindex", dup_index_root(args.lake)),
                        ("nearidx", near_index_root(args.lake)),
                        ("textidx", text_index_root(args.lake)),

@@ -46,7 +46,7 @@ this is the Ray-native completion of the CDC story (ingest IN via
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -233,6 +233,40 @@ def store_consumer_offset(lake: Lake, consumer: str, epoch: int) -> None:
     path = _consumer_offset_path(lake, consumer)
     lake.fs.makedirs(posixpath.dirname(path), exist_ok=True)
     lake._write_small_atomic(path, _json.dumps({"epoch": int(epoch)}).encode())
+
+
+def feed_head(lake: Lake) -> int:
+    """Highest epoch the feed can deliver right now (-1 = none): the last of
+    the unbroken run of COMPLETE epochs from 0 — the same watermark rule
+    ``follow_changes`` advances by, so consumer lag is measured against what
+    a tail would actually see, not against half-committed epochs."""
+    h = -1
+    while lake.is_epoch_complete(h + 1):
+        h += 1
+    return h
+
+
+def list_consumers(lake: Lake) -> Dict[str, Dict]:
+    """Every durable consumer group with its stored offset and lag in epochs
+    behind :func:`feed_head` — metadata-only (ops-plane listing + tiny JSON
+    reads), the signal for 'is my downstream keeping up'."""
+    import json as _json
+    import posixpath
+
+    d = posixpath.join(lake._commits_dir(), "consumers")
+    if not lake.fs.exists(d):
+        return {}
+    head = feed_head(lake)
+    out: Dict[str, Dict] = {}
+    for full in sorted(lake.fs.ls(d, detail=False)):
+        name = posixpath.basename(full)
+        if not name.endswith(".json"):
+            continue
+        with lake.fs.open(full, "rb") as f:
+            off = int(_json.loads(f.read().decode())["epoch"])
+        out[name[:-5]] = {"offset": off, "feed_head": head,
+                          "lag_epochs": head - off}
+    return out
 
 
 def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,

@@ -298,3 +298,51 @@ class TestChangeFeed:
         feed = _feed(lk)
         assert feed.num_rows == 1
         assert feed["op"].to_pylist() == ["insert"]
+
+
+class TestConsumerLag:
+    def test_list_consumers_lag(self, tmp_path):
+        """stats surface: offsets + lag vs the feed head (no Ray needed —
+        Lake-level delta commits + epoch-done markers)."""
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc.changefeed import (
+            feed_head, list_consumers, store_consumer_offset)
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+
+        lk = Lake(str(tmp_path / "lake"), 1)
+        assert feed_head(lk) == -1 and list_consumers(lk) == {}
+        for e in range(3):
+            lk.commit_delta(0, e, pa.table({
+                "url": [f"u{e}"], "warc_ts": pa.array([e], pa.int64()),
+                "seq": pa.array([e], pa.int64()), "deleted": [False]}),
+                Lineage(part=0, epoch=e, events_consumed=1, rows_upserted=1,
+                        rows_deleted=0, seq_min=e, seq_max=e))
+            lk.mark_epoch_done(e)
+        assert feed_head(lk) == 2
+        store_consumer_offset(lk, "fast", 2)
+        store_consumer_offset(lk, "slow", 0)
+        got = list_consumers(lk)
+        assert got["fast"] == {"offset": 2, "feed_head": 2, "lag_epochs": 0}
+        assert got["slow"] == {"offset": 0, "feed_head": 2, "lag_epochs": 2}
+
+    def test_stats_cli_reports_consumers(self, tmp_path, capsys):
+        import json as _json
+
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc.changefeed import store_consumer_offset
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+
+        lk = Lake(str(tmp_path / "lake"), 1)
+        lk.commit_delta(0, 0, pa.table({
+            "url": ["u"], "warc_ts": pa.array([0], pa.int64()),
+            "seq": pa.array([0], pa.int64()), "deleted": [False]}),
+            Lineage(part=0, epoch=0, events_consumed=1, rows_upserted=1,
+                    rows_deleted=0, seq_min=0, seq_max=0))
+        lk.mark_epoch_done(0)
+        store_consumer_offset(lk, "c", 0)
+        assert main(["stats", str(tmp_path / "lake")]) == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["consumers"]["c"]["lag_epochs"] == 0
