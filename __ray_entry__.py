@@ -30,6 +30,10 @@ from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 _GATE_TAIL = [
     "cdc_materialized_view",   # no-oracle IVM smoke — cdc_incremental_view
                                # gates the same view fold with a SQL oracle
+    "cdc_changefeed",          # strict sub-query of cdc_changefeed_before,
+                               # which gates the same feed machinery + op
+                               # classification PLUS the before-image
+                               # pre-image lookup (r3: slot freed for it)
     "doc_unigram_logprob",     # per-doc score over broadcast vocab —
                                # doc_tfidf_top_terms gates the identical
                                # two-pass capped-vocab-broadcast machinery

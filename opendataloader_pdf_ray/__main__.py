@@ -481,7 +481,8 @@ def cmd_changes(args) -> int:
         if started_ray:
             ray.shutdown()
         return 0
-    feed = lake.changes(since=args.since, until=args.until)
+    feed = lake.changes(since=args.since, until=args.until,
+                        before=args.before or None)
     if args.out:
         feed.write_parquet(args.out)
         import pyarrow.dataset as pads
@@ -1177,6 +1178,10 @@ def main(argv=None) -> int:
     cf.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
                     help="stop after N polls with no new epochs (default: "
                          "poll forever)")
+    cf.add_argument("--before", nargs="+", default=None, metavar="COL",
+                    help="attach the pre-image LIVE value of these payload "
+                         "columns as before_<col> (Debezium-style before "
+                         "image; null on inserts)")
     cf.add_argument("--consumer", default=None,
                     help="follow mode: named consumer group — the offset "
                          "persists in the lake (_commits/consumers/) and is "

@@ -58,12 +58,15 @@ from .merge import merge_base_with_updates, unified_schema, unify_to_schema
 _META_COLS = ("url", "warc_ts", "seq", "deleted")
 
 
-def _feed_schema(payload: pa.Schema) -> pa.Schema:
+def _feed_schema(payload: pa.Schema,
+                 before: Optional[List[str]] = None) -> pa.Schema:
     fields = [pa.field("part", pa.int32()), pa.field("epoch", pa.int64()),
               pa.field("op", pa.string())]
     for f in payload:
         if f.name != "deleted":
             fields.append(f)
+    for c in before or ():
+        fields.append(pa.field(f"before_{c}", payload.field(c).type))
     return pa.schema(fields)
 
 
@@ -90,20 +93,22 @@ class _FeedPartition:
     """map_batches(_FeedPartition(...), batch_size=1) over partition ids."""
 
     def __init__(self, root: str, num_partitions: int, since: int,
-                 until: Optional[int], target: pa.Schema):
+                 until: Optional[int], target: pa.Schema,
+                 before: Optional[List[str]] = None):
         self.root, self.n = root, num_partitions
         self.since, self.until = since, until
         self.target = target
+        self.before = before
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lake = Lake(self.root, self.n)
         out: List[pa.Table] = []
         for part in batch["part"].to_pylist():
             out.extend(self._feed_one(lake, int(part)))
+        schema = _feed_schema(self.target, self.before)
         if not out:
-            return _feed_schema(self.target).empty_table()
-        return pa.concat_tables(
-            [unify_to_schema(t, _feed_schema(self.target)) for t in out])
+            return schema.empty_table()
+        return pa.concat_tables([unify_to_schema(t, schema) for t in out])
 
     @staticmethod
     def _live_index(state: Optional[pa.Table]):
@@ -136,6 +141,8 @@ class _FeedPartition:
                     **{c: feed[c] for c in feed.column_names
                        if c not in ("op", "deleted")},
                 })
+                if self.before:
+                    feed = _attach_before(feed, state, self.before)
                 out.append(feed)
             # fold this epoch into the running pre-image
             state = merge_base_with_updates(state, winners)
@@ -145,6 +152,36 @@ class _FeedPartition:
     def _winners(self, lake: Lake, part: int, epoch: int,
                  state: Optional[pa.Table]) -> pa.Table:
         return epoch_winners(lake, part, epoch, state)
+
+
+def _attach_before(feed: pa.Table, state: Optional[pa.Table],
+                   cols: List[str]) -> pa.Table:
+    """Debezium-style BEFORE image: for each feed row, the pre-image LIVE
+    value of each requested payload column as ``before_<col>`` (null on
+    inserts — absent or tombstoned pre-image). Vectorized: one hashed
+    indexer over the pre-image urls, then an Arrow take per column."""
+    import pandas as pd
+
+    urls = feed["url"].to_numpy(zero_copy_only=False)
+    if state is None or state.num_rows == 0:
+        pos = np.full(len(urls), -1, np.int64)
+        live = None
+    else:
+        dead = pc.fill_null(state["deleted"], False).to_numpy(
+            zero_copy_only=False)
+        live = state.filter(pa.array(~dead))
+        pos = pd.Index(
+            live["url"].to_numpy(zero_copy_only=False)).get_indexer(urls)
+    idx = pa.array(pos, pa.int64(), mask=pos < 0)
+    for c in cols:
+        if live is not None and c in live.column_names:
+            vals = pc.take(live[c].combine_chunks(), idx)
+        else:  # empty pre-image, or the column postdates it (evolution)
+            typ = feed.schema.field(c).type if c in feed.column_names \
+                else pa.null()
+            vals = pa.nulls(len(urls), typ)
+        feed = feed.append_column(f"before_{c}", vals)
+    return feed
 
 
 def epoch_winners(lake: Lake, part: int, epoch: int,
@@ -335,21 +372,29 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
 
 
 def changes(lake: Lake, since: int = -1, until: Optional[int] = None,
-            columns: Optional[List[str]] = None):
+            columns: Optional[List[str]] = None,
+            before: Optional[List[str]] = None):
     """Streaming change feed ``(part, epoch, op, url, warc_ts, seq, …)`` for
     epochs in ``(since, until]``. ``since=-1`` feeds from the beginning.
     ``columns`` restricts payload columns (url/warc_ts/seq always included).
+    ``before`` names payload columns whose pre-image LIVE value rides along
+    as ``before_<col>`` (Debezium-style before image; null on inserts).
     """
     import ray.data as _rd
 
     live_parts, target = lake._unified_live(until)
     if target is None:
         return _rd.from_items([])
+    for c in before or ():
+        if c not in target.names:
+            raise ValueError(f"before column {c!r} not in the lake schema "
+                             f"({target.names})")
     if columns is not None:
         want = [c for c in target.names
-                if c in set(columns) | set(_META_COLS)]
+                if c in set(columns) | set(_META_COLS) | set(before or ())]
         target = pa.schema([target.field(c) for c in want])
     parts_ds = _rd.from_items([{"part": p} for p in live_parts])
     return parts_ds.map_batches(
-        _FeedPartition(lake.root, lake.num_partitions, since, until, target),
+        _FeedPartition(lake.root, lake.num_partitions, since, until, target,
+                       before=list(before) if before else None),
         batch_format="pyarrow", batch_size=1)

@@ -447,13 +447,16 @@ class Lake:
                                     batch_size=1)
 
     def changes(self, since: int = -1, until: Optional[int] = None,
-                columns: Optional[List[str]] = None):
+                columns: Optional[List[str]] = None,
+                before: Optional[List[str]] = None):
         """Row-level change feed (insert/update/delete per url per epoch)
         for epochs in ``(since, until]`` as a streaming Dataset — the lake
-        as a binlog for downstream consumers. See ``cdc/changefeed.py``."""
+        as a binlog for downstream consumers. ``before`` attaches pre-image
+        values as ``before_<col>``. See ``cdc/changefeed.py``."""
         from .changefeed import changes as _changes
 
-        return _changes(self, since=since, until=until, columns=columns)
+        return _changes(self, since=since, until=until, columns=columns,
+                        before=before)
 
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False,

@@ -1466,6 +1466,38 @@ def cdc_changefeed(sf_dir: str):
             .sort(["epoch", "url"]))
 
 
+def cdc_changefeed_before(sf_dir: str):
+    """Change feed with Debezium-style BEFORE images (``before=[\"text\"]``):
+    each row carries the pre-image LIVE text as ``before_text`` — null on
+    inserts (absent or tombstoned pre-image), the original text on epoch-1
+    updates/deletes, and the ``v2`` text on epoch-2 deletes (every %10 doc
+    was updated at epoch 1 since %10 ⊆ %5). Strictly subsumes
+    ``cdc_changefeed``: same feed machinery and op classification, plus the
+    per-epoch pre-image lookup gated value-for-value."""
+    lake = _seed_three_epoch_lake(sf_dir, "/tmp/odl_ray_changefeed_before_q")
+    return (lake.changes(before=["text"])
+            .select_columns(["epoch", "op", "url", "seq", "before_text"])
+            .sort(["epoch", "url"]))
+
+
+CDC_CHANGEFEED_BEFORE_SQL = """
+SELECT CAST(0 AS BIGINT) AS epoch, 'insert' AS op,
+       printf('u%06d', doc_id) AS url, CAST(doc_id AS BIGINT) AS seq,
+       CAST(NULL AS VARCHAR) AS before_text
+FROM documents
+UNION ALL
+SELECT 1, CASE WHEN doc_id % 9 = 0 THEN 'delete' ELSE 'update' END,
+       printf('u%06d', doc_id), 10000000 + doc_id, text
+FROM documents WHERE doc_id % 9 = 0 OR doc_id % 5 = 0
+UNION ALL
+SELECT 2, CASE WHEN doc_id % 9 = 0 THEN 'insert' ELSE 'delete' END,
+       printf('u%06d', doc_id), 20000000 + doc_id,
+       CASE WHEN doc_id % 9 = 0 THEN NULL ELSE text || ' v2' END
+FROM documents WHERE doc_id % 9 = 0 OR doc_id % 10 = 0
+ORDER BY epoch, url
+"""
+
+
 def cdc_replicated_state(sf_dir: str):
     """Lake replication end-to-end through the REAL machinery
     (cdc/replicate.py): seed the shared 3-epoch lake as the primary,
@@ -2104,6 +2136,7 @@ def _retention_sql() -> str:
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_changefeed": cdc_changefeed,
+    "cdc_changefeed_before": cdc_changefeed_before,
     "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
@@ -2134,6 +2167,7 @@ CDC_QUERIES = {
 
 CDC_ORACLE_SQL = {
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
+    "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
     "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,

@@ -346,3 +346,43 @@ class TestConsumerLag:
         assert main(["stats", str(tmp_path / "lake")]) == 0
         rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["consumers"]["c"]["lag_epochs"] == 0
+
+
+class TestBeforeImage:
+    def test_before_images(self, tmp_path):
+        """Debezium-style before values: null on insert, pre-image LIVE
+        value on update/delete, null on reinsert-after-tombstone; unknown
+        column rejected."""
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+
+        lk = Lake(str(tmp_path / "lake"), 1)
+
+        def ep(e, rows):
+            t = pa.table({
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "seq": pa.array([r[1] for r in rows], pa.int64()),
+                "deleted": pa.array([r[2] for r in rows], pa.bool_()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            })
+            lk.commit_delta(0, e, t, Lineage(
+                part=0, epoch=e, events_consumed=len(rows),
+                rows_upserted=len(rows), rows_deleted=0,
+                seq_min=rows[0][1], seq_max=rows[-1][1]))
+
+        ep(0, [("a", 1, False, "A1"), ("b", 2, False, "B1")])
+        ep(1, [("a", 3, False, "A2"), ("b", 4, True, None)])
+        ep(2, [("b", 5, False, "B2")])  # reinsert after tombstone
+        feed = lk.changes(before=["text"]).sort(["epoch", "url"])
+        rows = [(r["epoch"], r["op"], r["url"], r["before_text"])
+                for r in feed.take_all()]  # 5 rows — bounded
+        assert rows == [
+            (0, "insert", "a", None), (0, "insert", "b", None),
+            (1, "update", "a", "A1"), (1, "delete", "b", "B1"),
+            (2, "insert", "b", None),
+        ]
+        with _pytest.raises(ValueError, match="nope"):
+            lk.changes(before=["nope"]).take_all()
