@@ -48,6 +48,12 @@ _GATE_TAIL = [
     "doc_fingerprints",        # rolling hash — doc_winnow_fingerprints
     "doc_adjacent_levenshtein",  # adjacent pair join — word_jaccard covers
     "lang_id_accuracy",        # lang-ID — lang_quality covers
+    "cdc_latest_state",        # plain ingest→LWW live state — a strict
+                               # sub-pipeline of cdc_replicated_state
+                               # (same final state gated through ingest +
+                               # replication) and cdc_branch_divergence
+                               # (same live-state reads through branch
+                               # delegation) (r3: slot freed for it)
     "cdc_first_seen",          # groupby min — cdc_latest_state covers
     "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
     "cdc_epoch_windows",       # tumbling window — events_sliding_window

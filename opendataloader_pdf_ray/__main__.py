@@ -383,6 +383,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Zero-copy branch: O(1) metadata writes, no data copied (no Ray
+    session needed). The branch reads parent history ≤ fork by delegation
+    and diverges after it; the parent's vacuum pins the files every
+    registered fork needs. Merge back fast-forward with ``replicate BRANCH
+    PARENT`` (guard: parent tip must still be ≤ fork), or verify divergence
+    with ``diff``."""
+    from .cdc.lake import Lake
+
+    src = Lake(args.src)
+    br = src.branch(args.dest, at=args.at, name=args.name)
+    print(json.dumps({"branch": br.root, "parent": src.root,
+                      "fork_epoch": br.fork_epoch,
+                      "name": (br._read_meta() or {}).get("branch_name")}))
+    return 0
+
+
 def cmd_rescale(args) -> int:
     """Shuffle-free P → k·P / P/k re-partition into a new lake root."""
     import ray
@@ -1096,6 +1113,19 @@ def main(argv=None) -> int:
     st.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     st.set_defaults(fn=cmd_stats)
+
+    bh = sub.add_parser("branch",
+                        help="zero-copy branch of a lake at an epoch "
+                             "(metadata-only; parent vacuum pins the "
+                             "fork's files)")
+    bh.add_argument("src", help="parent lake root")
+    bh.add_argument("dest", help="branch lake root (must not exist)")
+    bh.add_argument("--at", type=int, default=None,
+                    help="fork epoch (default: parent tip)")
+    bh.add_argument("--name", default=None,
+                    help="branch name registered in the parent "
+                         "(default: random id)")
+    bh.set_defaults(fn=cmd_branch)
 
     rs = sub.add_parser("rescale",
                         help="re-partition the lake's state into a NEW lake "

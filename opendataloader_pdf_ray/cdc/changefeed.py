@@ -191,14 +191,14 @@ def epoch_winners(lake: Lake, part: int, epoch: int,
     ``state`` so unchanged carried-over rows don't re-enter. Shared by the
     change feed and every follower that folds pre-images epoch-by-epoch
     (e.g. the inverted text index's retract/apply maintainer)."""
-    dpath = lake._delta_path(part, epoch)
-    if lake.fs.exists(dpath):
+    res = lake.resolve_data(part, epoch, "delta")
+    if res is not None:
         import pyarrow.parquet as pq
-        return pq.read_table(dpath, filesystem=lake.fs)
-    spath = lake._data_path(part, epoch)
-    if lake.fs.exists(spath):
+        return pq.read_table(res[1], filesystem=res[0])
+    res = lake.resolve_data(part, epoch, "snap")
+    if res is not None:
         import pyarrow.parquet as pq
-        snap = pq.read_table(spath, filesystem=lake.fs)
+        snap = pq.read_table(res[1], filesystem=res[0])
         return _snapshot_diff(snap, state)
     raise ValueError(
         f"changefeed: partition {part} epoch {epoch} has neither delta "

@@ -81,13 +81,13 @@ def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
     (the scale path) stay O(churn)."""
     import pyarrow.parquet as pq
 
-    dpath = lake._delta_path(part, epoch)
-    if lake.fs.exists(dpath):
-        winners = pq.read_table(dpath, filesystem=lake.fs)
+    res = lake.resolve_data(part, epoch, "delta")
+    if res is not None:
+        winners = pq.read_table(res[1], filesystem=res[0])
         return winners, merge_base_with_updates(state, winners)
-    spath = lake._data_path(part, epoch)
-    if lake.fs.exists(spath):
-        snap = pq.read_table(spath, filesystem=lake.fs)
+    res = lake.resolve_data(part, epoch, "snap")
+    if res is not None:
+        snap = pq.read_table(res[1], filesystem=res[0])
         return snap, snap
     raise ValueError(
         f"follower: partition {part} epoch {epoch} has neither delta nor "

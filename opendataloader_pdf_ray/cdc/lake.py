@@ -115,14 +115,24 @@ class Lake:
         64-partition lake silently audited/compacted only half of it). Open
         an existing lake with ``num_partitions=None`` to use the persisted
         value; a mismatching explicit value is ignored with a warning.
-        Pre-metadata lakes fall back to globbing ``part=*`` dirs."""
+        Pre-metadata lakes fall back to globbing ``part=*`` dirs.
+
+        BRANCH lakes (created by :meth:`branch`) additionally carry
+        ``parent_root`` + ``fork_epoch`` in their metadata: commit records
+        and data files for epochs ≤ fork resolve against the parent
+        (zero-copy, Git-like), everything after the fork lives locally."""
         self.root = root
         self.fs, self._base = fsspec.core.url_to_fs(root)
         self._is_local = "file" in (self.fs.protocol if isinstance(self.fs.protocol, (list, tuple))
                                     else (self.fs.protocol,))
         self.fs.makedirs(self._commits_dir(), exist_ok=True)
-        persisted = self._read_meta_partitions()
+        meta = self._read_meta()
+        self.parent_root: Optional[str] = (meta or {}).get("parent_root")
+        self.fork_epoch: Optional[int] = (meta or {}).get("fork_epoch")
+        self._parent_lake: Optional["Lake"] = None
+        persisted = (meta or {}).get("num_partitions")
         if persisted is not None:
+            persisted = int(persisted)
             if num_partitions is not None and num_partitions != persisted:
                 print(f"[lake] ignoring num_partitions={num_partitions}: "
                       f"lake metadata says {persisted}", file=sys.stderr)
@@ -144,12 +154,104 @@ class Lake:
     def _meta_path(self) -> str:
         return posixpath.join(self._commits_dir(), "lake.json")
 
-    def _read_meta_partitions(self) -> Optional[int]:
+    def _read_meta(self) -> Optional[Dict]:
         try:
             with self.fs.open(self._meta_path(), "rb") as f:
-                return int(json.loads(f.read().decode())["num_partitions"])
-        except (FileNotFoundError, OSError, KeyError, ValueError):
+                return json.loads(f.read().decode())
+        except (FileNotFoundError, OSError, ValueError):
             return None
+
+    # ---------------------------------------------------------------- branches
+    def _parent(self) -> Optional["Lake"]:
+        """Lazily-opened parent lake (branch lakes only)."""
+        if self.parent_root is None:
+            return None
+        if self._parent_lake is None:
+            self._parent_lake = Lake(self.parent_root)
+        return self._parent_lake
+
+    def resolve_data(self, part: int, epoch: int, kind: str = "snap"):
+        """(filesystem, path) of the data/delta file for (part, epoch), or
+        None — local file first, then the parent chain for epochs ≤ the fork
+        (a branch shadows a parent file by writing the same name locally,
+        which is how ``purge`` on a branch erases without touching the
+        parent). Every reader goes through this, so branch-of-branch chains
+        resolve recursively."""
+        path = self._data_path(part, epoch) if kind == "snap" \
+            else self._delta_path(part, epoch)
+        if self.fs.exists(path):
+            return self.fs, path
+        parent = self._parent()
+        if parent is not None and epoch <= self.fork_epoch:
+            return parent.resolve_data(part, epoch, kind)
+        return None
+
+    def branch(self, dest_root: str, at: Optional[int] = None,
+               name: Optional[str] = None) -> "Lake":
+        """Create a ZERO-COPY branch of this lake at epoch ``at`` (default:
+        the current tip). O(1) metadata writes — no data files, no commit
+        records are copied: the branch's reads delegate to the parent for
+        epochs ≤ fork and diverge after it (new epochs commit locally;
+        epochs ≤ fork are immutable on the branch). The branch is REGISTERED
+        in the parent's commit log (``_commits/branches/<name>.json``) so
+        the parent's ``vacuum`` pins the snapshot/delta files every fork
+        still needs — a branch can never be orphaned by parent maintenance.
+        Dev/experiment workflow: branch → reprocess/backfill on the branch →
+        ``diff`` vs parent → fast-forward merge back via ``replicate`` (or
+        discard). Analog of Iceberg/LakeFS refs for this commit-log design."""
+        tip = None
+        for p in range(self.num_partitions):
+            e = self.latest_epoch(p)
+            if e is not None:
+                tip = e if tip is None else max(tip, e)
+        if tip is None:
+            raise ValueError(f"cannot branch empty lake {self.root}")
+        fork = int(at) if at is not None else tip
+        if fork > tip:
+            raise ValueError(f"branch point {fork} is past the tip {tip}")
+        dfs, dbase = fsspec.core.url_to_fs(dest_root)
+        dmeta = posixpath.join(dbase, "_commits", "lake.json")
+        if dfs.exists(dmeta):
+            raise ValueError(f"destination {dest_root} is already a lake")
+        bid = name if name is not None else uuid.uuid4().hex[:8]
+        bdir = posixpath.join(self._commits_dir(), "branches")
+        bpath = posixpath.join(bdir, f"{bid}.json")
+        if self.fs.exists(bpath):
+            raise ValueError(f"branch name {bid!r} already registered")
+        # register in the parent FIRST: vacuum protection must exist before
+        # the branch does (a crash between the two leaves a harmless record)
+        self.fs.makedirs(bdir, exist_ok=True)
+        self._write_small_atomic(bpath, json.dumps(
+            {"name": bid, "fork_epoch": fork, "root": dest_root}).encode())
+        dfs.makedirs(posixpath.dirname(dmeta), exist_ok=True)
+        payload = json.dumps({
+            "num_partitions": self.num_partitions, "format_version": 1,
+            "parent_root": self.root, "fork_epoch": fork,
+            "branch_name": bid}).encode()
+        tmp = dmeta + f".tmp-{uuid.uuid4().hex}"
+        try:
+            with dfs.open(tmp, "wb") as f:
+                f.write(payload)
+            dfs.mv(tmp, dmeta)
+        except (OSError, NotImplementedError):
+            dfs.pipe_file(dmeta, payload)
+        return Lake(dest_root)
+
+    def branches(self) -> List[Dict]:
+        """Branch registrations recorded in THIS lake's commit log (children
+        forked from this lake) — the vacuum-protection list."""
+        bdir = posixpath.join(self._commits_dir(), "branches")
+        try:
+            names = sorted(self.fs.ls(bdir, detail=False))
+        except FileNotFoundError:
+            return []
+        out = []
+        for full in names:
+            if not full.endswith(".json"):
+                continue
+            with self.fs.open(full, "rb") as f:
+                out.append(json.loads(f.read().decode()))
+        return out
 
     def _derive_partitions(self) -> Optional[int]:
         """Pre-metadata lakes: highest part=NNNN dir + 1."""
@@ -224,10 +326,18 @@ class Lake:
 
     # ------------------------------------------------------------------ status
     def is_committed(self, part: int, epoch: int) -> bool:
-        return self.fs.exists(self._commit_path(part, epoch))
+        if self.fs.exists(self._commit_path(part, epoch)):
+            return True
+        parent = self._parent()
+        return (parent is not None and epoch <= self.fork_epoch
+                and parent.is_committed(part, epoch))
 
     def is_epoch_done(self, epoch: int) -> bool:
-        return self.fs.exists(self.epoch_done_path(epoch))
+        if self.fs.exists(self.epoch_done_path(epoch)):
+            return True
+        parent = self._parent()
+        return (parent is not None and epoch <= self.fork_epoch
+                and parent.is_epoch_done(epoch))
 
     def mark_epoch_done(self, epoch: int) -> None:
         self._write_small_atomic(self.epoch_done_path(epoch), b"done")
@@ -246,8 +356,12 @@ class Lake:
         """True when the epoch is a completed binlog epoch (done marker)
         OR a completed maintenance epoch (maint marker) — the watermark
         walk for change-feed / replication tails."""
-        return (self.fs.exists(self.epoch_done_path(epoch))
-                or self.fs.exists(self.epoch_maint_path(epoch)))
+        if (self.fs.exists(self.epoch_done_path(epoch))
+                or self.fs.exists(self.epoch_maint_path(epoch))):
+            return True
+        parent = self._parent()
+        return (parent is not None and epoch <= self.fork_epoch
+                and parent.is_epoch_complete(epoch))
 
     # --------------------------------------------------------- writer fence
     def writer_path(self) -> str:
@@ -290,15 +404,19 @@ class Lake:
 
     def committed_epochs(self, part: int) -> List[int]:
         prefix = f"part-{part:04d}-epoch-"
-        out = []
+        out = set()
         try:
             names = self.fs.ls(self._commits_dir(), detail=False)
         except FileNotFoundError:
-            return []
+            names = []
         for full in names:
             name = posixpath.basename(full)
             if name.startswith(prefix) and name.endswith(".json"):
-                out.append(int(name[len(prefix):-5]))
+                out.add(int(name[len(prefix):-5]))
+        parent = self._parent()
+        if parent is not None:
+            out |= {e for e in parent.committed_epochs(part)
+                    if e <= self.fork_epoch}
         return sorted(out)
 
     def latest_epoch(self, part: int, as_of: Optional[int] = None) -> Optional[int]:
@@ -349,11 +467,11 @@ class Lake:
         if url_filter is not None:
             filters = [("url", "in", list(url_filter))]
 
-        def _read(path: str) -> pa.Table:
+        def _read(fs, path: str) -> pa.Table:
             cols = self._projection(
-                columns, pq.read_schema(path, filesystem=self.fs).names) \
+                columns, pq.read_schema(path, filesystem=fs).names) \
                 if columns is not None else None
-            return pq.read_table(path, filesystem=self.fs, filters=filters,
+            return pq.read_table(path, filesystem=fs, filters=filters,
                                  columns=cols)
 
         epochs = self.committed_epochs(part)
@@ -362,23 +480,24 @@ class Lake:
         base: Optional[pa.Table] = None
         base_idx = -1
         # newest committed epoch whose snapshot still exists (vacuum may have
-        # reclaimed older ones; commit records are kept for lineage)
+        # reclaimed older ones; commit records are kept for lineage); branch
+        # lakes resolve parent files for epochs ≤ fork
         for i in range(len(epochs) - 1, -1, -1):
-            path = self._data_path(part, epochs[i])
-            if self.fs.exists(path):
-                base = _read(path)
+            res = self.resolve_data(part, epochs[i], "snap")
+            if res is not None:
+                base = _read(*res)
                 base_idx = i
                 break
         url_list = list(url_filter) if url_filter is not None else None
         for epoch in epochs[base_idx + 1:]:
-            dpath = self._delta_path(part, epoch)
-            if self.fs.exists(dpath):
+            res = self.resolve_data(part, epoch, "delta")
+            if res is not None:
                 if url_list is not None:
                     bloom = self._read_commit(part, epoch).get("url_bloom")
                     if bloom is not None and not _bloom_maybe_any(
                             bloom, url_list):
                         continue  # epoch definitely touches none of the urls
-                base = merge_base_with_updates(base, _read(dpath))
+                base = merge_base_with_updates(base, _read(*res))
         return base
 
     def _unified_live(self, as_of: Optional[int] = None):
@@ -393,11 +512,12 @@ class Lake:
                 epochs = [e for e in epochs if e <= as_of]
             has_any = False
             for e in epochs:
-                for path in (self._data_path(part, e),
-                             self._delta_path(part, e)):
-                    if self.fs.exists(path):
+                for kind in ("snap", "delta"):
+                    res = self.resolve_data(part, e, kind)
+                    if res is not None:
                         has_any = True
-                        sch = pq.read_schema(path, filesystem=self.fs)
+                        rfs, rpath = res
+                        sch = pq.read_schema(rpath, filesystem=rfs)
                         target = sch if target is None \
                             else unified_schema(target, sch)
             if has_any:
@@ -642,22 +762,25 @@ class Lake:
                 epochs = [e for e in epochs if e <= as_of]
             chosen = None
             for i in range(len(epochs) - 1, -1, -1):
-                if self.fs.exists(self._data_path(part, epochs[i])):
+                res = self.resolve_data(part, epochs[i], "snap")
+                if res is not None:
                     chosen = i
+                    chosen_path = res[1]
                     break
             if chosen is None:
-                if any(self.fs.exists(self._delta_path(part, e)) for e in epochs):
+                if any(self.resolve_data(part, e, "delta") is not None
+                       for e in epochs):
                     raise ValueError(
                         f"partition {part}: state is delta-only — run "
                         f"Lake.compact() before snapshot-file reads")
                 continue
-            if any(self.fs.exists(self._delta_path(part, e))
+            if any(self.resolve_data(part, e, "delta") is not None
                    for e in epochs[chosen + 1:]):
                 raise ValueError(
                     f"partition {part}: deltas newer than snapshot "
                     f"epoch={epochs[chosen]} — run Lake.compact() before "
                     f"snapshot-file reads")
-            files.append(self._data_path(part, epochs[chosen]))
+            files.append(chosen_path)
         return files
 
     def lookup(self, urls: List[str], as_of: Optional[int] = None,
@@ -729,7 +852,7 @@ class Lake:
             try:
                 names = sorted(self.fs.ls(self._part_dir(part), detail=False))
             except FileNotFoundError:
-                continue
+                names = []
             for full in names:
                 name = posixpath.basename(full)
                 if not (name.startswith(("epoch=", "delta="))
@@ -743,6 +866,34 @@ class Lake:
                 self._write_table_atomic(t.filter(pc.invert(mask)), full)
                 files_rewritten += 1
                 rows_removed += hits
+            if self.parent_root is None:
+                continue
+            # branch lakes: SHADOW parent-held history instead of rewriting
+            # it (the parent and sibling branches still own those bytes —
+            # purging a branch must not purge them). A local file with the
+            # same (part, epoch, kind) name wins resolution, so writing the
+            # filtered copy locally erases the urls from every read of THIS
+            # lake at any as_of while leaving the parent untouched.
+            for epoch in self.committed_epochs(part):
+                if epoch > self.fork_epoch:
+                    continue  # local history: handled by the loop above
+                for kind, local in (("snap", self._data_path(part, epoch)),
+                                    ("delta", self._delta_path(part, epoch))):
+                    if self.fs.exists(local):
+                        continue  # already shadowed → scrubbed above
+                    res = self.resolve_data(part, epoch, kind)
+                    if res is None:
+                        continue
+                    rfs, rpath = res
+                    t = pq.read_table(rpath, filesystem=rfs)
+                    mask = pc.is_in(t["url"], value_set=value_set)
+                    hits = int(pc.sum(mask.cast(pa.int64())).as_py() or 0)
+                    if not hits:
+                        continue  # no shadow needed: resolution stays shared
+                    self.fs.makedirs(self._part_dir(part), exist_ok=True)
+                    self._write_table_atomic(t.filter(pc.invert(mask)), local)
+                    files_rewritten += 1
+                    rows_removed += hits
         audit = {
             "op": "purge",
             "url_hashes": sorted(hashlib.sha256(u.encode()).hexdigest()
@@ -776,11 +927,23 @@ class Lake:
         return merged if include_tombstones else live_view(merged)
 
     # ------------------------------------------------------------------ commit
+    def _guard_fork_epoch(self, epoch: int) -> None:
+        """Branch lakes: epochs ≤ fork are the PARENT's history — immutable
+        here (a write would shadow shared files with divergent content and
+        silently corrupt time travel). New work on a branch starts at
+        fork + 1."""
+        if self.parent_root is not None and epoch <= self.fork_epoch:
+            raise ValueError(
+                f"epoch {epoch} ≤ branch fork {self.fork_epoch}: pre-fork "
+                f"history is immutable on a branch (of {self.parent_root}) "
+                f"— commit epochs > {self.fork_epoch}")
+
     def commit_partition(self, part: int, epoch: int, table: pa.Table,
                          lineage: Lineage) -> Lineage:
         """Write data, then publish the commit record; no-op if (part, epoch)
         already committed. The commit-record existence check is the commit
         point (object-store safe; no rename required)."""
+        self._guard_fork_epoch(epoch)
         if self.is_committed(part, epoch):
             prior = self.read_lineage(part, epoch)
             prior.skipped = True
@@ -805,6 +968,7 @@ class Lake:
         """Delta commit: write ONLY this epoch's LWW winner set (tombstones
         included) — no base read, no partition rewrite. Same commit protocol
         as commit_partition; readers fold deltas onto the newest snapshot."""
+        self._guard_fork_epoch(epoch)
         lineage.kind = "delta"
         if self.is_committed(part, epoch):
             prior = self.read_lineage(part, epoch)
@@ -840,8 +1004,8 @@ class Lake:
             if not epochs:
                 continue
             newest = epochs[-1]
-            if self.fs.exists(self._data_path(part, newest)):
-                continue  # already a snapshot at the tip
+            if self.resolve_data(part, newest, "snap") is not None:
+                continue  # already a snapshot at the tip (possibly parent's)
             state = self.read_partition(part)
             if state is None:
                 continue
@@ -861,10 +1025,11 @@ class Lake:
                 continue
             newest_snap = -1
             for e in epochs:
-                if self.fs.exists(self._data_path(part, e)):
+                if self.resolve_data(part, e, "snap") is not None:
                     newest_snap = e
-            out[part] = sum(1 for e in epochs if e > newest_snap
-                            and self.fs.exists(self._delta_path(part, e)))
+            out[part] = sum(
+                1 for e in epochs if e > newest_snap
+                and self.resolve_data(part, e, "delta") is not None)
         return out
 
     def compact_distributed(self, parts: Optional[List[int]] = None) -> int:
@@ -908,8 +1073,14 @@ class Lake:
                     pass
 
     def _read_commit(self, part: int, epoch: int) -> Dict:
-        with self.fs.open(self._commit_path(part, epoch), "rb") as f:
-            return json.loads(f.read().decode())
+        try:
+            with self.fs.open(self._commit_path(part, epoch), "rb") as f:
+                return json.loads(f.read().decode())
+        except FileNotFoundError:
+            parent = self._parent()
+            if parent is not None and epoch <= self.fork_epoch:
+                return parent._read_commit(part, epoch)
+            raise
 
     _LINEAGE_FIELDS = None  # lazily-built field-name set
 
@@ -926,24 +1097,43 @@ class Lake:
         kept snapshot (those deltas ARE the current state — merge-on-read
         needs them). Deltas at or below the newest snapshot epoch are folded
         into it and reclaimed. Commit records (lineage) are always kept —
-        history stays auditable, only data-file storage is reclaimed. Safe
-        anytime. Returns number of files removed."""
+        history stays auditable, only data-file storage is reclaimed.
+
+        Registered BRANCHES pin files: for every fork epoch F the newest
+        local snapshot ≤ F plus the deltas in (that snapshot, F] are kept,
+        whatever ``keep_snapshots`` says — a branch forked at F reconstructs
+        its base state from exactly those files, so parent maintenance can
+        never orphan it. Only LOCAL files are ever deleted: a branch's own
+        vacuum cannot touch the parent's storage by construction.
+
+        Safe anytime. Returns number of files removed."""
         removed = 0
+        forks = sorted({int(b["fork_epoch"]) for b in self.branches()})
         for part in range(self.num_partitions):
             self._sweep_tmp(part)
             epochs = self.committed_epochs(part)
             snap_epochs = [e for e in epochs
                            if self.fs.exists(self._data_path(part, e))]
-            keep = snap_epochs[-keep_snapshots:] if keep_snapshots else []
+            keep = set(snap_epochs[-keep_snapshots:]) if keep_snapshots \
+                else set()
+            prot_deltas = set()
+            for fork in forks:
+                base = max((e for e in snap_epochs if e <= fork),
+                           default=None)
+                if base is not None:
+                    keep.add(base)
+                lo = base if base is not None else -1
+                prot_deltas.update(e for e in epochs if lo < e <= fork)
             for epoch in snap_epochs:
                 if epoch not in keep:
                     self.fs.rm_file(self._data_path(part, epoch))
                     removed += 1
             if keep:
-                newest_snap = keep[-1]
+                newest_snap = max(keep)
                 for epoch in epochs:
                     dpath = self._delta_path(part, epoch)
-                    if epoch <= newest_snap and self.fs.exists(dpath):
+                    if epoch <= newest_snap and epoch not in prot_deltas \
+                            and self.fs.exists(dpath):
                         self.fs.rm_file(dpath)
                         removed += 1
         return removed
@@ -986,14 +1176,15 @@ class Lake:
             if not epochs:
                 continue
             snaps = [e for e in epochs
-                     if self.fs.exists(self._data_path(part, e))]
+                     if self.resolve_data(part, e, "snap") is not None]
             # readability: merge-on-read folds deltas onto the newest
             # snapshot ≤ each epoch (or onto the empty base when none) —
             # every committed epoch AFTER the newest snapshot must still
-            # have its delta file; vacuum never reclaims those
+            # have its delta file; vacuum never reclaims those. Branch
+            # lakes resolve parent files for epochs ≤ fork.
             newest_snap = max(snaps) if snaps else -1
             missing = [e for e in epochs if e > newest_snap
-                       and not self.fs.exists(self._delta_path(part, e))]
+                       and self.resolve_data(part, e, "delta") is None]
             if not snaps and len(missing) == len(epochs):
                 issues.append(f"part {part}: committed epochs {epochs} "
                               f"but no data files at all")
@@ -1004,8 +1195,8 @@ class Lake:
                               f"missing — state unreadable")
             if deep and snaps:
                 try:
-                    t = pq.read_table(self._data_path(part, newest_snap),
-                                      filesystem=self.fs)
+                    sfs, spath = self.resolve_data(part, newest_snap, "snap")
+                    t = pq.read_table(spath, filesystem=sfs)
                     urls = t["url"].to_pylist()
                     if urls != sorted(urls):
                         issues.append(f"part {part}: snapshot not "
@@ -1047,16 +1238,17 @@ class Lake:
             chain = 0  # deltas newer than the newest snapshot
             newest_snap = -1
             for e in epochs:
-                if self.fs.exists(self._data_path(part, e)):
+                if self.resolve_data(part, e, "snap") is not None:
                     newest_snap = e
             for e in epochs:
-                for kind, path in (("snap", self._data_path(part, e)),
-                                   ("delta", self._delta_path(part, e))):
-                    if not self.fs.exists(path):
+                for kind in ("snap", "delta"):
+                    res = self.resolve_data(part, e, kind)
+                    if res is None:
                         continue
-                    info = self.fs.info(path)
+                    rfs, path = res
+                    info = rfs.info(path)
                     data_bytes += int(info.get("size", 0))
-                    meta = pq.read_metadata(path, filesystem=self.fs)
+                    meta = pq.read_metadata(path, filesystem=rfs)
                     if kind == "snap":
                         snaps += 1
                         if e == newest_snap:
@@ -1072,7 +1264,15 @@ class Lake:
                              "rows_upper_bound": tip_rows})
         sizes = [p["bytes"] for p in per_part if p["epochs"]]
         mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+        extra = {}
+        if self.parent_root is not None:
+            extra["parent"] = self.parent_root
+            extra["fork_epoch"] = self.fork_epoch
+        br = self.branches()
+        if br:
+            extra["branches"] = br
         return {
+            **extra,
             "partitions": self.num_partitions,
             "live_partitions": len(sizes),
             "total_bytes": sum(sizes),

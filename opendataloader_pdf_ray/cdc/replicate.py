@@ -112,6 +112,41 @@ class _ReplicateTask:
                          "skipped": pa.array([r["skipped"]], pa.int64())})
 
 
+def _guard_fast_forward_merge(src: Lake, dst: Lake, dst_root: str,
+                              parts: List[int]) -> None:
+    """Branch merge-back guard: replicating a BRANCH into its own parent is
+    a fast-forward merge, valid only while the parent has not diverged past
+    the fork. The epoch-number ``foreign`` check inside the partition task
+    cannot see CONTENT divergence at a shared epoch number (the parent's
+    independent epoch 3 vs the branch's epoch 3) — replicate would silently
+    skip it and drop the branch's row set. So for every post-fork epoch
+    committed on BOTH sides, the commit records (lineage + url Bloom) must
+    be identical — true after a previous merge of this same branch
+    (replicate copies lineage; identical winner sets give identical
+    Blooms), false for independent parent writes. Metadata-only, O(P ×
+    shared epochs). Raises with a rebase hint on divergence."""
+    import fsspec as _fsspec
+
+    if src.parent_root is None:
+        return
+    if _fsspec.core.url_to_fs(src.parent_root)[1] \
+            != _fsspec.core.url_to_fs(dst_root)[1]:
+        return
+    fork = src.fork_epoch
+    for part in parts:
+        src_epochs = set(src.committed_epochs(part))
+        for e in dst.committed_epochs(part):
+            if e <= fork or e not in src_epochs:
+                continue  # e ∉ src is the task-level foreign check's job
+            if src._read_commit(part, e) != dst._read_commit(part, e):
+                raise ValueError(
+                    f"fast-forward merge refused: parent {dst_root} "
+                    f"diverged at partition {part} epoch {e} (committed "
+                    f"independently after the fork at {fork}) — rebase the "
+                    f"branch (re-branch from the new tip and re-apply) or "
+                    f"resolve via diff")
+
+
 def replicate(src: Lake, dst_root: str,
               until: Optional[int] = None) -> Dict[str, int]:
     """Replicate ``src`` into the lake at ``dst_root`` (created with src's
@@ -128,6 +163,7 @@ def replicate(src: Lake, dst_root: str,
             f"partitions, dst metadata says {dst.num_partitions} "
             f"(use rescale for layout changes)")
     parts = list(range(src.num_partitions))
+    _guard_fast_forward_merge(src, dst, dst_root, parts)
     if ray.is_initialized():
         import ray.data as _rd
 

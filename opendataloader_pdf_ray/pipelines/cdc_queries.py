@@ -1498,6 +1498,116 @@ ORDER BY epoch, url
 """
 
 
+def cdc_branch_divergence(sf_dir: str):
+    """Zero-copy branching end-to-end through the REAL machinery
+    (``Lake.branch``, cdc/lake.py): seed the shared 3-epoch lake, fork a
+    branch at epoch 1 (O(1) metadata — no data files copied), then commit
+    DIVERGENT epoch-2 histories on each side — the parent keeps the
+    construction's epoch 2 (reinserts/deletes), the branch instead appends
+    `` vB`` to every ``doc_id % 7`` survivor. The result unions both LIVE
+    states labeled by ``ref``, which gates, value-for-value: delegated
+    reads through the fork (branch rows for non-%7 urls are parent bytes),
+    post-fork divergence, and isolation in both directions (no leak of the
+    parent's epoch 2 into the branch or of the branch's into the parent).
+    Reference parity: no counterpart (single-corpus engine); the analog is
+    Iceberg/LakeFS branch refs re-expressed over this commit-log design."""
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_branch_q"
+    lake = _seed_three_epoch_lake(sf_dir, root)  # rmtree's root first
+    import shutil
+
+    shutil.rmtree(root + "_br", ignore_errors=True)
+    br = lake.branch(root + "_br", at=1, name="divergence")
+    n_parts, E2 = lake.num_partitions, 20_000_000
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        # branch epoch 2: update %7 urls still live after epoch 1 (¬%9)
+        m = (ids % 7 == 0) & (ids % 9 != 0)
+        urls, seqs, txts = [], [], []
+        for i, t in zip(ids[m], np.array(texts, object)[m]):
+            i = int(i)
+            base = t + " v2" if i % 5 == 0 else t
+            urls.append(f"u{i:06d}")
+            seqs.append(E2 + i)
+            txts.append(base + " vB")
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+            "deleted": pa.array([False] * len(urls), pa.bool_()),
+        })
+        return t.append_column(
+            "part", pa.array(url_partition(urls, n_parts), pa.int32()))
+
+    class CommitBranchEpoch:
+        """One task per partition commits its branch-side epoch 2."""
+
+        __name__ = "CommitBranchEpoch"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root + "_br")
+            part = int(group["part"][0].as_py())
+            winners = group.drop_columns(["part"]).sort_by(
+                [("url", "ascending")])
+            seqs = winners["seq"].to_pylist()
+            lk.commit_delta(part, 2, winners, Lineage(
+                part=part, epoch=2, events_consumed=winners.num_rows,
+                rows_upserted=winners.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(CommitBranchEpoch(), batch_format="pyarrow")
+        .take_all())  # ≤ P tiny rows — drives the branch commits
+
+    def labeled(lk: Lake, ref: str):
+        return lk.read_dataset(columns=["url", "seq", "text"]).map_batches(
+            lambda b: b.select(["url", "seq", "text"]).append_column(
+                "ref", pa.array([ref] * b.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    return (labeled(lake, "main").union(labeled(br, "branch"))
+            .sort(["ref", "url"]))
+
+
+CDC_BRANCH_DIVERGENCE_SQL = """
+WITH branch AS (
+    SELECT printf('u%06d', doc_id) AS url,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 20000000 + doc_id
+                     WHEN doc_id % 5 = 0 THEN 10000000 + doc_id
+                     ELSE doc_id END AS BIGINT) AS seq,
+           (CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ' vB' ELSE '' END) AS text
+    FROM documents WHERE doc_id % 9 <> 0
+), main AS (
+    SELECT printf('u%06d', doc_id) AS url,
+           CAST(CASE WHEN doc_id % 9 = 0 THEN 20000000 + doc_id
+                     WHEN doc_id % 5 = 0 THEN 10000000 + doc_id
+                     ELSE doc_id END AS BIGINT) AS seq,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' v3'
+                WHEN doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 9 = 0 OR doc_id % 10 <> 0
+)
+SELECT url, seq, text, 'branch' AS ref FROM branch
+UNION ALL
+SELECT url, seq, text, 'main' AS ref FROM main
+ORDER BY ref, url
+"""
+
+
 def cdc_replicated_state(sf_dir: str):
     """Lake replication end-to-end through the REAL machinery
     (cdc/replicate.py): seed the shared 3-epoch lake as the primary,
@@ -2137,6 +2247,7 @@ CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
+    "cdc_branch_divergence": cdc_branch_divergence,
     "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
@@ -2168,6 +2279,7 @@ CDC_QUERIES = {
 CDC_ORACLE_SQL = {
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
+    "cdc_branch_divergence": CDC_BRANCH_DIVERGENCE_SQL,
     "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,

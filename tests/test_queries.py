@@ -36,7 +36,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "cdc_text_index_search", "cdc_vector_index_search",
           "cdc_embed_backfill_ann", "doc_pagerank", "doc_pack_sequences",
           "cdc_retention_expiry", "doc_mixture_sample",
-          "doc_ranked_search"]
+          "doc_ranked_search", "cdc_changefeed_before",
+          "cdc_branch_divergence"]
 
 
 @pytest.fixture(scope="module")
