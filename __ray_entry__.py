@@ -54,6 +54,12 @@ _GATE_TAIL = [
                                # replication) and cdc_branch_divergence
                                # (same live-state reads through branch
                                # delegation) (r3: slot freed for it)
+    "cdc_diff_epochs",         # time-travel as_of diff — as_of reads are
+                               # gated by cdc_retention_expiry and
+                               # cdc_column_index_scan's follower fold;
+                               # the pre-image diff discipline by
+                               # cdc_changefeed_before + cdc_scd2_history
+                               # (r3: slot freed for the column index)
     "cdc_first_seen",          # groupby min — cdc_latest_state covers
     "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
     "cdc_epoch_windows",       # tumbling window — events_sliding_window

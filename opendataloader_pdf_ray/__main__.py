@@ -308,12 +308,20 @@ def cmd_fsck(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # and the ANN bucket keyspace
         report["vecidx"] = VectorIndex(v_root).verify(deep=args.deep)
+    from .cdc import ColumnIndex, list_col_indexes
+
+    col_reports = []
+    for c_root in list_col_indexes(args.lake):  # and column keyspaces
+        name = os.path.basename(c_root)
+        report[name] = ColumnIndex(c_root).verify(deep=args.deep)
+        col_reports.append(report[name])
     print(json.dumps(report))
     ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
           and report.get("nearidx", {"ok": True})["ok"]
           and report.get("quarantine", {"ok": True})["ok"]
           and report.get("textidx", {"ok": True})["ok"]
-          and report.get("vecidx", {"ok": True})["ok"])
+          and report.get("vecidx", {"ok": True})["ok"]
+          and all(r["ok"] for r in col_reports))
     return 0 if ok else 1
 
 
@@ -379,6 +387,10 @@ def cmd_stats(args) -> int:
                        ("vecidx", vec_index_root(args.lake))):
         if lake.fs.exists(root):
             report[name] = Lake(root).stats()
+    from .cdc import list_col_indexes
+
+    for c_root in list_col_indexes(args.lake):
+        report[os.path.basename(c_root)] = Lake(c_root).stats()
     print(json.dumps(report))
     return 0
 
@@ -633,6 +645,11 @@ def cmd_purge(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # vector postings carry urls too
         report["vecidx"] = VectorIndex(v_root).purge_keys(args.urls)
+    from .cdc import ColumnIndex, list_col_indexes
+
+    for c_root in list_col_indexes(args.lake):  # value postings carry urls
+        report[os.path.basename(c_root)] = \
+            ColumnIndex(c_root).purge_keys(args.urls)
     print(json.dumps(report))
     return 0
 
@@ -886,6 +903,53 @@ def cmd_text_index(args) -> int:
     print(json.dumps({"lake": args.lake, "watermark": idx.watermark(),
                       "commits": committed,
                       "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_col_index(args) -> int:
+    from .cdc import ColumnIndex, Lake, col_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    root = col_index_root(args.lake, args.column)
+    n_idx = args.idx_partitions
+    if n_idx is None and not os.path.exists(
+            os.path.join(root, "_commits", "lake.json")):
+        n_idx = 32  # fresh index with no persisted metadata
+    idx = ColumnIndex(root, num_partitions=n_idx, col=args.column)
+    lineage = idx.refresh(lake, up_to=args.up_to)
+    committed = sum(1 for r in lineage if not r["skipped"])
+    print(json.dumps({"lake": args.lake, "column": args.column,
+                      "watermark": idx.watermark(),
+                      "commits": committed,
+                      "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_scan(args) -> int:
+    """Equality-predicate scan through the secondary index: O(|values|)
+    index partition reads for the matching keys, then (with ``--rows``)
+    hash-routed lake point lookups for the payload — never a full-lake
+    scan."""
+    from .cdc import ColumnIndex, Lake, col_index_root
+
+    idx = ColumnIndex(col_index_root(args.lake, args.column))
+    hits = idx.scan_local(args.value, as_of=args.as_of)
+    by_val = {}
+    for r in hits.to_pylist():
+        by_val.setdefault(r["val"], []).append(r["key"])
+    for v in args.value:
+        keys = sorted(by_val.get(v, []))
+        rec = {"value": v, "n_urls": len(keys), "urls": keys[:args.show]}
+        print(json.dumps(rec))
+    if args.rows:
+        lake = Lake(args.lake)
+        all_keys = sorted({k for ks in by_val.values() for k in ks})
+        t = lake.lookup(all_keys, as_of=args.as_of)
+        print(json.dumps({"rows": 0 if t is None else t.num_rows}))
+        if t is not None and args.out:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(t, args.out)
     return 0
 
 
@@ -1349,6 +1413,40 @@ def main(argv=None) -> int:
     ti.add_argument("--up-to", type=int, default=None,
                     help="fold lake epochs only up to this one")
     ti.set_defaults(fn=cmd_text_index)
+
+    ci = sub.add_parser("col-index",
+                        help="refresh a secondary value→urls index on one "
+                             "payload column (<lake>/colidx_<COL>): "
+                             "retract/apply value diffs per changed url, "
+                             "exactly-once per (value-partition, epoch)")
+    ci.add_argument("lake")
+    ci.add_argument("column", help="payload column to index (one index "
+                                   "per column; index-persistent)")
+    ci.add_argument("--partitions", type=int, default=None,
+                    help="lake partitions override; persisted metadata wins")
+    ci.add_argument("--idx-partitions", type=int, default=None,
+                    help="index partitions at creation (default 32; "
+                         "existing index metadata wins)")
+    ci.add_argument("--up-to", type=int, default=None,
+                    help="fold lake epochs only up to this one")
+    ci.set_defaults(fn=cmd_col_index)
+
+    sc = sub.add_parser("scan",
+                        help="equality-predicate point scan via the "
+                             "column index: urls whose LIVE column equals "
+                             "each value (O(|values|) index-partition "
+                             "reads + hash-routed payload lookups)")
+    sc.add_argument("lake")
+    sc.add_argument("column")
+    sc.add_argument("value", nargs="+")
+    sc.add_argument("--as-of", type=int, default=None, dest="as_of")
+    sc.add_argument("--show", type=int, default=10,
+                    help="max urls printed per value")
+    sc.add_argument("--rows", action="store_true",
+                    help="also point-look-up the payload rows")
+    sc.add_argument("--out", default=None,
+                    help="with --rows: write the payload rows here")
+    sc.set_defaults(fn=cmd_scan)
 
     se = sub.add_parser("search",
                         help="full-text point lookup: urls whose LIVE text "

@@ -10,6 +10,7 @@ from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
 from .neardup import NearDupIndex
 from .textindex import TextIndex, text_index_root
 from .vecindex import VectorIndex, vec_index_root
+from .colindex import ColumnIndex, col_index_root, list_col_indexes
 from .lake import Lake, Lineage, WriterFencedError
 from .merge import (
     ensure_deleted_col,
@@ -25,6 +26,7 @@ from .views import MaterializedView, group_lang, value_text_len
 __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
+    "ColumnIndex", "col_index_root", "list_col_indexes",
     "backfill", "resolve_backfill_epoch", "changes", "replicate",
     "rescale",
     "seed_from_warc",
