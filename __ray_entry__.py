@@ -60,6 +60,11 @@ _GATE_TAIL = [
                                # the pre-image diff discipline by
                                # cdc_changefeed_before + cdc_scd2_history
                                # (r3: slot freed for the column index)
+    "corpus_clean_en",         # C4 cleaning composite — a strict
+                               # coarsening of corpus_filter_funnel (same
+                               # classifiers, thresholds and dedup fold;
+                               # the funnel gates every stage's drop count
+                               # individually) (r3: slot freed for it)
     "cdc_first_seen",          # groupby min — cdc_latest_state covers
     "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
     "cdc_epoch_windows",       # tumbling window — events_sliding_window

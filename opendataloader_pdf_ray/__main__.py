@@ -186,6 +186,14 @@ def cmd_ingest(args) -> int:
         if not os.path.exists(os.path.join(v_root, "_commits", "lake.json")):
             n_idx = 32
         followers.append(VectorIndex(v_root, num_partitions=n_idx, dim=32))
+    for col in (args.col_index or ()):
+        from .cdc import ColumnIndex, col_index_root
+
+        c_root = col_index_root(args.lake, col)
+        n_idx = None
+        if not os.path.exists(os.path.join(c_root, "_commits", "lake.json")):
+            n_idx = 32
+        followers.append(ColumnIndex(c_root, num_partitions=n_idx, col=col))
     if args.mode == "follow":
         from .cdc.ingest import follow
 
@@ -217,8 +225,8 @@ def cmd_ingest(args) -> int:
         summary["near_index_band_entries"] = NearDupIndex(
             near_index_root(args.lake)).count_fingerprints()
     for f in followers:
-        kind = "text_index" if type(f).__name__ == "TextIndex" \
-            else "vec_index"
+        kind = {"TextIndex": "text_index", "VectorIndex": "vec_index"}.get(
+            type(f).__name__) or f"col_index_{f.col}"
         summary[f"{kind}_watermark"] = f.watermark()
     print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
@@ -409,6 +417,30 @@ def cmd_branch(args) -> int:
     print(json.dumps({"branch": br.root, "parent": src.root,
                       "fork_epoch": br.fork_epoch,
                       "name": (br._read_meta() or {}).get("branch_name")}))
+    return 0
+
+
+def cmd_detach(args) -> int:
+    """Promote a branch to a standalone lake: compact at the tip
+    (distributed when a Ray session exists), copy the parent chain's
+    commit metadata ≤ fork, drop the parent link and unregister — the
+    parent may then be vacuumed aggressively or deleted."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc.lake import Lake
+
+    try:
+        print(json.dumps(Lake(args.lake).detach()))
+    finally:
+        if started_ray:
+            ray.shutdown()
     return 0
 
 
@@ -1141,6 +1173,12 @@ def main(argv=None) -> int:
                      help="keep the ANN vector index at <lake>/vecidx "
                           "fresh over the vec column (same follower "
                           "cadence as --text-index; query with vec-search)")
+    ing.add_argument("--col-index", nargs="+", default=None,
+                     dest="col_index", metavar="COL",
+                     help="keep a secondary value→urls index at "
+                          "<lake>/colidx_<COL> fresh for each named payload "
+                          "column (same follower cadence as --text-index; "
+                          "query with scan)")
     ing.add_argument("--quarantine", action="store_true",
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "
@@ -1190,6 +1228,13 @@ def main(argv=None) -> int:
                     help="branch name registered in the parent "
                          "(default: random id)")
     bh.set_defaults(fn=cmd_branch)
+
+    dt = sub.add_parser("detach",
+                        help="promote a branch to a standalone lake "
+                             "(compact at tip, copy commit metadata, "
+                             "unregister from the parent)")
+    dt.add_argument("lake", help="branch lake root")
+    dt.set_defaults(fn=cmd_detach)
 
     rs = sub.add_parser("rescale",
                         help="re-partition the lake's state into a NEW lake "

@@ -237,6 +237,85 @@ class Lake:
             dfs.pipe_file(dmeta, payload)
         return Lake(dest_root)
 
+    def detach(self) -> Dict:
+        """Promote this BRANCH to a standalone lake (the inverse of
+        :meth:`branch` — LakeFS "export", Iceberg "register table"):
+
+        1. compact every partition at its tip — the current state
+           LOCALIZES (one snapshot per partition; distributed when a Ray
+           session exists, in-process otherwise);
+        2. copy the parent chain's commit records and epoch-complete
+           markers ≤ fork (metadata-sized — the lineage stays auditable
+           and ``committed_epochs``/watermark walks keep working);
+        3. drop ``parent_root``/``fork_epoch`` from the lake metadata and
+           UNREGISTER from the parent — whose next ``vacuum`` may then
+           reclaim the previously fork-pinned files.
+
+        After detach the lake depends on nothing: the parent can be
+        vacuumed aggressively or deleted. Pre-fork TIME TRAVEL degrades to
+        what is held locally (normally just the tip snapshot) — the same
+        bounded-history degradation ``vacuum`` itself imposes; branch with
+        an earlier ``at`` and detach that if older states must survive.
+        Idempotent-ish: a crash mid-detach leaves a branch that is still
+        fully readable via the parent (metadata copies are additive;
+        the final meta rewrite is the switch point) — re-run to finish."""
+        if self.parent_root is None:
+            raise ValueError(f"{self.root} is not a branch — nothing to "
+                             f"detach")
+        import ray as _ray
+
+        if _ray.is_initialized():
+            self.compact_distributed()
+        else:
+            self.compact()
+        # metadata copies: commit records + epoch markers ≤ fork
+        records = markers = 0
+        for part in range(self.num_partitions):
+            for e in self.committed_epochs(part):
+                if e > self.fork_epoch:
+                    continue
+                cpath = self._commit_path(part, e)
+                if not self.fs.exists(cpath):
+                    self._write_small_atomic(
+                        cpath, json.dumps(self._read_commit(part, e)).encode())
+                    records += 1
+        parent = self._parent()
+        for e in range(self.fork_epoch + 1):
+            # kind-preserving (is_epoch_done / is_epoch_complete delegate
+            # through the whole parent chain, so grandparents are covered)
+            if not self.fs.exists(self.epoch_done_path(e)) \
+                    and parent.is_epoch_done(e):
+                self._write_small_atomic(self.epoch_done_path(e), b"done")
+                markers += 1
+            elif not self.fs.exists(self.epoch_maint_path(e)) \
+                    and not parent.is_epoch_done(e) \
+                    and parent.is_epoch_complete(e):
+                self._write_small_atomic(self.epoch_maint_path(e), b"maint")
+                markers += 1
+        meta = self._read_meta() or {}
+        name = meta.pop("branch_name", None)
+        old_parent, old_fork = self.parent_root, self.fork_epoch
+        meta.pop("parent_root", None)
+        meta.pop("fork_epoch", None)
+        self._write_small_atomic(self._meta_path(), json.dumps(meta).encode())
+        self.parent_root = self.fork_epoch = None
+        self._parent_lake = None
+        # unregister (by name, else by recorded root)
+        unregistered = False
+        bdir = posixpath.join(parent._commits_dir(), "branches")
+        for rec in parent.branches():
+            if (name is not None and rec.get("name") == name) or \
+                    (name is None and rec.get("root") == self.root):
+                try:
+                    parent.fs.rm_file(
+                        posixpath.join(bdir, f"{rec['name']}.json"))
+                    unregistered = True
+                except OSError:
+                    pass
+        return {"detached": self.root, "parent": old_parent,
+                "fork_epoch": old_fork, "commit_records_copied": records,
+                "markers_copied": markers, "unregistered": unregistered}
+
     def branches(self) -> List[Dict]:
         """Branch registrations recorded in THIS lake's commit log (children
         forked from this lake) — the vacuum-protection list."""

@@ -374,6 +374,99 @@ FROM filtered GROUP BY text
 """
 
 
+def corpus_filter_funnel(sf_dir: str):
+    """First-failing-filter attribution for the C4-style cleaning chain —
+    the funnel report a corpus curator reads before shipping a recipe: how
+    many docs each stage drops, in chain order (``1_lang`` → ``2_short`` →
+    ``3_stopword`` → ``4_dup``) and how many are ``5_kept``. Same
+    classifiers and thresholds as :func:`corpus_clean_en` (so the SQL
+    mirror is exact). Scale shape: classification + failed-stage counts
+    pre-aggregate inside map_batches (≤3 tiny partial rows per batch);
+    survivors carry one md5-fingerprint row each through ONE groupby;
+    kept-vs-dup then pre-aggregates again before a ≤5-key final groupby —
+    nothing corpus-sized ever leaves the bucketed shuffle, and no stage
+    executes twice."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(ts.LangId, batch_format="pyarrow",
+                        concurrency=stage_concurrency())
+    ds = ds.map_batches(ts.quality_score, batch_format="pyarrow")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            batch["text"], pattern=r"\S+").to_numpy(zero_copy_only=False)
+        lang = batch["pred_lang"].to_numpy(zero_copy_only=False)
+        stop = batch["stopword_ratio"].to_numpy(zero_copy_only=False)
+        stage = np.where(
+            lang != "en", "1_lang",
+            np.where(toks < 20, "2_short",
+                     np.where(stop < 0.05, "3_stopword", "surv")))
+        keys, ns = [], []
+        for s in ("1_lang", "2_short", "3_stopword"):
+            c = int((stage == s).sum())
+            if c:
+                keys.append(s)
+                ns.append(c)
+        for t, s in zip(batch["text"].to_pylist(), stage):
+            if s == "surv":
+                keys.append("t:" + hashlib.md5(t.encode()).hexdigest())
+                ns.append(1)
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    grouped = (ds.map_batches(classify, batch_format="pyarrow")
+               .groupby("key").aggregate(Sum("n", alias_name="n")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_numpy(zero_copy_only=False)
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        surv = np.char.startswith(keys.astype(str), "t:")
+        out_k = [str(k) for k in keys[~surv]]
+        out_n = [int(x) for x in ns[~surv]]
+        kept = int(surv.sum())          # one distinct text per group row
+        dup = int(ns[surv].sum()) - kept  # extra copies beyond the winner
+        if kept:
+            out_k.append("5_kept")
+            out_n.append(kept)
+        if dup:
+            out_k.append("4_dup")
+            out_n.append(dup)
+        return pa.table({"stage": pa.array(out_k, pa.string()),
+                         "n_docs": pa.array(out_n, pa.int64())})
+
+    return (grouped.map_batches(fold, batch_format="pyarrow")
+            .groupby("stage").aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort("stage"))
+
+
+# the funnel mirrors corpus_clean_en's classifiers stage by stage; dup =
+# survivors minus distinct surviving texts (first-writer-wins attribution)
+CORPUS_FILTER_FUNNEL_SQL = "WITH " + _MARKER_SQL + """,
+scored2 AS (SELECT doc_id, text, pred_lang,
+                   regexp_extract_all(text, '\\S+') AS toks
+            FROM pred),
+cls AS (SELECT doc_id, text,
+               CASE WHEN pred_lang <> 'en' THEN '1_lang'
+                    WHEN len(toks) < 20 THEN '2_short'
+                    WHEN CAST(len(list_filter(toks, t -> list_contains(
+                        ['the','and','of','to','in','is','that','for','with','as','on','at','by','from','this'],
+                        lower(t)))) AS DOUBLE) / len(toks) < 0.05
+                        THEN '3_stopword'
+                    ELSE 'surv' END AS stage
+        FROM scored2),
+surv AS (SELECT text FROM cls WHERE stage = 'surv')
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs FROM (
+    SELECT stage FROM cls WHERE stage <> 'surv'
+    UNION ALL
+    SELECT CASE WHEN rn = 1 THEN '5_kept' ELSE '4_dup' END
+    FROM (SELECT row_number() OVER (PARTITION BY text) AS rn FROM surv)
+) GROUP BY stage ORDER BY stage
+"""
+
+
 def doc_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (SIGMOD 2003): per-doc (pos, hash)
     fingerprint set from rightmost-min selection over windows of 4 consecutive
@@ -1557,6 +1650,7 @@ DOC_QUERIES = {
     "doc_passage_dedup": doc_passage_dedup,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "corpus_clean_en": corpus_clean_en,
+    "corpus_filter_funnel": corpus_filter_funnel,
     "url_canonical_dedup": url_canonical_dedup,
     "doc_split_stats": doc_split_stats,
     "doc_repetition_stats": doc_repetition_stats,
@@ -1587,6 +1681,7 @@ DOC_ORACLE_SQL = {
     "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
+    "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,
     "doc_split_stats": DOC_SPLIT_STATS_SQL,
     "doc_repetition_stats": DOC_REPETITION_SQL,

@@ -218,6 +218,47 @@ class TestBranchPipelines:
             replicate(br2, parent.root)
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestDetach:
+    def test_detach_promotes_branch(self, parent, tmp_path):
+        br = parent.branch(str(tmp_path / "dev"), name="dev")
+        _ep(br, 2, [("c", 9, False, "C")])
+        want = _texts(br)
+        rep = br.detach()
+        assert rep["unregistered"] and rep["fork_epoch"] == 1
+        assert parent.branches() == []
+        # standalone: fresh open has no parent and serves the same state
+        solo = Lake(br.root)
+        assert solo.parent_root is None
+        assert _texts(solo) == want
+        assert solo.verify(deep=True)["ok"]
+        assert solo.committed_epochs(0) == [0, 1, 2]
+        assert solo.is_epoch_done(1)
+        # parent vacuum may now reclaim the previously pinned history
+        _ep(parent, 2, [("d", 9, False, "D")])
+        parent.compact()
+        parent.vacuum()
+        assert not parent.fs.exists(parent._delta_path(0, 0))
+        assert _texts(solo) == want  # untouched by parent maintenance
+        # the detached lake keeps ingesting
+        _ep(solo, 3, [("e", 11, False, "E")])
+        assert _texts(solo) == {**want, "e": "E"}
+
+    def test_detach_non_branch_raises(self, parent):
+        with pytest.raises(ValueError, match="not a branch"):
+            parent.detach()
+
+    def test_detach_cli(self, parent, tmp_path, capsys):
+        from opendataloader_pdf_ray.__main__ import main
+
+        dest = str(tmp_path / "dev")
+        parent.branch(dest, name="dev")
+        assert main(["detach", dest]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["detached"] == dest and rep["unregistered"]
+        assert main(["fsck", dest, "--deep"]) == 0
+
+
 class TestBranchCLI:
     def test_cli_branch_and_stats(self, parent, tmp_path, capsys):
         from opendataloader_pdf_ray.__main__ import main

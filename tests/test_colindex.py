@@ -125,6 +125,33 @@ class TestColumnIndex:
         assert lineage and all(r["skipped"] for r in lineage)
         assert _pairs(idx.read_state()) == before
 
+    def test_ingest_col_index_follower(self, tmp_path, capsys):
+        """CLI ingest --col-index COL: the index refreshes after the
+        replay and serves equality scans that match the lake's live
+        values (n_blocks is an extract-derived int column — canonical
+        string values)."""
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = str(tmp_path / "events.parquet")
+        pq.write_table(gen_events(90, 25, seed=7), events)
+        lake_root = str(tmp_path / "lake")
+        assert main(["ingest", events, lake_root, "--partitions", "4",
+                     "--epoch-size", "45", "--commit-mode", "delta",
+                     "--col-index", "n_blocks"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["col_index_n_blocks_watermark"] == 1
+        idx = ColumnIndex(col_index_root(lake_root, "n_blocks"))
+        live = Lake(lake_root).read_state()
+        want = sorted((str(n), u) for u, n in
+                      zip(live["url"].to_pylist(),
+                          live["n_blocks"].to_pylist()) if n is not None)
+        got = sorted((r["val"], r["key"])
+                     for r in idx.read_state().to_pylist())
+        assert got == want
+
     def test_cli(self, lake, tmp_path, capsys):
         from opendataloader_pdf_ray.__main__ import main
 

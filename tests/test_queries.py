@@ -37,7 +37,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "cdc_embed_backfill_ann", "doc_pagerank", "doc_pack_sequences",
           "cdc_retention_expiry", "doc_mixture_sample",
           "doc_ranked_search", "cdc_changefeed_before",
-          "cdc_branch_divergence", "cdc_column_index_scan"]
+          "cdc_branch_divergence", "cdc_column_index_scan",
+          "corpus_filter_funnel"]
 
 
 @pytest.fixture(scope="module")
