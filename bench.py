@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     "cdc_scd2_history", "events_late_data_stats", "cdc_text_index_search",
     "cdc_vector_index_search", "cdc_embed_backfill_ann",
     "doc_pagerank", "doc_pack_sequences", "cdc_retention_expiry",
-    "doc_mixture_sample", "doc_ranked_search",
+    "doc_mixture_sample", "doc_ranked_search", "cdc_changefeed_before",
+    "cdc_branch_divergence", "cdc_column_index_scan", "corpus_filter_funnel",
 ]
 
 
