@@ -815,6 +815,61 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    """Roll the lake's LIVE state back to a past epoch as one exactly-once
+    maintenance epoch (cdc/restore.py): post-target inserts tombstoned,
+    deletes resurrected, updates reverted; time travel across the rollback
+    preserved (a second restore can roll forward again)."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.restore import apply_restore
+
+    lake = Lake(args.lake, args.partitions)
+    lineage = apply_restore(lake, args.target)
+    print(json.dumps({
+        "target": args.target,
+        "epoch": lineage[0]["epoch"] if lineage else None,
+        "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
+        "partitions_skipped": sum(1 for l in lineage if l["skipped"]),
+        "rows_tombstoned": sum(l["rows_deleted"] for l in lineage
+                               if not l["skipped"]),
+    }))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
+def cmd_import_jsonl(args) -> int:
+    """Normalize Debezium-style JSONL change-event segments into the
+    engine's parquet segment layout (sources/jsonl_binlog.py): one Ray task
+    per segment, resumable, atomic per-segment writes. The output dir is a
+    normal binlog for ``ingest`` (all seq/row-group pruning applies)."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .sources.jsonl_binlog import import_jsonl
+
+    n = import_jsonl(args.src, args.out)
+    print(json.dumps({"segments_imported": n, "out": args.out}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack live lake text into fixed-token-budget training-sequence
     manifests (cdc/pack.py): one shard per partition, atomic + tip-epoch
@@ -1386,6 +1441,27 @@ def main(argv=None) -> int:
     rt.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     rt.set_defaults(fn=cmd_retention)
+
+    rst = sub.add_parser("restore",
+                         help="roll the lake's live state back to a past "
+                              "epoch as one exactly-once maintenance epoch "
+                              "(resumable; time travel across the rollback "
+                              "preserved; re-restore to roll forward)")
+    rst.add_argument("lake")
+    rst.add_argument("target", type=int,
+                     help="epoch whose live state to restore")
+    rst.add_argument("--partitions", type=int, default=None,
+                     help="override only for pre-metadata lakes")
+    rst.set_defaults(fn=cmd_restore)
+
+    ij = sub.add_parser("import-jsonl",
+                        help="normalize Debezium-style JSONL change-event "
+                             "segments (optionally gzipped) into parquet "
+                             "binlog segments ingest can tail (distributed, "
+                             "resumable, atomic per segment)")
+    ij.add_argument("src", help="directory of .jsonl/.jsonl.gz/.ndjson files")
+    ij.add_argument("out", help="parquet segment output directory")
+    ij.set_defaults(fn=cmd_import_jsonl)
 
     df = sub.add_parser("diff",
                         help="distributed live-state equivalence check "

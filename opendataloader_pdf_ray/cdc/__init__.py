@@ -1,5 +1,6 @@
 from .backfill import backfill, resolve_backfill_epoch
 from .changefeed import changes
+from .restore import apply_restore
 from .replicate import replicate
 from .rescale import rescale
 from .seed import seed_from_warc
@@ -27,6 +28,7 @@ __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
     "ColumnIndex", "col_index_root", "list_col_indexes",
+    "apply_restore",
     "backfill", "resolve_backfill_epoch", "changes", "replicate",
     "rescale",
     "seed_from_warc",

@@ -138,7 +138,7 @@ def _guard_cdc_epoch(lake: Lake, part: int, epoch: int) -> "Lineage":
     tail around backfills, or pass ``backfill(epoch=)`` beyond the binlog's
     epoch space)."""
     lin = lake.read_lineage(part, epoch)
-    if lin.kind in ("backfill", "rescale", "retention"):
+    if lin.kind in ("backfill", "rescale", "retention", "restore"):
         raise RuntimeError(
             f"CDC epoch {epoch} collides with a {lin.kind} commit on "
             f"partition {part}: the binlog reached a maintenance epoch. "

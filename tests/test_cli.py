@@ -413,3 +413,50 @@ class TestDupsCLI:
         dups = {r["url"]: r["dup_of"] for r in got.to_pylist() if r["is_dup"]}
         assert dups == {"https://d.x/4": "https://d.x/0",
                         "https://d.x/8": "https://d.x/0"}
+
+
+class TestRestoreCLI:
+    def test_restore_then_roll_forward(self, tmp_path, capsys, ray_session):
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+        events = tmp_path / "events.parquet"
+        pq.write_table(gen_events(120, 30, seed=5), str(events))
+        lake_dir = str(tmp_path / "lake")
+        assert main(["ingest", str(events), lake_dir, "--epoch-size", "60",
+                     "--partitions", "4", "--mode", "epoch"]) == 0
+        capsys.readouterr()
+        lake = Lake(lake_dir, 4)
+        want = lake.read_state(as_of=0).sort_by("url")
+
+        assert main(["restore", lake_dir, "0"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["target"] == 0 and rep["epoch"] == 2
+        assert lake.read_state().sort_by("url").equals(want)
+
+
+class TestImportJsonlCLI:
+    def test_import_then_ingest(self, tmp_path, capsys, ray_session):
+        import os
+
+        from opendataloader_pdf_ray.fixtures.gen import gen_events
+        from opendataloader_pdf_ray.sources.jsonl_binlog import \
+            to_jsonl_segment
+
+        events = gen_events(60, 20, seed=6)
+        src = tmp_path / "jsonl"
+        src.mkdir()
+        (src / "seg-000000.jsonl").write_bytes(to_jsonl_segment(events))
+        out = str(tmp_path / "pq")
+        assert main(["import-jsonl", str(src), out]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["segments_imported"] == 1
+        assert os.listdir(out) == ["seg-000000.parquet"]
+
+        lake_dir = str(tmp_path / "lake")
+        assert main(["ingest", out, lake_dir, "--epoch-size", "60",
+                     "--partitions", "4", "--mode", "epoch"]) == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["events_consumed"] == 60
