@@ -123,6 +123,12 @@ _GATE_TAIL = [
                                # knn_lsh and embedding_dup_pairs_lsh gate
                                # the embedding column far more deeply
                                # (r3: slot freed for doc_pack_sequences)
+    "audio_frame_stats",       # multimodal binary-column plumbing (typed
+                               # metadata, actor-pool decode stage) — the
+                               # identical plumbing is gated in-slot by
+                               # image_asset_stats with real asset
+                               # extraction on top (r3: slot freed for
+                               # cdc_restore_state)
     "hybrid_routed_extract",   # rows-only smoke (reconcile output is not
                                # SQL-expressible): pytest + in-query
                                # invariant assertions gate it; its triage

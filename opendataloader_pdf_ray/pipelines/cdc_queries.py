@@ -2338,8 +2338,145 @@ def _retention_sql() -> str:
     return CDC_RETENTION_EXPIRY_SQL.format(base=BASE_TS_US)
 
 
+def cdc_restore_state(sf_dir: str):
+    """Point-in-time restore end-to-end through the REAL lake machinery
+    (cdc/restore.py): seed epoch 0 from ``documents`` (warc_ts = BASE +
+    doc_id), epoch 1 churns it (doc_id%3==0 urls refreshed at BASE +
+    (max+1) + doc_id, those also %5==0 DELETED instead), epoch 2 drifts
+    further (doc_id%4==0 updated again, doc_id%11==0 gains brand-new
+    ``v``-urls) — then ``apply_restore(lake, target=1)`` rolls the live
+    state back. In-query invariants: replaying the committed restore epoch
+    is an all-skipped no-op, and time travel ``as_of=2`` still sees the
+    undone epoch-2 state (restore is not purge). Returns the post-restore
+    live (url, warc_ts) — reverted rows keep their ORIGINAL versions, so
+    the SQL oracle recomputes the LWW state of epochs ≤ 1 algebraically
+    (v-urls and epoch-1 deletes are tombstones, invisible to the live
+    view)."""
+    import shutil
+
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.merge import merge_base_with_updates
+    from ..cdc.restore import apply_restore
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_restore_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    lake = Lake(root, num_partitions)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    import pyarrow.parquet as _pq
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    max_id = max(meta.row_group(rg).column(col).statistics.max
+                 for rg in range(meta.num_row_groups))
+    span = max_id + 1
+
+    def to_rows(epoch: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if epoch == 0:
+                urls = [f"u{i:06d}" for i in ids]
+                ts = BASE_TS_US + ids
+                dead = np.zeros(len(ids), bool)
+            elif epoch == 1:
+                ids = ids[ids % 3 == 0]
+                urls = [f"u{i:06d}" for i in ids]
+                ts = BASE_TS_US + span + ids
+                dead = ids % 5 == 0
+            else:
+                upd = ids[ids % 4 == 0]
+                new = ids[ids % 11 == 0]
+                urls = [f"u{i:06d}" for i in upd] + \
+                    [f"v{i:06d}" for i in new]
+                ts = np.concatenate([BASE_TS_US + 2 * span + upd,
+                                     BASE_TS_US + 2 * span + new])
+                ids = np.concatenate([upd, new + span])
+                dead = np.zeros(len(ids), bool)
+            t = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()),
+                "seq": pa.array(ids + epoch * 2 * span, pa.int64()),
+                "deleted": pa.array(dead),
+            })
+            parts = url_partition(urls, num_partitions)
+            return t.append_column("part", pa.array(parts, pa.int32()))
+        return fn
+
+    class CommitPartition:
+        """Distributed epoch commit: LWW-merge onto the pre-state."""
+
+        __name__ = "CommitPartition"
+
+        def __init__(self, epoch: int):
+            self.epoch = epoch
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, num_partitions)
+            part = int(group["part"][0].as_py())
+            ups = group.drop_columns(["part"])
+            base = None if self.epoch == 0 \
+                else lk.read_partition(part, as_of=self.epoch - 1)
+            state = merge_base_with_updates(base, ups)
+            seqs = ups["seq"].to_pylist()
+            lk.commit_partition(part, self.epoch, state, Lineage(
+                part=part, epoch=self.epoch, events_consumed=ups.num_rows,
+                rows_upserted=ups.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    for epoch in (0, 1, 2):
+        (ray.data.read_parquet(docs_path, columns=["doc_id"])
+         .map_batches(to_rows(epoch), batch_format="pyarrow")
+         .groupby("part")
+         .map_groups(CommitPartition(epoch), batch_format="pyarrow")
+         ).take_all()  # ≤ P tiny rows — drives the commits
+
+    n_at_2 = lake.read_dataset(as_of=2).count()  # pre-restore live count
+    lineage = apply_restore(lake, 1)
+    if not lineage or any(l["epoch"] != lineage[0]["epoch"]
+                          for l in lineage):
+        raise AssertionError("restore epoch did not commit cleanly")
+    # exactly-once: replaying the committed restore epoch must no-op
+    again = apply_restore(lake, 1, epoch=lineage[0]["epoch"])
+    if not all(l["skipped"] for l in again):
+        raise AssertionError("restore epoch replay was not idempotent")
+    # time travel: the undone epoch-2 state is still readable (not purged)
+    if lake.read_dataset(as_of=2).count() != n_at_2:
+        raise AssertionError("restore destroyed as_of=2 time travel")
+    return (lake.read_dataset()
+            .select_columns(["url", "warc_ts"]).sort("url"))
+
+
+CDC_RESTORE_STATE_SQL = """
+WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
+v AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         {base} + doc_id AS warc_ts, FALSE AS del FROM documents
+  UNION ALL
+  SELECT printf('u%06d', doc_id),
+         {base} + (SELECT span FROM mx) + doc_id, doc_id % 5 = 0
+  FROM documents WHERE doc_id % 3 = 0),
+lww AS (SELECT url, max(warc_ts) AS warc_ts,
+               arg_max(del, warc_ts) AS del FROM v GROUP BY url)
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts FROM lww
+WHERE NOT del ORDER BY url
+"""
+
+
+def _restore_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return CDC_RESTORE_STATE_SQL.format(base=BASE_TS_US)
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_restore_state": cdc_restore_state,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
     "cdc_branch_divergence": cdc_branch_divergence,
@@ -2383,6 +2520,7 @@ CDC_ORACLE_SQL = {
     "cdc_near_dup_attribution": CDC_NEAR_DUP_ATTRIBUTION_SQL,
     "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
     "cdc_retention_expiry": _retention_sql(),
+    "cdc_restore_state": _restore_sql(),
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
