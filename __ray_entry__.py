@@ -123,6 +123,18 @@ _GATE_TAIL = [
                                # knn_lsh and embedding_dup_pairs_lsh gate
                                # the embedding column far more deeply
                                # (r3: slot freed for doc_pack_sequences)
+    "cdc_vector_index_search",  # incremental ANN keyspace — a strict
+                                # sub-pipeline of cdc_embed_backfill_ann,
+                                # which gates the same vecidx follower +
+                                # multi-probe search THROUGH the backfill
+                                # value-level candidate path on top (r3:
+                                # slot freed for cdc_range_index_scan)
+    "events_range_join",       # bucketed interval join — the identical
+                               # sorted-bucket temporal-merge machinery is
+                               # gated in-slot by cdc_asof_enrich (merge_
+                               # asof) and the pair-join family by
+                               # doc_word_jaccard / semantic_dup (r3: slot
+                               # freed for jsonl_roundtrip_stats)
     "audio_frame_stats",       # multimodal binary-column plumbing (typed
                                # metadata, actor-pool decode stage) — the
                                # identical plumbing is gated in-slot by

@@ -194,6 +194,17 @@ def cmd_ingest(args) -> int:
         if not os.path.exists(os.path.join(c_root, "_commits", "lake.json")):
             n_idx = 32
         followers.append(ColumnIndex(c_root, num_partitions=n_idx, col=col))
+    for spec in (args.range_index or ()):
+        from .cdc import RangeIndex, range_index_root
+
+        col, _, width = spec.partition(":")
+        r_root = range_index_root(args.lake, col)
+        n_idx = None
+        if not os.path.exists(os.path.join(r_root, "_commits", "lake.json")):
+            n_idx = 32
+        followers.append(RangeIndex(
+            r_root, num_partitions=n_idx, col=col,
+            width=int(width) if width else None))
     if args.mode == "follow":
         from .cdc.ingest import follow
 
@@ -225,8 +236,12 @@ def cmd_ingest(args) -> int:
         summary["near_index_band_entries"] = NearDupIndex(
             near_index_root(args.lake)).count_fingerprints()
     for f in followers:
-        kind = {"TextIndex": "text_index", "VectorIndex": "vec_index"}.get(
-            type(f).__name__) or f"col_index_{f.col}"
+        kind = {"TextIndex": "text_index", "VectorIndex": "vec_index",
+                "RangeIndex": None}.get(type(f).__name__, None)
+        if kind is None:
+            prefix = ("range_index" if type(f).__name__ == "RangeIndex"
+                      else "col_index")
+            kind = f"{prefix}_{f.col}"
         summary[f"{kind}_watermark"] = f.watermark()
     print(json.dumps(summary))
     if started_ray:  # leave an externally owned session (e.g. pytest) alone
@@ -316,12 +331,17 @@ def cmd_fsck(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # and the ANN bucket keyspace
         report["vecidx"] = VectorIndex(v_root).verify(deep=args.deep)
-    from .cdc import ColumnIndex, list_col_indexes
+    from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
+                      list_range_indexes)
 
     col_reports = []
     for c_root in list_col_indexes(args.lake):  # and column keyspaces
         name = os.path.basename(c_root)
         report[name] = ColumnIndex(c_root).verify(deep=args.deep)
+        col_reports.append(report[name])
+    for r_root in list_range_indexes(args.lake):  # and range keyspaces
+        name = os.path.basename(r_root)
+        report[name] = RangeIndex(r_root).verify(deep=args.deep)
         col_reports.append(report[name])
     print(json.dumps(report))
     ok = (report["ok"] and report.get("fpindex", {"ok": True})["ok"]
@@ -395,10 +415,12 @@ def cmd_stats(args) -> int:
                        ("vecidx", vec_index_root(args.lake))):
         if lake.fs.exists(root):
             report[name] = Lake(root).stats()
-    from .cdc import list_col_indexes
+    from .cdc import list_col_indexes, list_range_indexes
 
     for c_root in list_col_indexes(args.lake):
         report[os.path.basename(c_root)] = Lake(c_root).stats()
+    for r_root in list_range_indexes(args.lake):
+        report[os.path.basename(r_root)] = Lake(r_root).stats()
     print(json.dumps(report))
     return 0
 
@@ -677,11 +699,15 @@ def cmd_purge(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # vector postings carry urls too
         report["vecidx"] = VectorIndex(v_root).purge_keys(args.urls)
-    from .cdc import ColumnIndex, list_col_indexes
+    from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
+                      list_range_indexes)
 
     for c_root in list_col_indexes(args.lake):  # value postings carry urls
         report[os.path.basename(c_root)] = \
             ColumnIndex(c_root).purge_keys(args.urls)
+    for r_root in list_range_indexes(args.lake):  # range postings too
+        report[os.path.basename(r_root)] = \
+            RangeIndex(r_root).purge_keys(args.urls)
     print(json.dumps(report))
     return 0
 
@@ -1012,6 +1038,51 @@ def cmd_col_index(args) -> int:
     return 0
 
 
+def cmd_range_index(args) -> int:
+    from .cdc import Lake, RangeIndex, range_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    root = range_index_root(args.lake, args.column)
+    n_idx = args.idx_partitions
+    if n_idx is None and not os.path.exists(
+            os.path.join(root, "_commits", "lake.json")):
+        n_idx = 32  # fresh index with no persisted metadata
+    idx = RangeIndex(root, num_partitions=n_idx, col=args.column,
+                     width=args.width)
+    lineage = idx.refresh(lake, up_to=args.up_to)
+    committed = sum(1 for r in lineage if not r["skipped"])
+    print(json.dumps({"lake": args.lake, "column": args.column,
+                      "width": idx.width,
+                      "watermark": idx.watermark(),
+                      "commits": committed,
+                      "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_range_scan(args) -> int:
+    """Range-predicate scan through the bucketed range index: O(range /
+    bucket width) index partition reads for the matching (key, val) pairs,
+    then (with ``--rows``) hash-routed lake point lookups for the payload —
+    never a full-lake fold."""
+    from .cdc import Lake, RangeIndex, range_index_root
+
+    idx = RangeIndex(range_index_root(args.lake, args.column))
+    hits = idx.scan_range_local(args.lo, args.hi, as_of=args.as_of)
+    keys = []
+    for r in hits.to_pylist()[:args.show]:
+        print(json.dumps({"key": r["key"], "val": r["val"]}))
+    keys = sorted(set(hits["key"].to_pylist()))
+    if args.rows:
+        lake = Lake(args.lake)
+        t = lake.lookup(keys, as_of=args.as_of)
+        print(json.dumps({"rows": 0 if t is None else t.num_rows}))
+        if t is not None and args.out:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(t, args.out)
+    return 0
+
+
 def cmd_scan(args) -> int:
     """Equality-predicate scan through the secondary index: O(|values|)
     index partition reads for the matching keys, then (with ``--rows``)
@@ -1234,6 +1305,12 @@ def main(argv=None) -> int:
                           "<lake>/colidx_<COL> fresh for each named payload "
                           "column (same follower cadence as --text-index; "
                           "query with scan)")
+    ing.add_argument("--range-index", nargs="+", default=None,
+                     dest="range_index", metavar="COL[:WIDTH]",
+                     help="keep a bucketed numeric range index at "
+                          "<lake>/rangeidx_<COL> fresh for each named "
+                          "int/timestamp payload column (same follower "
+                          "cadence as --text-index; query with range-scan)")
     ing.add_argument("--quarantine", action="store_true",
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "
@@ -1568,6 +1645,45 @@ def main(argv=None) -> int:
     sc.add_argument("--out", default=None,
                     help="with --rows: write the payload rows here")
     sc.set_defaults(fn=cmd_scan)
+
+    ri = sub.add_parser("range-index",
+                        help="refresh a bucketed numeric range index on one "
+                             "payload column (<lake>/rangeidx_<COL>): "
+                             "(bucket, val, url) postings, bucket = val // "
+                             "width; range predicates then read only the "
+                             "overlapping buckets' partitions")
+    ri.add_argument("lake")
+    ri.add_argument("column", help="int/timestamp payload column (one "
+                                   "index per column; index-persistent)")
+    ri.add_argument("--width", type=int, default=None,
+                    help="bucket width at creation (default 1e6; "
+                         "existing index config wins; mismatch fails)")
+    ri.add_argument("--partitions", type=int, default=None,
+                    help="lake partitions override; persisted metadata wins")
+    ri.add_argument("--idx-partitions", type=int, default=None,
+                    help="index partitions at creation (default 32; "
+                         "existing index metadata wins)")
+    ri.add_argument("--up-to", type=int, default=None,
+                    help="fold lake epochs only up to this one")
+    ri.set_defaults(fn=cmd_range_index)
+
+    rsc = sub.add_parser("range-scan",
+                         help="range-predicate scan via the range index: "
+                              "urls whose LIVE column is in [lo, hi] "
+                              "(O(range/width) index-partition reads + "
+                              "hash-routed payload lookups)")
+    rsc.add_argument("lake")
+    rsc.add_argument("column")
+    rsc.add_argument("lo", type=int)
+    rsc.add_argument("hi", type=int)
+    rsc.add_argument("--as-of", type=int, default=None, dest="as_of")
+    rsc.add_argument("--show", type=int, default=10,
+                     help="max (key, val) rows printed")
+    rsc.add_argument("--rows", action="store_true",
+                     help="also point-look-up the payload rows")
+    rsc.add_argument("--out", default=None,
+                     help="with --rows: write the payload rows here")
+    rsc.set_defaults(fn=cmd_range_scan)
 
     se = sub.add_parser("search",
                         help="full-text point lookup: urls whose LIVE text "

@@ -12,6 +12,7 @@ from .neardup import NearDupIndex
 from .textindex import TextIndex, text_index_root
 from .vecindex import VectorIndex, vec_index_root
 from .colindex import ColumnIndex, col_index_root, list_col_indexes
+from .rangeindex import RangeIndex, list_range_indexes, range_index_root
 from .lake import Lake, Lineage, WriterFencedError
 from .merge import (
     ensure_deleted_col,
@@ -28,6 +29,7 @@ __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
     "ColumnIndex", "col_index_root", "list_col_indexes",
+    "RangeIndex", "range_index_root", "list_range_indexes",
     "apply_restore",
     "backfill", "resolve_backfill_epoch", "changes", "replicate",
     "rescale",

@@ -1703,6 +1703,105 @@ ORDER BY val, key
 """
 
 
+def cdc_range_index_scan(sf_dir: str):
+    """Bucketed range index end-to-end through the REAL machinery
+    (cdc/rangeindex.py — the follower-keyspace protocol's zone-map
+    instance): seed a 3-epoch lake whose payload carries an int ``score``
+    column (epoch 0 inserts every doc with ``score = doc_id*7919 % 10000``;
+    epoch 1 MOVES ``doc_id % 5`` docs to ``doc_id*104729 % 10000`` —
+    retraction + apply, usually crossing buckets; epoch 2 DELETES
+    ``doc_id % 9`` — retraction), refresh the index (width 500), and scan
+    ``score BETWEEN 2500 AND 6499``. The (key, val) result gates the diff
+    emitter, the identity fold, the inclusive bounds, and the
+    bucket-partition pruning — range predicates over a url-hash-partitioned
+    100-TB lake as O(range/width) partition reads instead of a full fold."""
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.rangeindex import RangeIndex, range_index_root
+    from ..fixtures.gen import BASE_TS_US
+
+    import shutil
+
+    root = "/tmp/odl_ray_rangeidx_q"
+    shutil.rmtree(root, ignore_errors=True)
+    n_parts = 8
+    E1, E2 = 10_000_000, 20_000_000
+    lake = Lake(root, n_parts)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, seqs, scores, dels, eps = [], [], [], [], []
+        for i in ids:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(i)
+            scores.append(i * 7919 % 10000); dels.append(False)
+            eps.append(0)
+        for i in ids[ids % 5 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E1 + i)
+            scores.append(i * 104729 % 10000); dels.append(False)
+            eps.append(1)
+        for i in ids[ids % 9 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E2 + i)
+            scores.append(None); dels.append(True); eps.append(2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        return t.append_column(
+            "part", pa.array(url_partition(urls, n_parts), pa.int32()))
+
+    class SeedPartition:
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, n_parts)
+            part = int(group["part"][0].as_py())
+            for e in (0, 1, 2):
+                sub = group.filter(pc.equal(group["epoch"], e))
+                if sub.num_rows == 0:
+                    continue
+                winners = sub.drop_columns(["part", "epoch"]).sort_by(
+                    [("url", "ascending")])
+                seqs = winners["seq"].to_pylist()
+                lk.commit_delta(part, e, winners, Lineage(
+                    part=part, epoch=e, events_consumed=winners.num_rows,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow")
+        .take_all())  # ≤ P tiny rows — drives the seed commits
+
+    idx = RangeIndex(range_index_root(root, "score"), 8, col="score",
+                     width=500)
+    idx.refresh(lake)
+    return idx.scan_range(2500, 6499).sort(["key", "val"])
+
+
+CDC_RANGE_INDEX_SCAN_SQL = """
+WITH live AS (
+  SELECT printf('u%06d', doc_id) AS key,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id * 104729 % 10000
+              ELSE doc_id * 7919 % 10000 END AS BIGINT) AS val
+  FROM documents WHERE doc_id % 9 <> 0)
+SELECT key, val FROM live WHERE val BETWEEN 2500 AND 6499
+ORDER BY key, val
+"""
+
+
 def cdc_replicated_state(sf_dir: str):
     """Lake replication end-to-end through the REAL machinery
     (cdc/replicate.py): seed the shared 3-epoch lake as the primary,
@@ -2481,6 +2580,7 @@ CDC_QUERIES = {
     "cdc_changefeed_before": cdc_changefeed_before,
     "cdc_branch_divergence": cdc_branch_divergence,
     "cdc_column_index_scan": cdc_column_index_scan,
+    "cdc_range_index_scan": cdc_range_index_scan,
     "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
@@ -2514,6 +2614,7 @@ CDC_ORACLE_SQL = {
     "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
     "cdc_branch_divergence": CDC_BRANCH_DIVERGENCE_SQL,
     "cdc_column_index_scan": CDC_COLUMN_INDEX_SCAN_SQL,
+    "cdc_range_index_scan": CDC_RANGE_INDEX_SCAN_SQL,
     "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,

@@ -156,3 +156,24 @@ class TestRestore:
                     os.unlink(os.path.join(lake._part_dir(part), name))
         with pytest.raises(Exception, match="no longer time-travelable"):
             apply_restore(lake, 0)
+
+    def test_follower_index_tracks_restore(self, tmp_path):
+        """The text index folds the restore epoch like any other commit:
+        post-restore search reflects the restored live text (retractions
+        for post-target tokens, re-applies for resurrected ones), and index
+        time travel still sees the pre-restore postings."""
+        from opendataloader_pdf_ray.cdc import TextIndex
+
+        from test_textindex import live_postings
+        from test_textindex import seed_lake as seed_ti_lake
+
+        lake = seed_ti_lake(tmp_path / "lake")
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        pre = live_postings(idx)  # epoch-2 live: fox/red/wolf on a
+        apply_restore(lake, 0)    # restore epoch 3
+        idx.refresh(lake)
+        assert live_postings(idx) == [
+            ("blue", "b"), ("fox", "a"), ("fox", "b"),
+            ("jumps", "a"), ("red", "a")]
+        assert live_postings(idx, as_of=2) == pre
