@@ -296,6 +296,21 @@ def cmd_compact(args) -> int:
         report["vecidx_compacted"] = vindex.compact_distributed()
         report["vecidx_reclaimed"] = vindex.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
+    from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
+                      list_range_indexes)
+
+    for c_root in list_col_indexes(args.lake):  # and column keyspaces
+        cidx = ColumnIndex(c_root)
+        name = os.path.basename(c_root)
+        report[f"{name}_compacted"] = cidx.compact_distributed()
+        report[f"{name}_reclaimed"] = cidx.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
+    for r_root in list_range_indexes(args.lake):  # and range keyspaces
+        ridx = RangeIndex(r_root)
+        name = os.path.basename(r_root)
+        report[f"{name}_compacted"] = ridx.compact_distributed()
+        report[f"{name}_reclaimed"] = ridx.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
     print(json.dumps(report))
     return 0
 

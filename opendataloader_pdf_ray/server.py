@@ -214,11 +214,51 @@ def _call_semantic_search_lake(a: Dict[str, Any]) -> str:
                         hits["cosine"].to_pylist())])
 
 
+_RANGE_TOOL = {
+    "name": "range_scan_lake",
+    "description": "Range-predicate scan over a CDC lake's bucketed range "
+                   "index (<lake>/rangeidx_<column>): urls whose LIVE "
+                   "column value lies in [lo, hi] (inclusive). In-process "
+                   "partition-pruned reads (O(range/bucket-width)); no "
+                   "cluster is started.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake", "column", "lo", "hi"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "column": {"type": "string",
+                       "description": "Indexed int/timestamp column."},
+            "lo": {"type": "integer"},
+            "hi": {"type": "integer"},
+            "as_of": {"type": "integer",
+                      "description": "Time-travel: scan as of this epoch."},
+            "limit": {"type": "integer", "default": 20,
+                      "description": "Max (url, val) rows returned."},
+        },
+    },
+}
+
+
+def _call_range_scan_lake(a: Dict[str, Any]) -> str:
+    from .cdc.rangeindex import RangeIndex, range_index_root
+
+    idx = RangeIndex(range_index_root(a["lake"], str(a["column"])))
+    hits = idx.scan_range_local(int(a["lo"]), int(a["hi"]),
+                                as_of=a.get("as_of"))
+    limit = int(a.get("limit", 20))
+    rows = hits.to_pylist()
+    return json.dumps({
+        "n_urls": len(rows),
+        "hits": [{"url": r["key"], "val": r["val"]}
+                 for r in rows[:limit]]})
+
+
 _TOOLS = {
     "convert_html": (_TOOL_SCHEMA, _call_convert_html),
     "search_lake": (_SEARCH_TOOL, _call_search_lake),
     "ranked_search_lake": (_RANKED_TOOL, _call_ranked_search_lake),
     "semantic_search_lake": (_SEMANTIC_TOOL, _call_semantic_search_lake),
+    "range_scan_lake": (_RANGE_TOOL, _call_range_scan_lake),
 }
 
 

@@ -202,3 +202,16 @@ class TestRangeIndex:
                           live["n_blocks"].to_pylist()) if n is not None)
         got = _pairs(idx.scan_range_local(0, 1 << 40))
         assert got == want
+
+    def test_compact_cli_folds_indexes(self, lake, capsys):
+        """`compact LAKE` also folds + vacuums colidx_*/rangeidx_*
+        keyspaces (distributed, retractions pruned)."""
+        from opendataloader_pdf_ray.__main__ import main
+
+        idx = _idx(lake)
+        assert main(["compact", lake.root]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rangeidx_score_compacted"] >= 1
+        assert idx.verify(deep=True)["ok"]
+        assert _pairs(idx.scan_range_local(0, 1000)) == \
+            [("a", 305), ("c", 420)]

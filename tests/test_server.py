@@ -22,7 +22,7 @@ class TestProtocol:
         tools = _call("tools/list")["result"]["tools"]
         assert [t["name"] for t in tools] == [
             "convert_html", "search_lake", "ranked_search_lake",
-            "semantic_search_lake"]
+            "semantic_search_lake", "range_scan_lake"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -177,3 +177,36 @@ class TestStdioLoop:
                            timeout=60, cwd="/root/repo")
         resp = json.loads(p.stdout.strip().splitlines()[-1])
         assert resp["result"]["tools"][0]["name"] == "convert_html"
+
+
+class TestRangeScanTool:
+    def test_range_scan_lake_tool(self, tmp_path, ray_session):
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+        from opendataloader_pdf_ray.cdc.rangeindex import (RangeIndex,
+                                                           range_index_root)
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, 2)
+        t = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "score": pa.array([120, 480], pa.int64()),
+            "deleted": pa.array([False, False], pa.bool_()),
+        })
+        for part in (0, 1):
+            lake.commit_delta(part, 0, t.slice(part, 1), Lineage(
+                part=part, epoch=0, events_consumed=1, rows_upserted=1,
+                rows_deleted=0, seq_min=part + 1, seq_max=part + 1))
+        RangeIndex(range_index_root(root, "score"), 4, col="score",
+                   width=100).refresh(lake)
+        resp = _call("tools/call", {"name": "range_scan_lake",
+                                    "arguments": {"lake": root,
+                                                  "column": "score",
+                                                  "lo": 100, "hi": 200}})
+        assert resp["result"]["isError"] is False
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out == {"n_urls": 1, "hits": [{"url": "a", "val": 120}]}
