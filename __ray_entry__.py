@@ -123,6 +123,13 @@ _GATE_TAIL = [
                                # knn_lsh and embedding_dup_pairs_lsh gate
                                # the embedding column far more deeply
                                # (r3: slot freed for doc_pack_sequences)
+    "cdc_changefeed_timewindow",  # event-time-windowed feed — the feed
+                                  # machinery + pre-image classification
+                                  # are gated in-slot by
+                                  # cdc_changefeed_before; the zone-map
+                                  # pruning itself is pytest-gated
+                                  # (test_changefeed.TestEventTimeWindow
+                                  # proves pruned files are never opened)
     "cdc_vector_index_search",  # incremental ANN keyspace — a strict
                                 # sub-pipeline of cdc_embed_backfill_ann,
                                 # which gates the same vecidx follower +

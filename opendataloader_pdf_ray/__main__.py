@@ -580,7 +580,8 @@ def cmd_changes(args) -> int:
             ray.shutdown()
         return 0
     feed = lake.changes(since=args.since, until=args.until,
-                        before=args.before or None)
+                        before=args.before or None,
+                        min_ts=args.min_ts, max_ts=args.max_ts)
     if args.out:
         feed.write_parquet(args.out)
         import pyarrow.dataset as pads
@@ -1468,6 +1469,13 @@ def main(argv=None) -> int:
                     help="attach the pre-image LIVE value of these payload "
                          "columns as before_<col> (Debezium-style before "
                          "image; null on inserts)")
+    cf.add_argument("--min-ts", type=int, default=None, dest="min_ts",
+                    help="event-time window lower bound (int64 µs, "
+                         "inclusive): only changes with warc_ts >= this; "
+                         "pruned via commit-record ts_range zone maps "
+                         "before any data file is opened")
+    cf.add_argument("--max-ts", type=int, default=None, dest="max_ts",
+                    help="event-time window upper bound (inclusive)")
     cf.add_argument("--consumer", default=None,
                     help="follow mode: named consumer group — the offset "
                          "persists in the lake (_commits/consumers/) and is "

@@ -94,11 +94,13 @@ class _FeedPartition:
 
     def __init__(self, root: str, num_partitions: int, since: int,
                  until: Optional[int], target: pa.Schema,
-                 before: Optional[List[str]] = None):
+                 before: Optional[List[str]] = None,
+                 min_ts: Optional[int] = None, max_ts: Optional[int] = None):
         self.root, self.n = root, num_partitions
         self.since, self.until = since, until
         self.target = target
         self.before = before
+        self.min_ts, self.max_ts = min_ts, max_ts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lake = Lake(self.root, self.n)
@@ -121,17 +123,56 @@ class _FeedPartition:
         return pd.Index(np.asarray(
             state["url"].to_numpy(zero_copy_only=False))[~dead])
 
+    def _ts_overlaps(self, lake: Lake, part: int, epoch: int) -> bool:
+        """Event-time zone-map check: False only when the commit record
+        PROVES no row of this epoch lies in [min_ts, max_ts] (records
+        without ts_range — older lakes, follower keyspaces — must be
+        processed)."""
+        if self.min_ts is None and self.max_ts is None:
+            return True
+        rng = lake._read_commit(part, epoch).get("ts_range")
+        if rng is None:
+            return True
+        lo, hi = int(rng[0]), int(rng[1])
+        return not ((self.max_ts is not None and lo > self.max_ts)
+                    or (self.min_ts is not None and hi < self.min_ts))
+
+    def _ts_filter(self, feed: pa.Table) -> pa.Table:
+        """Row-level event-time window on the classified change rows."""
+        if self.min_ts is None and self.max_ts is None:
+            return feed
+        ts = feed["warc_ts"]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        keep = pa.array(np.ones(feed.num_rows, bool))
+        if self.min_ts is not None:
+            keep = pc.and_(keep, pc.greater_equal(ts, self.min_ts))
+        if self.max_ts is not None:
+            keep = pc.and_(keep, pc.less_equal(ts, self.max_ts))
+        return feed.filter(keep)
+
     def _feed_one(self, lake: Lake, part: int) -> List[pa.Table]:
         epochs = [e for e in lake.committed_epochs(part) if e > self.since
                   and (self.until is None or e <= self.until)]
         if not epochs:
             return []
-        state = lake.read_partition(part, as_of=self.since)
+        overlap = {e for e in epochs if self._ts_overlaps(lake, part, e)}
+        if not overlap:
+            return []  # zone-map prune: no file of this partition is read
+        # epochs before the first overlapping one contribute only pre-image
+        # state — fold them in ONE merge-on-read read instead of walking
+        # (on a compacted lake this touches the newest snapshot + tail
+        # deltas, not the history)
+        e0 = min(overlap)
+        walk = [e for e in epochs if e >= e0]
+        state = lake.read_partition(part, as_of=e0 - 1)
         live = self._live_index(state)
         out: List[pa.Table] = []
-        for e in epochs:
+        for e in walk:
             winners = self._winners(lake, part, e, state)
-            feed = _classify(winners, live)
+            feed = _classify(winners, live) if e in overlap \
+                else _feed_schema(self.target, None).empty_table()
+            feed = self._ts_filter(feed)
             if feed.num_rows:
                 n = feed.num_rows
                 feed = pa.table({
@@ -373,13 +414,24 @@ def follow_changes(lake: Lake, since: int = -1, poll_interval: float = 0.5,
 
 def changes(lake: Lake, since: int = -1, until: Optional[int] = None,
             columns: Optional[List[str]] = None,
-            before: Optional[List[str]] = None):
+            before: Optional[List[str]] = None,
+            min_ts: Optional[int] = None, max_ts: Optional[int] = None):
     """Streaming change feed ``(part, epoch, op, url, warc_ts, seq, …)`` for
     epochs in ``(since, until]``. ``since=-1`` feeds from the beginning.
     ``columns`` restricts payload columns (url/warc_ts/seq always included).
     ``before`` names payload columns whose pre-image LIVE value rides along
     as ``before_<col>`` (Debezium-style before image; null on inserts).
-    """
+
+    ``min_ts`` / ``max_ts`` (int64 µs, inclusive) restrict the feed to
+    changes whose EVENT TIME (``warc_ts``) lies in the window — and, the
+    scale point, PRUNE with the commit records' event-time zone maps
+    (``ts_range``, written by every commit) before opening any data file:
+    partitions with no overlapping epoch are skipped entirely; epochs
+    before the first overlapping one fold into the pre-image as one
+    merge-on-read read (the newest snapshot + tail deltas on a compacted
+    lake) instead of being walked. "The last hour of a year-old lake" costs
+    O(recent epochs), not O(history). Commits without ts_range (pre-feature
+    lakes, follower keyspaces) are conservatively processed."""
     import ray.data as _rd
 
     live_parts, target = lake._unified_live(until)
@@ -396,5 +448,6 @@ def changes(lake: Lake, since: int = -1, until: Optional[int] = None,
     parts_ds = _rd.from_items([{"part": p} for p in live_parts])
     return parts_ds.map_batches(
         _FeedPartition(lake.root, lake.num_partitions, since, until, target,
-                       before=list(before) if before else None),
+                       before=list(before) if before else None,
+                       min_ts=min_ts, max_ts=max_ts),
         batch_format="pyarrow", batch_size=1)

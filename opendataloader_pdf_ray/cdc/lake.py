@@ -68,6 +68,25 @@ def _bloom_m_bits(n_keys: int) -> int:
     return min(_BLOOM_MAX_BITS, (m + 63) // 64 * 64)
 
 
+def _ts_range_of(table) -> Optional[List[int]]:
+    """[min, max] of ``warc_ts`` as int64 µs — the event-time zone map a
+    commit record carries so change-feed time-window reads can prune whole
+    epochs/partitions without opening data files. None when the column is
+    absent (follower posting commits) or all-null."""
+    if "warc_ts" not in table.column_names or table.num_rows == 0:
+        return None
+    import pyarrow.compute as _pc
+
+    col = table["warc_ts"]
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    mm = _pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return None
+    return [int(lo), int(hi)]
+
+
 def _bloom_of_urls(urls) -> Dict:
     """JSON-embeddable Bloom filter of a url column (base64 bitmap)."""
     from ..functions.bloom import partial_bitmap
@@ -647,15 +666,18 @@ class Lake:
 
     def changes(self, since: int = -1, until: Optional[int] = None,
                 columns: Optional[List[str]] = None,
-                before: Optional[List[str]] = None):
+                before: Optional[List[str]] = None,
+                min_ts: Optional[int] = None, max_ts: Optional[int] = None):
         """Row-level change feed (insert/update/delete per url per epoch)
         for epochs in ``(since, until]`` as a streaming Dataset — the lake
         as a binlog for downstream consumers. ``before`` attaches pre-image
-        values as ``before_<col>``. See ``cdc/changefeed.py``."""
+        values as ``before_<col>``; ``min_ts``/``max_ts`` restrict to an
+        event-time window, pruned by the commits' ts_range zone maps
+        before any data file is opened. See ``cdc/changefeed.py``."""
         from .changefeed import changes as _changes
 
         return _changes(self, since=since, until=until, columns=columns,
-                        before=before)
+                        before=before, min_ts=min_ts, max_ts=max_ts)
 
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False,
@@ -1038,8 +1060,12 @@ class Lake:
             prior = self.read_lineage(part, epoch)
             prior.skipped = True
             return prior
+        record = asdict(lineage)
+        rng = _ts_range_of(table)
+        if rng is not None:  # event-time zone map (changefeed pruning)
+            record["ts_range"] = rng
         self._write_small_atomic(self._commit_path(part, epoch),
-                                 json.dumps(asdict(lineage)).encode())
+                                 json.dumps(record).encode())
         return lineage
 
     def commit_delta(self, part: int, epoch: int, winners: pa.Table,
@@ -1066,6 +1092,9 @@ class Lake:
         # (e.g. the fp index) and on records written by older code
         if "url" in winners.column_names:
             record["url_bloom"] = _bloom_of_urls(winners["url"].to_pylist())
+        rng = _ts_range_of(winners)
+        if rng is not None:  # event-time zone map (changefeed pruning)
+            record["ts_range"] = rng
         self._write_small_atomic(self._commit_path(part, epoch),
                                  json.dumps(record).encode())
         return lineage

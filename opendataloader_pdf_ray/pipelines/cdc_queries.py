@@ -1498,6 +1498,46 @@ ORDER BY epoch, url
 """
 
 
+def cdc_changefeed_timewindow(sf_dir: str):
+    """Event-time-windowed change feed (``changes(min_ts, max_ts)``) over
+    the shared 3-epoch construction: the window [BASE+E1, BASE+E1+mid]
+    covers epoch 1's event-time band only up to ``doc_id <= mid`` — so the
+    result gates BOTH the zone-map epoch pruning (epochs 0 and 2 are
+    provably outside and never read; the in-epoch prefix fold supplies the
+    pre-image for correct insert/update/delete classification) AND the
+    row-level warc_ts filter, value-for-value against the SQL oracle that
+    derives the same band algebraically."""
+    import pyarrow.parquet as _pq
+
+    from ..fixtures.gen import BASE_TS_US
+
+    lake = _seed_three_epoch_lake(sf_dir, "/tmp/odl_ray_changefeed_tw_q")
+    meta = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    max_id = max(meta.row_group(rg).column(col).statistics.max
+                 for rg in range(meta.num_row_groups))
+    mid = max_id // 2
+    lo = BASE_TS_US + 10_000_000
+    hi = BASE_TS_US + 10_000_000 + mid
+    return (lake.changes(min_ts=lo, max_ts=hi)
+            .select_columns(["epoch", "op", "url", "seq"])
+            .sort(["epoch", "url"]))
+
+
+CDC_CHANGEFEED_TIMEWINDOW_SQL = """
+WITH mx AS (SELECT max(doc_id) // 2 AS mid FROM documents)
+SELECT CAST(1 AS BIGINT) AS epoch,
+       CASE WHEN doc_id % 9 = 0 THEN 'delete' ELSE 'update' END AS op,
+       printf('u%06d', doc_id) AS url,
+       CAST(10000000 + doc_id AS BIGINT) AS seq
+FROM documents
+WHERE (doc_id % 9 = 0 OR doc_id % 5 = 0)
+  AND doc_id <= (SELECT mid FROM mx)
+ORDER BY epoch, url
+"""
+
+
 def cdc_branch_divergence(sf_dir: str):
     """Zero-copy branching end-to-end through the REAL machinery
     (``Lake.branch``, cdc/lake.py): seed the shared 3-epoch lake, fork a
@@ -2578,6 +2618,7 @@ CDC_QUERIES = {
     "cdc_restore_state": cdc_restore_state,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
+    "cdc_changefeed_timewindow": cdc_changefeed_timewindow,
     "cdc_branch_divergence": cdc_branch_divergence,
     "cdc_column_index_scan": cdc_column_index_scan,
     "cdc_range_index_scan": cdc_range_index_scan,
@@ -2612,6 +2653,7 @@ CDC_QUERIES = {
 CDC_ORACLE_SQL = {
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
+    "cdc_changefeed_timewindow": CDC_CHANGEFEED_TIMEWINDOW_SQL,
     "cdc_branch_divergence": CDC_BRANCH_DIVERGENCE_SQL,
     "cdc_column_index_scan": CDC_COLUMN_INDEX_SCAN_SQL,
     "cdc_range_index_scan": CDC_RANGE_INDEX_SCAN_SQL,
