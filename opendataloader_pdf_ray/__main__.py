@@ -903,10 +903,21 @@ def cmd_import_jsonl(args) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from .sources.jsonl_binlog import import_jsonl
+    from .sources.jsonl_binlog import follow_import, import_jsonl
 
-    n = import_jsonl(args.src, args.out)
-    print(json.dumps({"segments_imported": n, "out": args.out}))
+    if args.follow:
+        total = polls = 0
+        for n in follow_import(args.src, args.out,
+                               poll_interval=args.poll_interval,
+                               max_idle_polls=args.idle_stop):
+            total += n
+            polls += 1
+            print(json.dumps({"segments_imported": n}), flush=True)
+        print(json.dumps({"segments_imported_total": total,
+                          "productive_polls": polls, "out": args.out}))
+    else:
+        n = import_jsonl(args.src, args.out)
+        print(json.dumps({"segments_imported": n, "out": args.out}))
     if started_ray:
         ray.shutdown()
     return 0
@@ -1561,6 +1572,14 @@ def main(argv=None) -> int:
                              "resumable, atomic per segment)")
     ij.add_argument("src", help="directory of .jsonl/.jsonl.gz/.ndjson files")
     ij.add_argument("out", help="parquet segment output directory")
+    ij.add_argument("--follow", action="store_true",
+                    help="TAIL a growing src dir, importing new segments "
+                         "as they land; stops on src/.end (after a final "
+                         "drain) — compose with `ingest OUT --mode follow`")
+    ij.add_argument("--poll-interval", type=float, default=0.5,
+                    dest="poll_interval")
+    ij.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
+                    help="stop after N polls with no new segments")
     ij.set_defaults(fn=cmd_import_jsonl)
 
     df = sub.add_parser("diff",

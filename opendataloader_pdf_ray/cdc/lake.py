@@ -1339,8 +1339,13 @@ class Lake:
         (long delta chains) or ``vacuum`` (superseded bytes). O(P·files)
         driver work, independent of data size."""
         per_part = []
+        commits_total = commits_with_ts = 0
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
+            for e in epochs:
+                commits_total += 1
+                if self._read_commit(part, e).get("ts_range") is not None:
+                    commits_with_ts += 1
             snaps = deltas = data_bytes = 0
             tip_rows = 0
             chain = 0  # deltas newer than the newest snapshot
@@ -1389,6 +1394,11 @@ class Lake:
             "skew_ratio": (max(sizes) / mean) if mean else 0.0,
             "max_delta_chain": max((p["delta_chain"] for p in per_part),
                                    default=0),
+            # fraction of commits carrying the event-time zone map — 1.0
+            # means every windowed changefeed read can prune; < 1.0 means
+            # pre-feature commits are conservatively processed
+            "ts_range_coverage": (commits_with_ts / commits_total)
+            if commits_total else 0.0,
             "hottest": sorted(per_part, key=lambda p: -p["bytes"])[:5],
         }
 

@@ -164,6 +164,35 @@ def import_jsonl(src_dir: str, out_dir: str,
     return out.count()
 
 
+def follow_import(src_dir: str, out_dir: str, poll_interval: float = 0.5,
+                  max_idle_polls: Optional[int] = None):
+    """TAIL a growing JSONL segment directory (the Kafka-connect /
+    Debezium-sink drop-dir shape): a generator yielding the number of
+    segments imported per productive poll. Resumable for free —
+    :func:`import_jsonl` skips segments whose parquet already exists, so a
+    restarted tail re-imports nothing. Stops on ``src_dir/.end`` (after a
+    final drain) or after ``max_idle_polls`` polls with no new segments.
+    Compose with ``ingest OUT LAKE --mode follow`` for the full wire-to-lake
+    loop: sink drops JSONL → this normalizes to parquet → the CDC tail
+    ingests epochs as they complete."""
+    import time
+
+    idle = 0
+    while True:
+        ending = os.path.exists(os.path.join(src_dir, ".end"))
+        n = import_jsonl(src_dir, out_dir)
+        if n:
+            idle = 0
+            yield n
+        else:
+            idle += 1
+        if ending:
+            return
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            return
+        time.sleep(poll_interval)
+
+
 def to_jsonl_segment(events: pa.Table, debezium_ops: bool = True) -> bytes:
     """Inverse of :func:`parse_segment` (fixture/round-trip helper): the
     engine's event table → one JSONL segment's bytes."""

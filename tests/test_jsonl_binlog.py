@@ -122,3 +122,50 @@ class TestImport:
         a = lake_a.read_state(include_tombstones=True).sort_by("url")
         b = lake_b.read_state(include_tombstones=True).sort_by("url")
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowImport:
+    def test_drip_feed_then_end(self, tmp_path):
+        """Tail a growing dir: segments landing mid-tail are imported as
+        they appear; .end drains and stops; a restarted tail re-imports
+        nothing (resumable via existing outputs)."""
+        import threading
+        import time
+
+        from opendataloader_pdf_ray.sources.jsonl_binlog import (
+            follow_import, to_jsonl_segment)
+
+        events = gen_events(90, 25, seed=13)
+        src = tmp_path / "drip"
+        src.mkdir()
+        out = str(tmp_path / "pq")
+
+        def seg(lo, hi):
+            import pyarrow.compute as pc
+
+            return to_jsonl_segment(events.filter(
+                (pc.field("seq") >= lo) & (pc.field("seq") < hi)))
+
+        (src / "seg-000000.jsonl").write_bytes(seg(0, 30))
+
+        def producer():
+            time.sleep(0.6)
+            (src / "seg-000030.jsonl").write_bytes(seg(30, 60))
+            time.sleep(0.6)
+            (src / "seg-000060.jsonl").write_bytes(seg(60, 90))
+            (src / ".end").write_text("")
+
+        t = threading.Thread(target=producer)
+        t.start()
+        batches = list(follow_import(str(src), out, poll_interval=0.2))
+        t.join()
+        assert sum(batches) == 3
+        assert sorted(os.listdir(out)) == [
+            f"seg-{s:06d}.parquet" for s in (0, 30, 60)]
+        # restart: nothing new
+        assert list(follow_import(str(src), out, poll_interval=0.05)) == []
+        got = pa.concat_tables(
+            [pq.read_table(f"{out}/seg-{s:06d}.parquet")
+             for s in (0, 30, 60)])
+        assert _core(got).equals(_core(events))
