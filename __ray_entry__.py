@@ -123,6 +123,11 @@ _GATE_TAIL = [
                                # knn_lsh and embedding_dup_pairs_lsh gate
                                # the embedding column far more deeply
                                # (r3: slot freed for doc_pack_sequences)
+    "cdc_index_intersect_scan",   # multi-index AND — both keyspaces'
+                                  # diff emitters are gated in-slot by
+                                  # cdc_column_index_scan and
+                                  # cdc_range_index_scan; this adds only
+                                  # the set intersection (pytest-gated)
     "cdc_changefeed_timewindow",  # event-time-windowed feed — the feed
                                   # machinery + pre-image classification
                                   # are gated in-slot by

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_mixture_sample", "doc_ranked_search", "cdc_changefeed_before",
     "cdc_branch_divergence", "cdc_column_index_scan", "corpus_filter_funnel",
     "cdc_restore_state", "jsonl_roundtrip_stats", "cdc_range_index_scan",
+    "cdc_changefeed_timewindow", "cdc_index_intersect_scan",
 ]
 
 

@@ -1110,6 +1110,41 @@ def cmd_range_scan(args) -> int:
     return 0
 
 
+def cmd_lookup_where(args) -> int:
+    """Multi-predicate serving lookup (cdc/planner.py): AND-intersect the
+    column/range indexes named by ``--eq COL=V[,V...]`` / ``--range
+    COL:LO:HI`` terms, then hash-route only the surviving keys to the lake
+    — never a full fold. Missing indexes fail loudly."""
+    from .cdc import Lake
+    from .cdc.planner import index_lookup
+
+    eq = {}
+    for spec in (args.eq or ()):
+        col, _, vals = spec.partition("=")
+        if not vals:
+            print(json.dumps({"error": f"bad --eq {spec!r}: COL=V[,V...]"}))
+            return 2
+        eq.setdefault(col, []).extend(vals.split(","))
+    ranges = {}
+    for spec in (args.range or ()):
+        parts = spec.split(":")
+        if len(parts) != 3:
+            print(json.dumps({"error": f"bad --range {spec!r}: COL:LO:HI"}))
+            return 2
+        ranges[parts[0]] = (int(parts[1]), int(parts[2]))
+    lake = Lake(args.lake)
+    keys, table = index_lookup(lake, eq=eq or None, ranges=ranges or None,
+                               as_of=args.as_of, rows=args.rows)
+    print(json.dumps({"n_urls": len(keys), "urls": keys[:args.show],
+                      "rows": None if table is None and not args.rows
+                      else (0 if table is None else table.num_rows)}))
+    if table is not None and args.out:
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(table, args.out)
+    return 0
+
+
 def cmd_scan(args) -> int:
     """Equality-predicate scan through the secondary index: O(|values|)
     index partition reads for the matching keys, then (with ``--rows``)
@@ -1726,6 +1761,24 @@ def main(argv=None) -> int:
     rsc.add_argument("--out", default=None,
                      help="with --rows: write the payload rows here")
     rsc.set_defaults(fn=cmd_range_scan)
+
+    lw = sub.add_parser("lookup-where",
+                        help="multi-predicate serving lookup: AND-intersect "
+                             "column/range indexes, then hash-routed payload "
+                             "reads for only the surviving urls")
+    lw.add_argument("lake")
+    lw.add_argument("--eq", nargs="+", default=None, metavar="COL=V[,V...]",
+                    help="equality terms via the column index (IN-list "
+                         "with commas)")
+    lw.add_argument("--range", nargs="+", default=None, metavar="COL:LO:HI",
+                    help="inclusive range terms via the range index")
+    lw.add_argument("--as-of", type=int, default=None, dest="as_of")
+    lw.add_argument("--show", type=int, default=10)
+    lw.add_argument("--rows", action="store_true",
+                    help="also point-look-up the payload rows")
+    lw.add_argument("--out", default=None,
+                    help="with --rows: write the payload rows here")
+    lw.set_defaults(fn=cmd_lookup_where)
 
     se = sub.add_parser("search",
                         help="full-text point lookup: urls whose LIVE text "

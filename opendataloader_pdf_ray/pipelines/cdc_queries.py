@@ -1831,6 +1831,119 @@ def cdc_range_index_scan(sf_dir: str):
     return idx.scan_range(2500, 6499).sort(["key", "val"])
 
 
+def cdc_index_intersect_scan(sf_dir: str):
+    """Multi-predicate index intersection end-to-end (cdc/planner.py):
+    seed a 3-epoch lake whose payload carries BOTH a ``lang`` and an int
+    ``score`` column (epoch 0 inserts lang=L[id%4], score=id*7919%10000;
+    epoch 1 MOVES ``id%5`` docs to L[(id+1)%4] / id*104729%10000 —
+    retract+apply on both keyspaces; epoch 2 DELETES ``id%9``), build the
+    column index on lang and the range index on score, and answer
+    ``WHERE lang IN ('en','fr') AND score BETWEEN 2500 AND 6499`` by
+    intersecting the two keyspaces + hash-routed payload lookups — no lake
+    partition folded. The (url, lang, score) rows gate both follower diff
+    emitters AND the conjunction, value-for-value."""
+    import shutil
+
+    from ..cdc.colindex import ColumnIndex, col_index_root
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.planner import index_lookup
+    from ..cdc.rangeindex import RangeIndex, range_index_root
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_intersect_q"
+    shutil.rmtree(root, ignore_errors=True)
+    n_parts, langs = 8, ("en", "de", "fr", "ko")
+    E1, E2 = 10_000_000, 20_000_000
+    lake = Lake(root, n_parts)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, seqs, scores, lgs, dels, eps = [], [], [], [], [], []
+        for i in ids:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(i)
+            scores.append(i * 7919 % 10000); lgs.append(langs[i % 4])
+            dels.append(False); eps.append(0)
+        for i in ids[ids % 5 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E1 + i)
+            scores.append(i * 104729 % 10000)
+            lgs.append(langs[(i + 1) % 4])
+            dels.append(False); eps.append(1)
+        for i in ids[ids % 9 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E2 + i)
+            scores.append(None); lgs.append(None)
+            dels.append(True); eps.append(2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+            "lang": pa.array(lgs, pa.string()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        return t.append_column(
+            "part", pa.array(url_partition(urls, n_parts), pa.int32()))
+
+    class SeedPartition:
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, n_parts)
+            part = int(group["part"][0].as_py())
+            for e in (0, 1, 2):
+                sub = group.filter(pc.equal(group["epoch"], e))
+                if sub.num_rows == 0:
+                    continue
+                winners = sub.drop_columns(["part", "epoch"]).sort_by(
+                    [("url", "ascending")])
+                seqs = winners["seq"].to_pylist()
+                lk.commit_delta(part, e, winners, Lineage(
+                    part=part, epoch=e, events_consumed=winners.num_rows,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow")
+        .take_all())  # ≤ P tiny rows — drives the seed commits
+
+    RangeIndex(range_index_root(root, "score"), 8, col="score",
+               width=500).refresh(lake)
+    ColumnIndex(col_index_root(root, "lang"), 8, col="lang").refresh(lake)
+    _, table = index_lookup(lake, eq={"lang": ["en", "fr"]},
+                            ranges={"score": (2500, 6499)})
+    if table is None:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "lang": pa.array([], pa.string()),
+                         "score": pa.array([], pa.int64())})
+    return table.select(["url", "lang", "score"])
+
+
+CDC_INDEX_INTERSECT_SCAN_SQL = """
+WITH live AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         CASE (CASE WHEN doc_id % 5 = 0 THEN doc_id + 1 ELSE doc_id END) % 4
+             WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'ko'
+         END AS lang,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id * 104729 % 10000
+              ELSE doc_id * 7919 % 10000 END AS BIGINT) AS score
+  FROM documents WHERE doc_id % 9 <> 0)
+SELECT url, lang, score FROM live
+WHERE lang IN ('en', 'fr') AND score BETWEEN 2500 AND 6499
+ORDER BY url
+"""
+
+
 CDC_RANGE_INDEX_SCAN_SQL = """
 WITH live AS (
   SELECT printf('u%06d', doc_id) AS key,
@@ -2622,6 +2735,7 @@ CDC_QUERIES = {
     "cdc_branch_divergence": cdc_branch_divergence,
     "cdc_column_index_scan": cdc_column_index_scan,
     "cdc_range_index_scan": cdc_range_index_scan,
+    "cdc_index_intersect_scan": cdc_index_intersect_scan,
     "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
@@ -2657,6 +2771,7 @@ CDC_ORACLE_SQL = {
     "cdc_branch_divergence": CDC_BRANCH_DIVERGENCE_SQL,
     "cdc_column_index_scan": CDC_COLUMN_INDEX_SCAN_SQL,
     "cdc_range_index_scan": CDC_RANGE_INDEX_SCAN_SQL,
+    "cdc_index_intersect_scan": CDC_INDEX_INTERSECT_SCAN_SQL,
     "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
     "cdc_dup_attribution": CDC_DUP_ATTRIBUTION_SQL,

@@ -215,3 +215,77 @@ class TestRangeIndex:
         assert idx.verify(deep=True)["ok"]
         assert _pairs(idx.scan_range_local(0, 1000)) == \
             [("a", 305), ("c", 420)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIndexIntersection:
+    """index_lookup / CLI lookup-where: AND-compose column + range
+    indexes; empty-intersection short-circuit; missing-index loud fail;
+    as_of consistency across indexes and payload."""
+
+    def _lake(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.colindex import (ColumnIndex,
+                                                         col_index_root)
+        lk = Lake(str(tmp_path / "lake"), P)
+        rows = [("a", 1, False, 120, "en"), ("b", 2, False, 250, "en"),
+                ("c", 3, False, 130, "de"), ("d", 4, False, 400, "en"),
+                ("e", 5, False, 125, "fr")]
+        parts = url_partition(np.array([r[0] for r in rows], object), P)
+        for p in range(P):
+            sub = sorted(r for r, pp in zip(rows, parts) if pp == p)
+            if not sub:
+                continue
+            t = pa.table({
+                "url": pa.array([r[0] for r in sub], pa.string()),
+                "warc_ts": pa.array([r[1] for r in sub], pa.int64()),
+                "seq": pa.array([r[1] for r in sub], pa.int64()),
+                "deleted": pa.array([r[2] for r in sub], pa.bool_()),
+                "score": pa.array([r[3] for r in sub], pa.int64()),
+                "lang": pa.array([r[4] for r in sub], pa.string()),
+            })
+            lk.commit_delta(p, 0, t, Lineage(
+                part=p, epoch=0, events_consumed=len(sub),
+                rows_upserted=len(sub), rows_deleted=0,
+                seq_min=sub[0][1], seq_max=sub[-1][1]))
+        lk.mark_epoch_done(0)
+        RangeIndex(range_index_root(lk.root, "score"), 8, col="score",
+                   width=100).refresh(lk)
+        ColumnIndex(col_index_root(lk.root, "lang"), 8,
+                    col="lang").refresh(lk)
+        return lk
+
+    def test_and_intersection(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.planner import index_lookup
+
+        lk = self._lake(tmp_path)
+        # en AND score in [100, 200] → a only (b is en but 250; e is 125
+        # but fr; c is 130 but de)
+        keys, table = index_lookup(lk, eq={"lang": ["en"]},
+                                   ranges={"score": (100, 200)})
+        assert keys == ["a"]
+        assert table["score"].to_pylist() == [120]
+        # IN-list widens: en or fr → a, e
+        keys, _ = index_lookup(lk, eq={"lang": ["en", "fr"]},
+                               ranges={"score": (100, 200)}, rows=False)
+        assert keys == ["a", "e"]
+
+    def test_empty_short_circuit_and_missing_index(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.planner import index_lookup
+
+        lk = self._lake(tmp_path)
+        keys, table = index_lookup(lk, eq={"lang": ["ko"]},
+                                   ranges={"score": (0, 10_000)})
+        assert keys == [] and table is None
+        with pytest.raises(ValueError, match="no range index on 'other'"):
+            index_lookup(lk, ranges={"other": (0, 1)})
+        with pytest.raises(ValueError, match="at least one predicate"):
+            index_lookup(lk)
+
+    def test_cli(self, tmp_path, capsys):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lk = self._lake(tmp_path)
+        assert main(["lookup-where", lk.root, "--eq", "lang=en,fr",
+                     "--range", "score:100:200", "--rows"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep == {"n_urls": 2, "urls": ["a", "e"], "rows": 2}
