@@ -227,15 +227,29 @@ def _attach_before(feed: pa.Table, state: Optional[pa.Table],
 
 def epoch_winners(lake: Lake, part: int, epoch: int,
                   state: Optional[pa.Table]) -> pa.Table:
-    """The CHANGE rows one committed epoch implies for one partition:
-    delta files verbatim; snapshot commits diffed against the pre-image
-    ``state`` so unchanged carried-over rows don't re-enter. Shared by the
-    change feed and every follower that folds pre-images epoch-by-epoch
-    (e.g. the inverted text index's retract/apply maintainer)."""
+    """The EFFECTIVE change rows one committed epoch implies for one
+    partition: rows whose event coordinates (warc_ts, seq, deleted)
+    actually changed the partition state. Snapshot commits diff against
+    the pre-image ``state`` so unchanged carried-over rows don't re-enter;
+    delta files likewise drop their LWW-LOSING rows (a cross-epoch
+    out-of-order event that loses the fold leaves the live state untouched
+    — emitting it would hand consumers a stale value; hypothesis-found,
+    test_fuzz_lake). Shared by the change feed, replication, and the
+    follower-index emitters (follower.follower_epoch_candidates applies
+    the same discipline); callers fold ``merge_base_with_updates(state,
+    effective)``, which equals folding the raw delta (losers are no-ops).
+    """
     res = lake.resolve_data(part, epoch, "delta")
     if res is not None:
         import pyarrow.parquet as pq
-        return pq.read_table(res[1], filesystem=res[0])
+
+        winners = pq.read_table(res[1], filesystem=res[0])
+        if state is None or state.num_rows == 0:
+            return winners
+        post = merge_base_with_updates(state, winners)
+        touched = pc.is_in(
+            post["url"], value_set=winners["url"].combine_chunks().unique())
+        return _snapshot_diff(post.filter(touched), state)
     res = lake.resolve_data(part, epoch, "snap")
     if res is not None:
         import pyarrow.parquet as pq

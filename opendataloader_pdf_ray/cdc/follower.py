@@ -69,8 +69,8 @@ def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
                               state: Optional[pa.Table]
                               ) -> Tuple[pa.Table, Optional[pa.Table]]:
     """(candidate rows, post-image state) for one committed lake epoch,
-    VALUE-level: delta commits yield their winner rows verbatim (merged
-    into the running state); snapshot commits (CoW ingest, BACKFILL,
+    VALUE-level: delta commits yield the rows that actually CHANGED the
+    partition state (see below); snapshot commits (CoW ingest, BACKFILL,
     rescale seed) yield the WHOLE snapshot as candidates with the snapshot
     itself as post-state. Emitters value-diff each candidate against the
     pre-image (old == new → emit nothing), so a backfill that rewrites
@@ -78,13 +78,29 @@ def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
     feed by design — still reaches follower indexes built on those
     columns. Cost note: on a CoW-mode lake every epoch snapshots, so a
     follower refresh re-diffs the partition per epoch; delta-mode tails
-    (the scale path) stay O(churn)."""
+    (the scale path) stay O(churn).
+
+    LWW-loser discipline (hypothesis-found, test_fuzz_lake): a delta file
+    carries its epoch's OWN winner set, which can include cross-epoch
+    out-of-order rows that LOSE the LWW fold against the pre-image — those
+    leave the live state untouched and must not become candidates (the
+    emitter would otherwise index the stale value). Candidates are
+    therefore the POST-image rows of the delta's urls whose event
+    coordinates (warc_ts, seq, deleted) changed — the delta's winning rows
+    verbatim, its losing rows dropped."""
     import pyarrow.parquet as pq
 
     res = lake.resolve_data(part, epoch, "delta")
     if res is not None:
         winners = pq.read_table(res[1], filesystem=res[0])
-        return winners, merge_base_with_updates(state, winners)
+        post = merge_base_with_updates(state, winners)
+        if state is None or state.num_rows == 0:
+            return post, post
+        touched = pc.is_in(
+            post["url"], value_set=winners["url"].combine_chunks().unique())
+        from .changefeed import _snapshot_diff
+
+        return _snapshot_diff(post.filter(touched), state), post
     res = lake.resolve_data(part, epoch, "snap")
     if res is not None:
         snap = pq.read_table(res[1], filesystem=res[0])

@@ -482,3 +482,67 @@ class TestEventTimeWindow:
         want = full.filter(pc.greater_equal(
             full["warc_ts"].cast(pa.int64()), lo_us))
         assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOutOfOrderLoser:
+    """A cross-epoch out-of-order event that LOSES LWW leaves the lake's
+    live state untouched — so it must emit NOTHING: not a change-feed row
+    (a consumer folding the feed would otherwise end on the stale value)
+    and not a follower-index retract/apply (the index would otherwise
+    serve the stale value). Found by hypothesis (test_fuzz_lake)."""
+
+    def _lake(self, tmp_path):
+        from opendataloader_pdf_ray.cdc import url_partition
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+
+        lake = Lake(str(tmp_path / "lake"), 2)
+
+        def ep(e, rows):
+            urls = [r[0] for r in rows]
+            parts = url_partition(urls, 2)
+            t = pa.table({
+                "url": pa.array(urls),
+                "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+                "seq": pa.array([r[2] for r in rows], pa.int64()),
+                "deleted": pa.array([r[3] for r in rows]),
+                "text": pa.array([r[4] for r in rows], pa.string()),
+            })
+            for p in (0, 1):
+                sub = t.filter(pa.array(parts == p))
+                if sub.num_rows:
+                    lake.commit_delta(p, e, sub, Lineage(
+                        part=p, epoch=e, events_consumed=sub.num_rows,
+                        rows_upserted=sub.num_rows, rows_deleted=0,
+                        seq_min=0, seq_max=1))
+            lake.mark_epoch_done(e)
+
+        ep(0, [("a", 10, 0, False, "current"), ("b", 10, 1, False, "bee")])
+        # epoch 1: a's STALE late event (loses LWW), b's real update (wins)
+        ep(1, [("a", 5, 2, False, "STALE"), ("b", 20, 3, False, "bee v2")])
+        return lake
+
+    def test_feed_drops_lww_losers(self, tmp_path):
+        lake = self._lake(tmp_path)
+        assert lake.read_state().sort_by("url")["text"].to_pylist() == \
+            ["current", "bee v2"]
+        feed = _feed(lake)
+        rows = [(r["epoch"], r["op"], r["url"], r["text"])
+                for r in feed.to_pylist()]
+        assert rows == [(0, "insert", "a", "current"),
+                        (0, "insert", "b", "bee"),
+                        (1, "update", "b", "bee v2")]
+        # consumer replay (last feed row per url) == live state
+        last = {u: t for _, _, u, t in rows}
+        assert last == {"a": "current", "b": "bee v2"}
+
+    def test_follower_index_drops_lww_losers(self, tmp_path):
+        from opendataloader_pdf_ray.cdc import TextIndex
+
+        from test_textindex import live_postings
+
+        lake = self._lake(tmp_path)
+        idx = TextIndex(str(tmp_path / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        assert live_postings(idx) == [
+            ("bee", "b"), ("current", "a"), ("v2", "b")]

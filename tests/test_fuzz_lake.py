@@ -1,0 +1,138 @@
+"""Property tests for the lake-maintenance layer: random multi-epoch churn
+(inserts / updates / deletes / out-of-order versions) must satisfy
+
+- restore(target) live state == read_state(as_of=target) live state, for
+  EVERY target (the Delta-RESTORE contract, cdc/restore.py);
+- RangeIndex.scan_range(lo, hi) == brute-force filter of the live state,
+  for random inclusive bounds (cdc/rangeindex.py);
+- commit ts_range zone maps bound every row of their file.
+
+These run the REAL commit/merge/restore/index machinery in-process (no Ray
+Dataset — the distributed paths are gated by the integration tests; the
+property layer targets the FOLD algebra, which is what hypothesis shrinks
+well).
+"""
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opendataloader_pdf_ray.cdc import Lake, url_partition
+from opendataloader_pdf_ray.cdc.lake import Lineage
+from opendataloader_pdf_ray.cdc.merge import live_view
+
+P = 4
+N_URLS = 12
+
+
+# one epoch = a list of (url_idx, version, deleted, value)
+def _epoch_strategy():
+    return st.lists(
+        st.tuples(st.integers(0, N_URLS - 1),       # url
+                  st.integers(0, 50),               # version (warc_ts)
+                  st.booleans(),                    # delete?
+                  st.integers(-1000, 1000)),        # payload value
+        min_size=1, max_size=10, unique_by=lambda t: t[0])
+
+
+churn = st.lists(_epoch_strategy(), min_size=2, max_size=5)
+
+
+def _build(tmpdir, epochs) -> Lake:
+    lake = Lake(str(tmpdir), P)
+    seq = 0
+    for e, rows in enumerate(epochs):
+        urls = [f"u{i:03d}" for i, *_ in rows]
+        parts = url_partition(urls, P)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([v for _, v, _, _ in rows], pa.int64()),
+            "seq": pa.array(list(range(seq, seq + len(rows))), pa.int64()),
+            "deleted": pa.array([d for _, _, d, _ in rows]),
+            "score": pa.array(
+                [None if d else val for _, _, d, val in rows], pa.int64()),
+        })
+        seq += len(rows)
+        for p in range(P):
+            import numpy as np
+
+            sub = t.filter(pa.array(parts == p)).sort_by(
+                [("url", "ascending")])
+            if not sub.num_rows:
+                continue
+            seqs = sub["seq"].to_pylist()
+            lake.commit_delta(p, e, sub, Lineage(
+                part=p, epoch=e, events_consumed=sub.num_rows,
+                rows_upserted=sub.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+        lake.mark_epoch_done(e)
+    return lake
+
+
+def _live_map(state: pa.Table) -> dict:
+    return {r["url"]: (r["warc_ts"], r["seq"], r["score"])
+            for r in live_view(state).to_pylist()}
+
+
+class TestRestoreProperty:
+    @given(churn, st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_restore_equals_as_of(self, tmp_path_factory, epochs, data):
+        from opendataloader_pdf_ray.cdc.restore import _RestorePartition
+        from opendataloader_pdf_ray.cdc.backfill import (
+            resolve_backfill_epoch)
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        target = data.draw(st.integers(0, len(epochs) - 2))
+        want = _live_map(lake.read_state(as_of=target,
+                                         include_tombstones=True))
+        epoch = resolve_backfill_epoch(lake, f"restore:{target}")
+        task = _RestorePartition(lake.root, P, epoch, target)
+        for p in range(P):
+            task(pa.table({"part": pa.array([p], pa.int32())}))
+        got = _live_map(lake.read_state(include_tombstones=True))
+        assert got == want
+        # time travel across the restore: every pre-restore epoch intact
+        for e in range(len(epochs)):
+            assert lake.read_state(as_of=e) is not None
+
+    @given(churn)
+    @settings(max_examples=15, deadline=None)
+    def test_ts_range_bounds_every_row(self, tmp_path_factory, epochs):
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        for p in range(P):
+            for e in lake.committed_epochs(p):
+                rng = lake._read_commit(p, e).get("ts_range")
+                res = lake.resolve_data(p, e, "delta")
+                if res is None or rng is None:
+                    continue
+                t = pq.read_table(res[1], filesystem=res[0])
+                ts = t["warc_ts"].to_pylist()
+                assert rng[0] == min(ts) and rng[1] == max(ts)
+
+
+class TestRangeIndexProperty:
+    @given(churn, st.data())
+    @settings(max_examples=20, deadline=None)
+    def test_scan_equals_brute_force(self, tmp_path_factory, epochs, data):
+        from opendataloader_pdf_ray.cdc.rangeindex import (RangeIndex,
+                                                           range_index_root)
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        idx = RangeIndex(range_index_root(lake.root, "score"), 4,
+                         col="score", width=data.draw(st.integers(1, 300)))
+        idx.refresh(lake)
+        lo = data.draw(st.integers(-1100, 1100))
+        hi = data.draw(st.integers(lo, 1100))
+        got = sorted((r["key"], r["val"]) for r in
+                     idx.scan_range_local(lo, hi).to_pylist())
+        live = _live_map(lake.read_state(include_tombstones=True))
+        want = sorted((u, s) for u, (_, _, s) in live.items()
+                      if s is not None and lo <= s <= hi)
+        assert got == want
