@@ -136,3 +136,81 @@ class TestRangeIndexProperty:
         want = sorted((u, s) for u, (_, _, s) in live.items()
                       if s is not None and lo <= s <= hi)
         assert got == want
+
+
+class TestFeedFoldProperty:
+    @given(churn)
+    @settings(max_examples=20, deadline=None)
+    def test_feed_fold_equals_live_state(self, tmp_path_factory, epochs):
+        """Consumer-side replay guarantee under arbitrary churn (incl.
+        out-of-order losers): folding the change feed per url — last row
+        wins — reproduces the live state exactly; urls that end tombstoned
+        end with op=delete; no feed row ever carries a value the live
+        state never held at that point."""
+        from opendataloader_pdf_ray.cdc.changefeed import _FeedPartition
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        target = pa.schema([("url", pa.string()),
+                            ("warc_ts", pa.int64()),
+                            ("seq", pa.int64()),
+                            ("deleted", pa.bool_()),
+                            ("score", pa.int64())])
+        fp = _FeedPartition(lake.root, P, -1, None, target)
+        rows = []
+        for p in range(P):
+            for t in fp._feed_one(lake, p):
+                rows.extend(t.to_pylist())
+        rows.sort(key=lambda r: (r["epoch"], r["url"]))
+        last = {}
+        for r in rows:
+            last[r["url"]] = r
+        live = _live_map(lake.read_state(include_tombstones=True))
+        feed_live = {u: (r["warc_ts"], r["seq"], r["score"])
+                     for u, r in last.items() if r["op"] != "delete"}
+        assert feed_live == live
+        for u, r in last.items():
+            if u not in live:
+                assert r["op"] == "delete", u
+
+
+class TestColumnIndexProperty:
+    @given(churn, st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_scan_equals_brute_force(self, tmp_path_factory, epochs, data):
+        from opendataloader_pdf_ray.cdc.colindex import (ColumnIndex,
+                                                         col_index_root)
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        idx = ColumnIndex(col_index_root(lake.root, "score"), 4,
+                          col="score")
+        idx.refresh(lake)
+        probe = data.draw(st.lists(st.integers(-1000, 1000), min_size=1,
+                                   max_size=4))
+        got = sorted((r["val"], r["key"]) for r in
+                     idx.scan_local([str(v) for v in probe]).to_pylist())
+        live = _live_map(lake.read_state(include_tombstones=True))
+        want = sorted((str(s), u) for u, (_, _, s) in live.items()
+                      if s is not None and s in set(probe))
+        assert got == want
+
+
+class TestReplicateProperty:
+    @given(churn)
+    @settings(max_examples=15, deadline=None)
+    def test_replica_equals_source(self, tmp_path_factory, epochs):
+        """Epoch-aligned replication under arbitrary churn: the replica's
+        live state AND every as_of state equal the source's."""
+        from opendataloader_pdf_ray.cdc.replicate import (
+            _replicate_partition)
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root / "src", epochs)
+        dst = Lake(str(root / "dst"), P)
+        for p in range(P):
+            _replicate_partition(lake, dst, p, None)
+        for e in list(range(len(epochs))) + [None]:
+            a = _live_map(lake.read_state(as_of=e, include_tombstones=True))
+            b = _live_map(dst.read_state(as_of=e, include_tombstones=True))
+            assert a == b, f"as_of={e}"
