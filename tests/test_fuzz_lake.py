@@ -214,3 +214,68 @@ class TestReplicateProperty:
             a = _live_map(lake.read_state(as_of=e, include_tombstones=True))
             b = _live_map(dst.read_state(as_of=e, include_tombstones=True))
             assert a == b, f"as_of={e}"
+
+
+class TestTextIndexProperty:
+    @given(churn)
+    @settings(max_examples=12, deadline=None)
+    def test_postings_equal_brute_tokens(self, tmp_path_factory, epochs):
+        """Inverted-index live postings == brute-force token sets over the
+        live text, under arbitrary churn (value here doubles as a tiny
+        text: 'w<value>')."""
+        from opendataloader_pdf_ray.cdc import Lake as _Lake
+        from opendataloader_pdf_ray.cdc.textindex import TextIndex
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        # give the lake a text column derived from score (deterministic)
+        import pyarrow.parquet as pq
+
+        for p in range(P):
+            for e in lake.committed_epochs(p):
+                res = lake.resolve_data(p, e, "delta")
+                t = pq.read_table(res[1], filesystem=lake.fs)
+                txt = [None if s is None else f"w{abs(s)} common"
+                       for s in t["score"].to_pylist()]
+                t = t.append_column("text", pa.array(txt, pa.string()))
+                lake._write_table_atomic(t, res[1])
+        idx = TextIndex(str(root / "ti"), num_partitions=4)
+        idx.refresh(lake)
+        got = sorted((r["tok"], r["key"])
+                     for r in idx.read_state().to_pylist())
+        live = _live_map(lake.read_state(include_tombstones=True))
+        want = sorted({(tok, u) for u, (_, _, s) in live.items()
+                       if s is not None
+                       for tok in (f"w{abs(s)}", "common")})
+        assert got == want
+
+
+class TestWindowedFeedProperty:
+    @given(churn, st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_window_equals_posthoc_filter(self, tmp_path_factory, epochs,
+                                          data):
+        from opendataloader_pdf_ray.cdc.changefeed import _FeedPartition
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        target = pa.schema([("url", pa.string()),
+                            ("warc_ts", pa.int64()),
+                            ("seq", pa.int64()),
+                            ("deleted", pa.bool_()),
+                            ("score", pa.int64())])
+        lo = data.draw(st.integers(-5, 55))
+        hi = data.draw(st.integers(lo, 55))
+
+        def rows(fp):
+            out = []
+            for p in range(P):
+                for t in fp._feed_one(lake, p):
+                    out.extend(t.to_pylist())
+            return sorted(((r["epoch"], r["url"], r["op"], r["warc_ts"])
+                           for r in out))
+
+        full = rows(_FeedPartition(lake.root, P, -1, None, target))
+        win = rows(_FeedPartition(lake.root, P, -1, None, target,
+                                  min_ts=lo, max_ts=hi))
+        assert win == [r for r in full if lo <= r[3] <= hi]
