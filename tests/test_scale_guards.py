@@ -61,6 +61,10 @@ GUARDED_QUERIES = [
     "doc_pagerank",            # driver sees O(1) scalar rows per round
     "doc_pack_sequences",      # driver sees O(buckets×keys) offset rows
     "cdc_retention_expiry",    # driver sees <=P lineage rows per epoch
+    "cdc_restore_state",       # driver sees <=P lineage rows per epoch
+    "cdc_range_index_scan",    # driver sees index partition ids only
+    "cdc_changefeed_timewindow",  # feed rows stream; commits drive setup
+    "jsonl_roundtrip_stats",   # driver sees segment names + final stats
 ]
 
 SF = "/root/testdata/sf0.001"
