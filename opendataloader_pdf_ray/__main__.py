@@ -620,6 +620,20 @@ def cmd_export(args) -> int:
         print("error: --partition-by requires the default resumable "
               "export (not --stream/--wet)", file=sys.stderr)
         return 2
+    where_eq = None
+    if args.eq:
+        if args.stream or args.wet:
+            print("error: --eq requires the default resumable export "
+                  "(not --stream/--wet)", file=sys.stderr)
+            return 2
+        where_eq = {}
+        for spec in args.eq:
+            col, _, vals = spec.partition("=")
+            if not vals:
+                print(f"error: bad --eq {spec!r}: COL=V[,V...]",
+                      file=sys.stderr)
+                return 2
+            where_eq.setdefault(col, []).extend(vals.split(","))
     if args.wet:
         from .sources.warc import export_wet
 
@@ -651,7 +665,8 @@ def cmd_export(args) -> int:
         # make existence mean complete)
         summary = lake.export_resumable(args.out, as_of=args.as_of,
                                         include_tombstones=args.tombstones,
-                                        partition_by=args.partition_by)
+                                        partition_by=args.partition_by,
+                                        where_eq=where_eq)
         print(json.dumps({
             "rows": sum(s["rows"] for s in summary),
             "out": args.out,
@@ -1485,6 +1500,12 @@ def main(argv=None) -> int:
                          "parquet per lake partition (resumable +"
                          " incremental via per-partition manifests; stale"
                          " value slices removed on rewrite)")
+    ex.add_argument("--eq", nargs="+", default=None, metavar="COL=V[,V...]",
+                    help="export only rows matching every term (corpus "
+                         "slicing, string-canonical like the column "
+                         "index); with a col-index on a term, partitions "
+                         "holding no match are pruned up front; re-runs "
+                         "with a different predicate rewrite (stamped)")
     ex.add_argument("--wet", action="store_true",
                     help="write WET-style WARC conversion records (the "
                          "Common-Crawl extracted-text format) instead of "

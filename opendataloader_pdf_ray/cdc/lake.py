@@ -679,9 +679,40 @@ class Lake:
         return _changes(self, since=since, until=until, columns=columns,
                         before=before, min_ts=min_ts, max_ts=max_ts)
 
+    def _parts_matching_eq(self, col: str, values,
+                           as_of: Optional[int]) -> Optional[set]:
+        """Lake partitions that can hold a row matching ``col IN values``,
+        from the column index (colindex.py) — None when no index exists
+        (caller must process every partition; the inline filter stays
+        exact either way). Distributed: index-partition reads map keys to
+        lake partitions inside tasks; the driver sees ≤P tiny part ids."""
+        from .colindex import ColumnIndex, col_index_root
+
+        root = col_index_root(self.root, col)
+        if not self.fs.exists(root):
+            return None
+        from .ingest import url_partition
+        import numpy as np
+
+        n = self.num_partitions
+
+        def to_parts(t: pa.Table) -> pa.Table:
+            keys = t["key"].to_pylist()
+            if not keys:
+                return pa.table({"part": pa.array([], pa.int32())})
+            return pa.table({"part": pa.array(
+                np.unique(url_partition(keys, n)).astype(np.int32))})
+
+        hits = ColumnIndex(root).scan([str(v) for v in values], as_of=as_of)
+        rows = hits.map_batches(to_parts,
+                                batch_format="pyarrow").take_all()  # ≤ P·b
+        return {int(r["part"]) for r in rows}
+
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False,
-                         partition_by: Optional[str] = None) -> List[Dict]:
+                         partition_by: Optional[str] = None,
+                         where_eq: Optional[Dict[str, List[str]]] = None
+                         ) -> List[Dict]:
         """RESUMABLE + INCREMENTAL partitioned export (the brief's
         resumable-output rule): one task per live partition writes
         ``out/part=NNNN.parquet`` atomically (temp+rename on local
@@ -708,6 +739,16 @@ class Lake:
         rewrites that partition's value files (atomic each) before
         re-manifesting: convergent.
 
+        ``where_eq`` ({col: [value, ...]}, string-canonical like the column
+        index): export only rows matching EVERY term — the corpus-slicing
+        op ("export the Korean docs"). Rows filter INSIDE each partition
+        task (always exact); when a column index exists on a term, whole
+        lake partitions holding no match are PRUNED up front (the first
+        indexed term prunes; the filter keeps the rest exact). Resume
+        stamps carry the predicate, so a re-run with a DIFFERENT predicate
+        rewrites rather than wrongly skipping (and an unfiltered export
+        never reuses a filtered file).
+
         Schema-unified like :meth:`read_dataset`; the driver handles
         partition ids and ≤P summary rows only."""
         import ray.data as _rd
@@ -718,8 +759,30 @@ class Lake:
         if partition_by is not None and partition_by not in target.names:
             raise ValueError(f"partition_by column {partition_by!r} not in "
                              f"lake schema {target.names}")
+        pred_tag = "" if not where_eq else json.dumps(
+            {c: sorted(str(v) for v in vs) for c, vs in where_eq.items()},
+            sort_keys=True)
+        if where_eq:
+            for col, vals in where_eq.items():
+                pruned = self._parts_matching_eq(col, vals, as_of)
+                if pruned is not None:
+                    live_parts = [p for p in live_parts if p in pruned]
+                    break  # one index prunes; the inline filter stays exact
         root, n_parts = self.root, self.num_partitions
         _STAMP = b"odl_export_epoch"
+        _PRED = b"odl_export_pred"
+
+        def _apply_pred(t: pa.Table) -> pa.Table:
+            if not where_eq:
+                return t
+            for col, vals in where_eq.items():
+                if col not in t.column_names:
+                    return t.slice(0, 0)  # evolution: column absent = no match
+                want = {str(v) for v in vals}
+                svals = [None if x is None else str(x)
+                         for x in t[col].to_pylist()]
+                t = t.filter(pa.array([x in want for x in svals]))
+            return t
 
         def _atomic_write(ofs, is_local: bool, t: pa.Table,
                           path: str) -> None:
@@ -749,7 +812,8 @@ class Lake:
                     with ofs.open(mpath, "rb") as f:
                         old = json.loads(f.read().decode())
                 if old is not None and tip is not None \
-                        and old.get("tip") == tip:
+                        and old.get("tip") == tip \
+                        and old.get("pred", "") == pred_tag:
                     parts.append(part); rows.append(int(old["rows"]))
                     tips.append(tip); skipped.append(True)
                     continue
@@ -759,6 +823,7 @@ class Lake:
                 t = unify_to_schema(t, target)
                 if not include_tombstones:
                     t = live_view(t)
+                t = _apply_pred(t)
                 vals = [str(x) if x is not None else None
                         for x in t[partition_by].to_pylist()]
                 written: List[str] = []
@@ -779,6 +844,7 @@ class Lake:
                             ofs.rm_file(stale)
                 ofs.makedirs(posixpath.join(out, "_parts"), exist_ok=True)
                 manifest = json.dumps({"tip": tip, "rows": t.num_rows,
+                                       "pred": pred_tag,
                                        "files": written}).encode()
                 if is_local:
                     tmpm = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -810,7 +876,8 @@ class Lake:
                     kv = meta.metadata or {}
                     stamped = kv.get(_STAMP)
                     if stamped is not None and tip is not None \
-                            and int(stamped) == tip:
+                            and int(stamped) == tip \
+                            and kv.get(_PRED, b"").decode() == pred_tag:
                         parts.append(part)
                         rows.append(meta.num_rows)
                         tips.append(tip)
@@ -822,9 +889,11 @@ class Lake:
                 t = unify_to_schema(t, target)
                 if not include_tombstones:
                     t = live_view(t)
+                t = _apply_pred(t)
                 t = t.replace_schema_metadata(
                     {**(t.schema.metadata or {}),
-                     _STAMP: str(tip).encode()})
+                     _STAMP: str(tip).encode(),
+                     _PRED: pred_tag.encode()})
                 ofs.makedirs(out, exist_ok=True)
                 if is_local:
                     tmp = path + f".tmp-{uuid.uuid4().hex}"

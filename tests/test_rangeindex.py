@@ -289,3 +289,93 @@ class TestIndexIntersection:
                      "--range", "score:100:200", "--rows"]) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep == {"n_urls": 2, "urls": ["a", "e"], "rows": 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFilteredExport:
+    """export --eq: exact slice, predicate-aware resume stamps, and
+    index-driven partition pruning (proven by deleting the non-matching
+    partitions' data files)."""
+
+    def _lake(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.colindex import (ColumnIndex,
+                                                         col_index_root)
+        lk = Lake(str(tmp_path / "lake"), 4)
+        rows = [(f"u{i:02d}", i + 1, False, "ko" if i % 3 == 0 else "en")
+                for i in range(12)]
+        parts = url_partition(np.array([r[0] for r in rows], object), 4)
+        for p in range(4):
+            sub = sorted(r for r, pp in zip(rows, parts) if pp == p)
+            if not sub:
+                continue
+            t = pa.table({
+                "url": pa.array([r[0] for r in sub], pa.string()),
+                "warc_ts": pa.array([r[1] for r in sub], pa.int64()),
+                "seq": pa.array([r[1] for r in sub], pa.int64()),
+                "deleted": pa.array([r[2] for r in sub], pa.bool_()),
+                "lang": pa.array([r[3] for r in sub], pa.string()),
+            })
+            lk.commit_delta(p, 0, t, Lineage(
+                part=p, epoch=0, events_consumed=len(sub),
+                rows_upserted=len(sub), rows_deleted=0,
+                seq_min=sub[0][1], seq_max=sub[-1][1]))
+        lk.mark_epoch_done(0)
+        ColumnIndex(col_index_root(lk.root, "lang"), 8,
+                    col="lang").refresh(lk)
+        return lk
+
+    def test_slice_resume_and_predicate_stamp(self, tmp_path):
+        import pyarrow.dataset as pads
+
+        lk = self._lake(tmp_path)
+        out = str(tmp_path / "ko")
+        s1 = lk.export_resumable(out, where_eq={"lang": ["ko"]})
+        got = pads.dataset(out, format="parquet").to_table()
+        want_urls = sorted(f"u{i:02d}" for i in range(12) if i % 3 == 0)
+        assert sorted(got["url"].to_pylist()) == want_urls
+        assert set(got["lang"].to_pylist()) == {"ko"}
+        # resume: same predicate skips everything
+        s2 = lk.export_resumable(out, where_eq={"lang": ["ko"]})
+        assert all(s["skipped"] for s in s2)
+        # predicate change: stamps force a rewrite, not a wrong skip
+        s3 = lk.export_resumable(out, where_eq={"lang": ["en"]})
+        assert not any(s["skipped"] for s in s3)
+        got = pads.dataset(out, format="parquet").to_table()
+        assert set(got["lang"].to_pylist()) == {"en"}
+
+    def test_partition_pruning_via_index(self, tmp_path):
+        """Partitions the index proves empty for the predicate are never
+        read: delete their data files; the filtered export still succeeds."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        lk = self._lake(tmp_path)
+        ko_urls = [f"u{i:02d}" for i in range(12) if i % 3 == 0]
+        ko_parts = set(url_partition(np.array(ko_urls, object), 4).tolist())
+        skipped_parts = set(range(4)) - ko_parts
+        if not skipped_parts:
+            pytest.skip("hash layout put ko urls in every partition")
+        for p in skipped_parts:
+            for name in os.listdir(lk._part_dir(p)):
+                if name.endswith(".parquet"):
+                    os.unlink(os.path.join(lk._part_dir(p), name))
+        out = str(tmp_path / "ko")
+        lk.export_resumable(out, where_eq={"lang": ["ko"]})
+        got = pads.dataset(out, format="parquet").to_table()
+        assert sorted(got["url"].to_pylist()) == sorted(ko_urls)
+
+    def test_cli_and_hive_compose(self, tmp_path, capsys):
+        import pyarrow.dataset as pads
+
+        from opendataloader_pdf_ray.__main__ import main
+
+        lk = self._lake(tmp_path)
+        out = str(tmp_path / "slice")
+        assert main(["export", lk.root, out, "--eq", "lang=ko",
+                     "--partition-by", "lang"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = pads.dataset(out + "/lang=ko", format="parquet").to_table()
+        assert got.num_rows == rep["rows"] == 4
+        import os
+        assert not os.path.exists(out + "/lang=en")
