@@ -253,12 +253,51 @@ def _call_range_scan_lake(a: Dict[str, Any]) -> str:
                  for r in rows[:limit]]})
 
 
+_LOOKUP_WHERE_TOOL = {
+    "name": "lookup_where_lake",
+    "description": "Multi-predicate serving lookup over a CDC lake: "
+                   "AND-intersect the column index (eq terms, IN-list) "
+                   "and range index (between terms), return the surviving "
+                   "urls. In-process partition-pruned reads; missing "
+                   "indexes fail loudly; no cluster is started.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "eq": {"type": "object",
+                   "description": "{column: [value, ...]} equality terms "
+                                  "(column index)."},
+            "between": {"type": "object",
+                        "description": "{column: [lo, hi]} inclusive range "
+                                       "terms (range index)."},
+            "as_of": {"type": "integer"},
+            "limit": {"type": "integer", "default": 20},
+        },
+    },
+}
+
+
+def _call_lookup_where_lake(a: Dict[str, Any]) -> str:
+    from .cdc.lake import Lake
+    from .cdc.planner import index_lookup
+
+    ranges = {c: (int(v[0]), int(v[1]))
+              for c, v in (a.get("between") or {}).items()}
+    keys, _ = index_lookup(Lake(a["lake"]), eq=a.get("eq") or None,
+                           ranges=ranges or None, as_of=a.get("as_of"),
+                           rows=False)
+    return json.dumps({"n_urls": len(keys),
+                       "urls": keys[:int(a.get("limit", 20))]})
+
+
 _TOOLS = {
     "convert_html": (_TOOL_SCHEMA, _call_convert_html),
     "search_lake": (_SEARCH_TOOL, _call_search_lake),
     "ranked_search_lake": (_RANKED_TOOL, _call_ranked_search_lake),
     "semantic_search_lake": (_SEMANTIC_TOOL, _call_semantic_search_lake),
     "range_scan_lake": (_RANGE_TOOL, _call_range_scan_lake),
+    "lookup_where_lake": (_LOOKUP_WHERE_TOOL, _call_lookup_where_lake),
 }
 
 

@@ -279,3 +279,58 @@ class TestWindowedFeedProperty:
         win = rows(_FeedPartition(lake.root, P, -1, None, target,
                                   min_ts=lo, max_ts=hi))
         assert win == [r for r in full if lo <= r[3] <= hi]
+
+
+class TestIngestProperty:
+    """North-star invariant, fuzzed: for ARBITRARY change-event logs
+    (random ops, random out-of-order versions) replayed through the real
+    distributed engine at ARBITRARY epoch chunking, the lake's final state
+    equals the single-threaded oracle byte-for-byte — including extracted
+    text."""
+
+    events_strategy = st.lists(
+        st.tuples(st.integers(0, 4),              # url
+                  st.sampled_from("IUD"),         # op
+                  st.integers(0, 30),             # warc_ts (collisions ok)
+                  st.integers(0, 9)),             # html revision
+        min_size=3, max_size=18)
+
+    @given(events_strategy, st.sampled_from([3, 7, 10_000]))
+    @settings(max_examples=8, deadline=None)
+    def test_replay_matches_oracle(self, tmp_path_factory, raw, epoch_size):
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.cdc import Lake, oracle_final_state, \
+            replay
+        from opendataloader_pdf_ray.config import CDCConfig
+        from opendataloader_pdf_ray.fixtures.gen import render_html
+
+        root = tmp_path_factory.mktemp("fz")
+        events = pa.table({
+            "seq": pa.array(range(len(raw)), pa.int64()),
+            "op": pa.array([op for _, op, _, _ in raw], pa.string()),
+            "url": pa.array([f"https://fz.example/{u}" for u, *_ in raw],
+                            pa.string()),
+            "warc_ts": pa.array([ts for _, _, ts, _ in raw],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(
+                [None if op == "D" else
+                 render_html(f"https://fz.example/{u}", rev)
+                 for u, op, _, rev in raw], pa.binary()),
+            "lang": pa.array(["en"] * len(raw), pa.string()),
+        })
+        path = str(root / "events.parquet")
+        pq.write_table(events, path)
+        cfg = CDCConfig(num_partitions=4, num_salts=2,
+                        epoch_size=epoch_size, extract_batch_size=8,
+                        extract_concurrency=2)
+        lake = Lake(str(root / "lake"), cfg.num_partitions)
+        replay(path, lake.root, cfg)
+        oracle = oracle_final_state(events)
+        got = {r["url"]: r for r in
+               lake.read_state(include_tombstones=True).to_pylist()}
+        assert set(got) == set(oracle)
+        for url, want in oracle.items():
+            assert got[url]["deleted"] == want["deleted"], url
+            assert got[url]["seq"] == want["seq"], url
+            assert got[url]["text"] == want["text"], url

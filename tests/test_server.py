@@ -22,7 +22,8 @@ class TestProtocol:
         tools = _call("tools/list")["result"]["tools"]
         assert [t["name"] for t in tools] == [
             "convert_html", "search_lake", "ranked_search_lake",
-            "semantic_search_lake", "range_scan_lake"]
+            "semantic_search_lake", "range_scan_lake",
+            "lookup_where_lake"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -210,3 +211,48 @@ class TestRangeScanTool:
         assert resp["result"]["isError"] is False
         out = json.loads(resp["result"]["content"][0]["text"])
         assert out == {"n_urls": 1, "hits": [{"url": "a", "val": 120}]}
+
+
+class TestLookupWhereTool:
+    def test_lookup_where_lake_tool(self, tmp_path, ray_session):
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.cdc.colindex import (ColumnIndex,
+                                                         col_index_root)
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+        from opendataloader_pdf_ray.cdc.rangeindex import (RangeIndex,
+                                                           range_index_root)
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, 2)
+        t = pa.table({
+            "url": pa.array(["a", "b", "c"], pa.string()),
+            "warc_ts": pa.array([1, 2, 3], pa.int64()),
+            "seq": pa.array([1, 2, 3], pa.int64()),
+            "score": pa.array([120, 180, 480], pa.int64()),
+            "lang": pa.array(["en", "de", "en"], pa.string()),
+            "deleted": pa.array([False] * 3, pa.bool_()),
+        })
+        from opendataloader_pdf_ray.cdc import url_partition
+
+        parts = url_partition(t["url"].to_pylist(), 2)
+        for p in (0, 1):
+            sub = t.filter(pa.array(parts == p))
+            if sub.num_rows:
+                lake.commit_delta(p, 0, sub, Lineage(
+                    part=p, epoch=0, events_consumed=sub.num_rows,
+                    rows_upserted=sub.num_rows, rows_deleted=0,
+                    seq_min=1, seq_max=3))
+        RangeIndex(range_index_root(root, "score"), 4, col="score",
+                   width=100).refresh(lake)
+        ColumnIndex(col_index_root(root, "lang"), 4,
+                    col="lang").refresh(lake)
+        resp = _call("tools/call", {"name": "lookup_where_lake",
+                                    "arguments": {
+                                        "lake": root,
+                                        "eq": {"lang": ["en"]},
+                                        "between": {"score": [100, 200]}}})
+        assert resp["result"]["isError"] is False
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out == {"n_urls": 1, "urls": ["a"]}
