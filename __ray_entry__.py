@@ -153,6 +153,12 @@ _GATE_TAIL = [
                                # image_asset_stats with real asset
                                # extraction on top (r3: slot freed for
                                # cdc_restore_state)
+    "doc_weighted_sample",     # Efraimidis-Sampling exponential keys — the
+                               # weighted per-key selection machinery stays
+                               # gated in-slot by doc_mixture_sample
+                               # (weighted quantile budget) and per-key
+                               # ranked selection by doc_top_per_source
+                               # (r3: slot freed for cdc_patch_upsert)
     "hybrid_routed_extract",   # rows-only smoke (reconcile output is not
                                # SQL-expressible): pytest + in-query
                                # invariant assertions gate it; its triage

@@ -168,6 +168,7 @@ def cmd_ingest(args) -> int:
                     quarantine_errors=args.quarantine,
                     auto_compact_chain=args.auto_compact_chain,
                     derive=derive,
+                    patch_ops=args.patch_ops,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     followers = []
     if args.text_index:
@@ -1388,6 +1389,10 @@ def main(argv=None) -> int:
                           "<lake>/rangeidx_<COL> fresh for each named "
                           "int/timestamp payload column (same follower "
                           "cadence as --text-index; query with range-scan)")
+    ing.add_argument("--patch-ops", action="store_true", dest="patch_ops",
+                     help="accept op='P' partial-update events (null column "
+                          "= unchanged; column-wise LWW merge; requires "
+                          "snapshot commit mode)")
     ing.add_argument("--quarantine", action="store_true",
                      help="dead-letter mode: extraction failures divert the "
                           "record to <lake>/quarantine instead of killing "

@@ -41,8 +41,10 @@ from .lake import Lake, Lineage
 from .merge import (
     DELETED_COL,
     ensure_deleted_col,
+    fold_events,
     latest_per_key,
     merge_base_with_updates,
+    merge_base_with_updates_patch,
 )
 
 _LINEAGE_AGGS = {"n_events": "sum", "seq_lo": "min", "seq_hi": "max"}
@@ -158,7 +160,10 @@ def url_partition(urls, num_partitions: int) -> np.ndarray:
 def _add_keys(cfg: CDCConfig, with_epoch: bool = False) -> Callable[[pa.Table], pa.Table]:
     def fn(batch: pa.Table) -> pa.Table:
         batch = ensure_deleted_col(batch)
-        if "op" in batch.column_names:
+        if "op" in batch.column_names and not cfg.patch_ops:
+            # plain LWW: op is redundant once `deleted` is derived. With
+            # patch_ops the op column RIDES THE SHUFFLE — the apply phase
+            # needs it to tell sparse patches from full images.
             batch = batch.drop_columns(["op"])
         urls = batch["url"].to_numpy(zero_copy_only=False)
         seq = batch["seq"].to_numpy(zero_copy_only=False)
@@ -180,11 +185,47 @@ def _add_keys(cfg: CDCConfig, with_epoch: bool = False) -> Callable[[pa.Table], 
 
 
 def _combine(batch: pa.Table) -> pa.Table:
-    return latest_per_key(batch, aggs=_LINEAGE_AGGS)
+    # fold_events IS latest_per_key when the batch carries no op column /
+    # no 'P' rows (the plain-LWW hot path); with patches it keeps the
+    # latest full image + newer patch rows per url (see merge.fold_events)
+    return fold_events(batch, aggs=_LINEAGE_AGGS)
 
 
 def _combine_by_epoch(batch: pa.Table) -> pa.Table:
-    return latest_per_key(batch, aggs=_LINEAGE_AGGS, extra_group_col="epoch")
+    return fold_events(batch, aggs=_LINEAGE_AGGS, extra_group_col="epoch")
+
+
+def _null_patch_derived(batch: pa.Table) -> pa.Table:
+    """Patch rows (op='P') with a null html payload mean "keep the extracted
+    content" — but the extractor emits non-null zeros (n_blocks=0,
+    replacement_ratio=0.0) for null html, which column-wise LWW would read
+    as DEFINED and clobber the base. Null them out on content-less patches
+    (text is null exactly when html was null — the extractor always returns
+    a string for real html)."""
+    if "op" not in batch.column_names:
+        return batch
+    contentless = pc.and_(pc.equal(batch["op"], pa.scalar("P")),
+                          pc.is_null(batch["text"]))
+    for col in ("n_blocks", "replacement_ratio"):
+        if col in batch.column_names:
+            idx = batch.column_names.index(col)
+            typ = batch.schema.field(col).type
+            batch = batch.set_column(
+                idx, col,
+                pc.if_else(contentless, pa.nulls(batch.num_rows, typ),
+                           batch[col]))
+    return batch
+
+
+def _patch_lineage_counts(winners: pa.Table) -> "tuple[int, int]":
+    """(rows_upserted, rows_deleted) for a patch-aware winner set, which may
+    keep several rows per url: the per-url outcome is the max-version row's
+    tombstone flag (patches carry deleted=false — a patch implies
+    existence)."""
+    finals = latest_per_key(
+        winners.select(["url", "warc_ts", "seq", DELETED_COL]))
+    rows_deleted = int(pc.sum(finals[DELETED_COL].cast(pa.int64())).as_py() or 0)
+    return finals.num_rows - rows_deleted, rows_deleted
 
 
 class ApplyPartition:
@@ -210,13 +251,19 @@ class ApplyPartition:
         seq_min = int(pc.min(group["seq_lo"]).as_py())
         seq_max = int(pc.max(group["seq_hi"]).as_py())
         updates = group.drop_columns([c for c in _HELPER_COLS if c in group.column_names])
-        winners = latest_per_key(updates)
-        rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+        patched = "op" in updates.column_names
+        if patched:
+            winners = fold_events(updates)
+            rows_upserted, rows_deleted = _patch_lineage_counts(winners)
+        else:
+            winners = latest_per_key(updates)
+            rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+            rows_upserted = winners.num_rows - rows_deleted
         lineage = Lineage(
             part=part,
             epoch=self.epoch,
             events_consumed=events_consumed,
-            rows_upserted=winners.num_rows - rows_deleted,
+            rows_upserted=rows_upserted,
             rows_deleted=rows_deleted,
             seq_min=seq_min,
             seq_max=seq_max,
@@ -225,6 +272,11 @@ class ApplyPartition:
             out = _guard_cdc_epoch(lake, part, self.epoch)
             out.skipped = True
         elif self.commit_mode == "delta":
+            if patched:
+                raise RuntimeError(
+                    "patch_ops requires snapshot epoch commits: a delta "
+                    "file's rows must be full images for the merge-on-read "
+                    "fold, and patch rows are sparse by construction")
             # no read-modify-write: the winner set (tombstones included) is
             # the commit; readers fold it merge-on-read (lake.read_partition)
             out = lake.commit_delta(part, self.epoch,
@@ -232,7 +284,8 @@ class ApplyPartition:
                                     lineage)
         else:
             base = lake.read_partition(part, as_of=self.epoch - 1)
-            merged = merge_base_with_updates(base, winners)
+            merged = merge_base_with_updates_patch(base, winners) if patched \
+                else merge_base_with_updates(base, winners)
             out = lake.commit_partition(part, self.epoch, merged, lineage)
         return pa.table(
             {
@@ -304,12 +357,18 @@ class ApplyPartitionBacklog:
             seq_max = int(pc.max(sub["seq_hi"]).as_py())
             updates = sub.drop_columns(
                 [c for c in _HELPER_COLS + ["epoch"] if c in sub.column_names])
-            winners = latest_per_key(updates)
-            rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
-            merged = merge_base_with_updates(merged, winners)
+            if "op" in updates.column_names:
+                winners = fold_events(updates)
+                rows_upserted, rows_deleted = _patch_lineage_counts(winners)
+                merged = merge_base_with_updates_patch(merged, winners)
+            else:
+                winners = latest_per_key(updates)
+                rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+                rows_upserted = winners.num_rows - rows_deleted
+                merged = merge_base_with_updates(merged, winners)
             lineage = Lineage(part=part, epoch=epoch,
                               events_consumed=events_consumed,
-                              rows_upserted=winners.num_rows - rows_deleted,
+                              rows_upserted=rows_upserted,
                               rows_deleted=rows_deleted,
                               seq_min=seq_min, seq_max=seq_max)
             out_rows.append(lake.commit_partition(part, epoch, merged, lineage))
@@ -352,17 +411,23 @@ class ApplyPartitionFinal:
         else:
             updates = group.drop_columns(
                 [c for c in _HELPER_COLS + ["epoch"] if c in group.column_names])
-            winners = latest_per_key(updates)
-            rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
             # as_of=last (not epochs[0]-1): a previously committed "hole" epoch
             # inside the pending range lives only in its snapshot — the newest
             # committed snapshot ≤ last is cumulative and captures it (LWW
             # idempotence makes any overlap with the updates harmless)
             base = lake.read_partition(part, as_of=last)
-            merged = merge_base_with_updates(base, winners)
+            if "op" in updates.column_names:
+                winners = fold_events(updates)
+                rows_upserted, rows_deleted = _patch_lineage_counts(winners)
+                merged = merge_base_with_updates_patch(base, winners)
+            else:
+                winners = latest_per_key(updates)
+                rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
+                rows_upserted = winners.num_rows - rows_deleted
+                merged = merge_base_with_updates(base, winners)
             lineage = Lineage(part=part, epoch=last,
                               events_consumed=events_consumed,
-                              rows_upserted=winners.num_rows - rows_deleted,
+                              rows_upserted=rows_upserted,
                               rows_deleted=rows_deleted,
                               seq_min=seq_min, seq_max=seq_max)
             out = lake.commit_partition(part, last, merged, lineage)
@@ -401,6 +466,10 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
     """Run one epoch's micro-batch pipeline; returns lineage dicts.
     ``events_path``: a file/dir path or an explicit list of segment files
     (``follow`` passes the readable set so in-flight segments stay out)."""
+    if cfg.patch_ops and cfg.epoch_commits == "delta":
+        raise ValueError(
+            "patch_ops requires snapshot epoch commits (delta files must "
+            "hold full images for the merge-on-read fold)")
     lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
     ds = ray.data.read_parquet(
         events_path, filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi)
@@ -415,6 +484,8 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.patch_ops:
+        ds = ds.map_batches(_null_patch_derived, batch_format="pyarrow")
     if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
         ds = ds.map_batches(cfg.derive, batch_format="pyarrow")
     if cfg.maintain_dup_index or cfg.maintain_near_index \
@@ -480,6 +551,8 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
         concurrency=cfg.extract_concurrency,
         num_cpus=cfg.extract_num_cpus,
     )
+    if cfg.patch_ops:
+        ds = ds.map_batches(_null_patch_derived, batch_format="pyarrow")
     if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
         ds = ds.map_batches(cfg.derive, batch_format="pyarrow")
     if cfg.maintain_dup_index or cfg.maintain_near_index \

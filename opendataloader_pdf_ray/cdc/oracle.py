@@ -25,13 +25,32 @@ def oracle_final_state(events: pa.Table,
                   if c not in ("seq", "op", "url", "warc_ts", "html", "lang")]
     state: Dict[str, dict] = {}
     rows = events.to_pylist()
-    rows.sort(key=lambda r: r["seq"])
+    # ascending version order makes plain application last-writer-wins, and
+    # extends naturally to patches (op='P'): a patch overlays exactly its
+    # non-null columns onto the current image (creating a null-image if the
+    # key is unknown or tombstoned — a patch implies existence), matching
+    # the engine's column-wise LWW (merge._column_lww)
+    rows.sort(key=lambda r: (r["warc_ts"], r["seq"]))
     for row in rows:
         url = row["url"]
-        version = (row["warc_ts"], row["seq"])
-        current = state.get(url)
-        if current is not None and (current["warc_ts"], current["seq"]) >= version:
-            continue  # out-of-order event loses last-writer-wins
+        if row["op"] == "P":
+            cur = state.get(url)
+            entry = dict(cur) if cur is not None else {
+                "url": url, "lang": None, "text": None,
+                **{c: None for c in extra_cols}}
+            entry["warc_ts"] = row["warc_ts"]
+            entry["seq"] = row["seq"]
+            entry["deleted"] = False
+            if row["html"] is not None:
+                entry["text"] = extract(row["html"], cfg,
+                                        sanitizer=sanitizer).text
+            if row["lang"] is not None:
+                entry["lang"] = row["lang"]
+            for c in extra_cols:
+                if row.get(c) is not None:
+                    entry[c] = row[c]
+            state[url] = entry
+            continue
         entry = {
             "url": url,
             "warc_ts": row["warc_ts"],

@@ -239,6 +239,17 @@ class CDCConfig:
     # bounds read amplification on long-running delta-mode tails without an
     # operator in the loop. None = manual compaction only.
     auto_compact_chain: Optional[int] = None
+    # Partial-update (patch) events, op='P' (cdc/merge.py fold_events /
+    # merge_base_with_updates_patch): a patch carries ONLY its changed
+    # columns (null = unchanged; an omitted html means "keep the extracted
+    # text/blocks"), and the merge resolves every column independently by
+    # LWW over the events that define it — full events (I/U/D) define all
+    # columns, patches their non-null ones, so a patch newer than a
+    # tombstone resurrects the key with only its own columns set. Requires
+    # snapshot epoch commits (the delta merge-on-read fold is winner-row
+    # based; patch rows are not full images). Off by default: the plain
+    # LWW hot path is untouched when this is False.
+    patch_ops: bool = False
     # Dead-letter queue (cdc/quarantine.py): extraction exceptions divert
     # the RECORD to <lake>/quarantine (url-partitioned, exactly-once per
     # (part, epoch)) instead of killing the epoch — at 10^10 events a single

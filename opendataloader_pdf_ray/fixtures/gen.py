@@ -144,10 +144,19 @@ def _zipf_index(rng: random.Random, n: int, alpha: float = 1.1) -> int:
 
 def gen_events(n_events: int, n_urls: int, seed: int = 42,
                evolve_from: Optional[int] = None,
-               epoch_size: int = 1000) -> pa.Table:
+               epoch_size: int = 1000,
+               patch_frac: float = 0.0) -> pa.Table:
     """Change-event log: I/U/D 60/30/10, Zipf-hot urls, ~5% out-of-order
     warc_ts per key, optional additive ``content_type`` column from event
-    ``evolve_from`` onward (events_v2 of FIXTURES.md §2)."""
+    ``evolve_from`` onward (events_v2 of FIXTURES.md §2).
+
+    ``patch_frac > 0`` turns that fraction of non-insert events into
+    partial updates (op='P'): half carry a fresh html payload (content
+    patch, lang omitted), half carry only a new lang (metadata patch, html
+    omitted); a few land on tombstoned keys (resurrect-by-patch) and ~5%
+    arrive out-of-order like everything else — the full patch-semantics
+    gauntlet for the replay-vs-oracle tests. patch_frac=0.0 (default) is
+    byte-identical to the pre-patch generator."""
     rng = random.Random(seed)
     urls = url_universe(n_urls)
     # permute so hot zipf ranks hit a deterministic, spread-out subset
@@ -162,9 +171,16 @@ def gen_events(n_events: int, n_urls: int, seed: int = 42,
         idx = perm[_zipf_index(rng, len(urls))]
         url = urls[idx]
         r = rng.random()
+        pr = rng.random() if patch_frac else 1.0
         if not inserted.get(url):
-            op = "I"
-            inserted[url] = True
+            if inserted.get(url) is False and pr < patch_frac / 2:
+                op = "P"  # resurrect-by-patch onto a tombstone
+                inserted[url] = True
+            else:
+                op = "I"
+                inserted[url] = True
+        elif pr < patch_frac:
+            op = "P"
         elif r < 0.75:
             op = "U"
         elif r < 0.90:
@@ -184,11 +200,21 @@ def gen_events(n_events: int, n_urls: int, seed: int = 42,
         tss.append(ts)
         if op == "D":
             htmls.append(None)
+            langs.append(LANGS[_h(url + "|lang") % len(LANGS)])
+        elif op == "P":
+            if rng.random() < 0.5:  # content patch: html only
+                rev = rev_counter.get(url, 0) + 1
+                rev_counter[url] = rev
+                htmls.append(render_html(url, rev))
+                langs.append(None)
+            else:  # metadata patch: lang only
+                htmls.append(None)
+                langs.append(f"patched-{seq % 5}")
         else:
             rev = rev_counter.get(url, 0) + 1
             rev_counter[url] = rev
             htmls.append(render_html(url, rev))
-        langs.append(LANGS[_h(url + "|lang") % len(LANGS)])
+            langs.append(LANGS[_h(url + "|lang") % len(LANGS)])
         if evolve_from is not None:
             ctypes.append("text/html" if seq >= evolve_from else None)
 

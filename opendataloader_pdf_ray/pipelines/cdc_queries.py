@@ -2726,8 +2726,151 @@ def _restore_sql() -> str:
     return CDC_RESTORE_STATE_SQL.format(base=BASE_TS_US)
 
 
+def cdc_patch_upsert(sf_dir: str):
+    """Partial-update (patch) events end-to-end through the REAL replay
+    machinery (``CDCConfig(patch_ops=True)``, cdc/merge.py fold_events +
+    column-wise LWW apply): derive a six-wave changelog from ``documents``
+    (span = max doc_id + 1, one epoch per wave) —
+
+      wave 0  INSERT every doc        (lang='xx', score=doc_id%7)
+      wave 1  doc_id%3==0  PATCH lang='p1'        (score omitted)
+      wave 2  doc_id%4==0  PATCH score=1000+doc_id (lang omitted)
+      wave 3  doc_id%10==0 DELETE                  (defines all cols null)
+      wave 4  doc_id%20==0 PATCH lang='rz'         (resurrect-by-patch)
+      wave 5  doc_id%7==0  PATCH lang='stale' at warc_ts BASE-1000+doc_id
+              (OLDER than the insert: must lose column-wise LWW)
+
+    — and replay it. Returns the live (url, warc_ts, lang, score); the SQL
+    oracle folds each column independently with arg_max over its defining
+    events (full ops define every column — a delete as nulls — patches
+    exactly their non-null ones). In-query invariants: a second replay is
+    a no-op and lineage consumed == total events."""
+    import shutil
+
+    from ..cdc import replay
+    from ..cdc.lake import Lake
+    from ..config import CDCConfig
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_patch_query"
+    shutil.rmtree(root, ignore_errors=True)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    import pyarrow.parquet as _pq
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    span = max(meta.row_group(rg).column(col).statistics.max
+               for rg in range(meta.num_row_groups)) + 1
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        waves = [
+            # (wave, mask, op, html?, lang, score)
+            (0, np.ones(len(ids), bool), "I", True, "xx", lambda i: i % 7),
+            (1, ids % 3 == 0, "P", False, "p1", None),
+            (2, ids % 4 == 0, "P", False, None, lambda i: 1000 + i),
+            (3, ids % 10 == 0, "D", False, None, None),
+            (4, ids % 20 == 0, "P", False, "rz", None),
+            (5, ids % 7 == 0, "P", False, "stale", None),
+        ]
+        parts = []
+        for w, mask, op, has_html, lang, score in waves:
+            sub = ids[mask]
+            ts = (BASE_TS_US - 1000 + sub) if w == 5 \
+                else (BASE_TS_US + w * span + sub)
+            parts.append(pa.table({
+                "seq": pa.array(w * span + sub, pa.int64()),
+                "op": pa.array([op] * len(sub), pa.string()),
+                "url": pa.array([f"u{i:06d}" for i in sub], pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(
+                    [f"<p>doc {i}</p>".encode() for i in sub]
+                    if has_html else [None] * len(sub), pa.binary()),
+                "lang": pa.array([lang] * len(sub), pa.string()),
+                "score": pa.array(
+                    [score(int(i)) for i in sub] if score else
+                    [None] * len(sub), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    events_path = os.path.join(root, "events")
+    (ray.data.read_parquet(docs_path, columns=["doc_id"])
+     .map_batches(to_events, batch_format="pyarrow")
+     .write_parquet(events_path))
+
+    lake_root = os.path.join(root, "lake")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=span,
+                    patch_ops=True, extract_batch_size=64,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
+    lineage = replay(events_path, lake_root, cfg, mode="epoch")
+    n_events = ray.data.read_parquet(events_path).count()
+    if sum(l["events_consumed"] for l in lineage) != n_events:
+        raise AssertionError("patch replay lineage does not account for "
+                             "every event exactly once")
+    if replay(events_path, lake_root, cfg, mode="epoch") != []:
+        raise AssertionError("patch replay was not idempotent")
+
+    lake = Lake(lake_root, cfg.num_partitions)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"].cast(pa.int64()),
+            "lang": batch["lang"],
+            "score": batch["score"].cast(pa.int64()),
+        })
+
+    return (lake.read_dataset()
+            .map_batches(slim, batch_format="pyarrow")
+            .sort("url"))
+
+
+CDC_PATCH_UPSERT_SQL = """
+WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
+ev AS (
+  SELECT printf('u%06d', doc_id) AS url, {base} + doc_id AS ts, 'I' AS op,
+         'xx' AS lang, CAST(doc_id % 7 AS BIGINT) AS score FROM documents
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + (SELECT span FROM mx) + doc_id,
+         'P', 'p1', NULL FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + 2 * (SELECT span FROM mx) + doc_id,
+         'P', NULL, 1000 + doc_id FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + 3 * (SELECT span FROM mx) + doc_id,
+         'D', NULL, NULL FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + 4 * (SELECT span FROM mx) + doc_id,
+         'P', 'rz', NULL FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} - 1000 + doc_id,
+         'P', 'stale', NULL FROM documents WHERE doc_id % 7 = 0),
+fold AS (
+  SELECT url, max(ts) AS warc_ts,
+         arg_max(op = 'D', ts) AS deleted,
+         nullif(arg_max(coalesce(lang, chr(1)), ts)
+                FILTER (WHERE op <> 'P' OR lang IS NOT NULL), chr(1)) AS lang,
+         nullif(arg_max(coalesce(score, -1), ts)
+                FILTER (WHERE op <> 'P' OR score IS NOT NULL), -1) AS score
+  FROM ev GROUP BY url)
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts, lang, score
+FROM fold WHERE NOT deleted ORDER BY url
+"""
+
+
+def _patch_upsert_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return CDC_PATCH_UPSERT_SQL.format(base=BASE_TS_US)
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_patch_upsert": cdc_patch_upsert,
     "cdc_restore_state": cdc_restore_state,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
@@ -2779,6 +2922,7 @@ CDC_ORACLE_SQL = {
     "cdc_backfill_token_stats": CDC_BACKFILL_TOKEN_STATS_SQL,
     "cdc_retention_expiry": _retention_sql(),
     "cdc_restore_state": _restore_sql(),
+    "cdc_patch_upsert": _patch_upsert_sql(),
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts

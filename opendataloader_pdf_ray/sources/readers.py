@@ -18,7 +18,8 @@ import pyarrow as pa
 import ray.data
 
 EVENT_COLUMNS = ["seq", "op", "url", "warc_ts", "html", "lang"]
-VALID_OPS = ("I", "U", "D")
+# 'P' = partial update (patch): carries only changed columns, html optional
+VALID_OPS = ("I", "U", "D", "P")
 
 
 def read_events(path: str, columns: Optional[list] = None,
@@ -57,7 +58,9 @@ def validate_events(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         ops_ok = pc.is_in(batch["op"], value_set=pa.array(list(VALID_OPS)))
         url_ok = pc.match_substring_regex(batch["url"], r"^https?://")
         html = batch["html"]
-        need_payload = pc.invert(pc.equal(batch["op"], pa.scalar("D")))
+        # deletes and patches may legitimately omit the payload
+        need_payload = pc.invert(pc.is_in(
+            batch["op"], value_set=pa.array(["D", "P"])))
         payload_ok = pc.or_(pc.is_valid(html), pc.invert(need_payload))
         valid = pc.and_(pc.and_(ops_ok, pc.fill_null(url_ok, False)), payload_ok)
         return batch.append_column("valid", valid)
