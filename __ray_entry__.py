@@ -153,6 +153,12 @@ _GATE_TAIL = [
                                # image_asset_stats with real asset
                                # extraction on top (r3: slot freed for
                                # cdc_restore_state)
+    "doc_repetition_stats",    # Gopher repetition classifiers — the same
+                               # classifier kernels and thresholds are
+                               # gated in-slot per-stage by
+                               # corpus_filter_funnel (each stage's drop
+                               # count individually) (r3: slot freed for
+                               # cdc_derived_lake)
     "doc_weighted_sample",     # Efraimidis-Sampling exponential keys — the
                                # weighted per-key selection machinery stays
                                # gated in-slot by doc_mixture_sample

@@ -1031,6 +1031,54 @@ def cmd_replicate(args) -> int:
     return 0
 
 
+def cmd_derive(args) -> int:
+    """Maintain a derived lake: a filtered / transformed projection of the
+    source's change log (cdc/derive.py). An update that makes a row leave
+    the predicate DELETES it downstream; exactly-once, resumable; re-run
+    (or --follow) to catch up as the primary advances."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import FilteredTransform, Lake
+    from .cdc.derive import derive, follow_derive
+    from .functions import text_stats
+
+    eq = None
+    if args.eq:
+        eq = {}
+        for term in args.eq:
+            col, _, vals = term.partition("=")
+            if not vals:
+                print(f"bad --eq term {term!r} (want COL=V[,V...])",
+                      file=sys.stderr)
+                return 2
+            eq[col] = vals.split(",")
+    named = {"token-stats": text_stats.token_stats,
+             "quality-score": text_stats.quality_score,
+             "embed": text_stats.embed_text}
+    transform = FilteredTransform(
+        eq=eq, transform=named[args.transform] if args.transform else None)
+    tid = json.dumps({"eq": eq, "transform": args.transform}, sort_keys=True)
+    if args.follow:
+        for win in follow_derive(Lake(args.src), args.dst, transform,
+                                 transform_id=tid, poll_interval=args.poll,
+                                 max_idle_polls=args.idle_stop):
+            print(json.dumps(win), flush=True)
+    else:
+        out = derive(Lake(args.src), args.dst, transform,
+                     transform_id=tid, until=args.until)
+        print(json.dumps(out))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     from .cdc import Lake, MaterializedView
 
@@ -1671,6 +1719,30 @@ def main(argv=None) -> int:
     rp.add_argument("--idle-stop", type=int, default=None,
                     help="follow mode: stop after N idle polls")
     rp.set_defaults(fn=cmd_replicate)
+
+    dv = sub.add_parser("derive",
+                        help="maintain a downstream lake as a FILTERED/"
+                             "TRANSFORMED projection of the source's change "
+                             "log (medallion bronze->silver): updates that "
+                             "leave the predicate become downstream deletes; "
+                             "exactly-once, resumable, re-run to catch up")
+    dv.add_argument("src")
+    dv.add_argument("dst")
+    dv.add_argument("--eq", nargs="+", default=None, metavar="COL=V[,V...]",
+                    help="keep only rows matching every equality term "
+                         "(string-canonical)")
+    dv.add_argument("--transform", default=None,
+                    choices=("token-stats", "quality-score", "embed"),
+                    help="optional derived-column transform applied to kept "
+                         "rows")
+    dv.add_argument("--until", type=int, default=None,
+                    help="derive only epochs <= this")
+    dv.add_argument("--follow", action="store_true",
+                    help="tail the primary's epoch-done markers and keep "
+                         "the derived lake at bounded lag")
+    dv.add_argument("--poll", type=float, default=0.5)
+    dv.add_argument("--idle-stop", type=int, default=None)
+    dv.set_defaults(fn=cmd_derive)
 
     pk = sub.add_parser("pack",
                         help="pack live lake text into fixed-token-budget "

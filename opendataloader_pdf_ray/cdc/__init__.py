@@ -1,5 +1,6 @@
 from .backfill import backfill, resolve_backfill_epoch
 from .changefeed import changes
+from .derive import FilteredTransform, derive, follow_derive
 from .restore import apply_restore
 from .replicate import replicate
 from .rescale import rescale
@@ -32,6 +33,7 @@ __all__ = [
     "RangeIndex", "range_index_root", "list_range_indexes",
     "apply_restore",
     "backfill", "resolve_backfill_epoch", "changes", "replicate",
+    "FilteredTransform", "derive", "follow_derive",
     "rescale",
     "seed_from_warc",
     "ApplyPartition", "ApplyPartitionBacklog", "ingest_epoch", "ingest_epochs",

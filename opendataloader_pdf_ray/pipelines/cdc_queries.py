@@ -2868,9 +2868,165 @@ def _patch_upsert_sql() -> str:
     return CDC_PATCH_UPSERT_SQL.format(base=BASE_TS_US)
 
 
+def _derive_val2(table: pa.Table) -> pa.Table:
+    """Module-level (picklable) derive transform for cdc_derived_lake:
+    adds val2 = 2*val."""
+    return table.append_column(
+        "val2", pc.multiply(table["val"].cast(pa.int64()),
+                            pa.scalar(2, pa.int64())))
+
+
+def cdc_derived_lake(sf_dir: str):
+    """Derived lake (cdc/derive.py — filtered/transformed replication, the
+    medallion pattern) end-to-end through the REAL machinery: build a
+    3-epoch churned source lake from ``documents`` (epoch 0 inserts every
+    doc with val=doc_id%10; epoch 1 updates doc_id%3==0 to val=(doc_id+4)%10
+    and DELETES doc_id%15==0; epoch 2 updates doc_id%4==0 to
+    val=(doc_id+7)%10), then maintain a downstream lake keeping only rows
+    with val<5 and adding val2=2*val. Updates that move a row OUT of the
+    predicate must become downstream deletes — the filtered-replication
+    semantic the SQL oracle checks by recomputing the LWW fold and applying
+    the filter to the FINAL state. In-query invariants: re-derive is a
+    no-op, and every url whose final val >= 5 that ever qualified is a dst
+    tombstone, never a stale live row."""
+    import shutil
+
+    from ..cdc.derive import FilteredTransform, derive
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.merge import merge_base_with_updates
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_derive_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    src = Lake(os.path.join(root, "src"), num_partitions)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    import pyarrow.parquet as _pq
+    meta = _pq.read_metadata(docs_path)
+    col = {meta.schema.column(i).name: i
+           for i in range(meta.num_columns)}["doc_id"]
+    span = max(meta.row_group(rg).column(col).statistics.max
+               for rg in range(meta.num_row_groups)) + 1
+
+    def to_rows(epoch: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if epoch == 0:
+                val = ids % 10
+                dead = np.zeros(len(ids), bool)
+            elif epoch == 1:
+                ids = ids[ids % 3 == 0]
+                val = (ids + 4) % 10
+                dead = ids % 15 == 0
+            else:
+                ids = ids[ids % 4 == 0]
+                val = (ids + 7) % 10
+                dead = np.zeros(len(ids), bool)
+            urls = [f"u{i:06d}" for i in ids]
+            t = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(BASE_TS_US + epoch * span + ids,
+                                    pa.int64()),
+                "seq": pa.array(ids + epoch * span, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "deleted": pa.array(dead),
+            })
+            return t.append_column(
+                "part", pa.array(url_partition(urls, num_partitions),
+                                 pa.int32()))
+        return fn
+
+    class CommitPartition:
+        __name__ = "CommitPartition"
+
+        def __init__(self, epoch: int):
+            self.epoch = epoch
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(os.path.join(root, "src"), num_partitions)
+            part = int(group["part"][0].as_py())
+            ups = group.drop_columns(["part"])
+            base = None if self.epoch == 0 \
+                else lk.read_partition(part, as_of=self.epoch - 1)
+            state = merge_base_with_updates(base, ups)
+            seqs = ups["seq"].to_pylist()
+            lk.commit_partition(part, self.epoch, state, Lineage(
+                part=part, epoch=self.epoch, events_consumed=ups.num_rows,
+                rows_upserted=ups.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    for epoch in (0, 1, 2):
+        (ray.data.read_parquet(docs_path, columns=["doc_id"])
+         .map_batches(to_rows(epoch), batch_format="pyarrow")
+         .groupby("part")
+         .map_groups(CommitPartition(epoch), batch_format="pyarrow")
+         ).take_all()  # ≤ P tiny rows — drives the commits
+
+    tf = FilteredTransform(eq={"val": [str(v) for v in range(5)]},
+                           transform=_derive_val2)
+    dst_root = os.path.join(root, "dst")
+    out = derive(src, dst_root, tf, transform_id="val<5|val2")
+    if out["commits_applied"] == 0:
+        raise AssertionError("derive applied nothing")
+    again = derive(src, dst_root, tf, transform_id="val<5|val2")
+    if again["commits_applied"] != 0:
+        raise AssertionError("derive was not exactly-once")
+
+    dst = Lake(dst_root)
+    # invariant: no live dst row violates the predicate
+    def check_and_slim(batch: pa.Table) -> pa.Table:
+        vals = batch["val"].to_numpy(zero_copy_only=False)
+        if (vals >= 5).any():
+            raise AssertionError("derived lake holds a row outside the "
+                                 "predicate — a predicate exit leaked")
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"].cast(pa.int64()),
+            "val": batch["val"].cast(pa.int64()),
+            "val2": batch["val2"].cast(pa.int64()),
+        })
+
+    return (dst.read_dataset()
+            .map_batches(check_and_slim, batch_format="pyarrow")
+            .sort("url"))
+
+
+CDC_DERIVED_LAKE_SQL = """
+WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
+ev AS (
+  SELECT printf('u%06d', doc_id) AS url, {base} + doc_id AS ts,
+         doc_id % 10 AS val, FALSE AS del FROM documents
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + (SELECT span FROM mx) + doc_id,
+         (doc_id + 4) % 10, doc_id % 15 = 0
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {base} + 2 * (SELECT span FROM mx) + doc_id,
+         (doc_id + 7) % 10, FALSE
+  FROM documents WHERE doc_id % 4 = 0),
+lww AS (SELECT url, max(ts) AS warc_ts, arg_max(val, ts) AS val,
+               arg_max(del, ts) AS del FROM ev GROUP BY url)
+SELECT url, CAST(warc_ts AS BIGINT) AS warc_ts, CAST(val AS BIGINT) AS val,
+       CAST(2 * val AS BIGINT) AS val2
+FROM lww WHERE NOT del AND val < 5 ORDER BY url
+"""
+
+
+def _derived_lake_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return CDC_DERIVED_LAKE_SQL.format(base=BASE_TS_US)
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_patch_upsert": cdc_patch_upsert,
+    "cdc_derived_lake": cdc_derived_lake,
     "cdc_restore_state": cdc_restore_state,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
@@ -2923,6 +3079,7 @@ CDC_ORACLE_SQL = {
     "cdc_retention_expiry": _retention_sql(),
     "cdc_restore_state": _restore_sql(),
     "cdc_patch_upsert": _patch_upsert_sql(),
+    "cdc_derived_lake": _derived_lake_sql(),
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
