@@ -153,6 +153,12 @@ _GATE_TAIL = [
                                # image_asset_stats with real asset
                                # extraction on top (r3: slot freed for
                                # cdc_restore_state)
+    "knn_lsh",                 # hyperplane-LSH ANN — the identical
+                               # hyperplane-bucket cosine machinery is
+                               # gated in-slot by embedding_dup_pairs_lsh
+                               # (own bit-exact oracle) and the incremental
+                               # ANN keyspace by cdc_embed_backfill_ann
+                               # (r3: slot freed for cdc_substring_search)
     "doc_repetition_stats",    # Gopher repetition classifiers — the same
                                # classifier kernels and thresholds are
                                # gated in-slot per-stage by

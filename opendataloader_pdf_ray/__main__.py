@@ -187,6 +187,14 @@ def cmd_ingest(args) -> int:
         if not os.path.exists(os.path.join(v_root, "_commits", "lake.json")):
             n_idx = 32
         followers.append(VectorIndex(v_root, num_partitions=n_idx, dim=32))
+    if args.substr_index:
+        from .cdc import SubstringIndex, substr_index_root
+
+        g_root = substr_index_root(args.lake)
+        n_idx = None
+        if not os.path.exists(os.path.join(g_root, "_commits", "lake.json")):
+            n_idx = 32
+        followers.append(SubstringIndex(g_root, num_partitions=n_idx))
     for col in (args.col_index or ()):
         from .cdc import ColumnIndex, col_index_root
 
@@ -297,6 +305,14 @@ def cmd_compact(args) -> int:
         report["vecidx_compacted"] = vindex.compact_distributed()
         report["vecidx_reclaimed"] = vindex.lake.vacuum(
             keep_snapshots=args.keep_snapshots)
+    from .cdc import SubstringIndex, substr_index_root
+
+    g_root = substr_index_root(args.lake)
+    if lake.fs.exists(g_root):  # and the trigram keyspace
+        gindex = SubstringIndex(g_root)
+        report["trgmidx_compacted"] = gindex.compact_distributed()
+        report["trgmidx_reclaimed"] = gindex.lake.vacuum(
+            keep_snapshots=args.keep_snapshots)
     from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
                       list_range_indexes)
 
@@ -347,6 +363,11 @@ def cmd_fsck(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # and the ANN bucket keyspace
         report["vecidx"] = VectorIndex(v_root).verify(deep=args.deep)
+    from .cdc import SubstringIndex, substr_index_root
+
+    g_root = substr_index_root(args.lake)
+    if lake.fs.exists(g_root):  # and the trigram keyspace
+        report["trgmidx"] = SubstringIndex(g_root).verify(deep=args.deep)
     from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
                       list_range_indexes)
 
@@ -365,6 +386,7 @@ def cmd_fsck(args) -> int:
           and report.get("quarantine", {"ok": True})["ok"]
           and report.get("textidx", {"ok": True})["ok"]
           and report.get("vecidx", {"ok": True})["ok"]
+          and report.get("trgmidx", {"ok": True})["ok"]
           and all(r["ok"] for r in col_reports))
     return 0 if ok else 1
 
@@ -418,6 +440,7 @@ def cmd_stats(args) -> int:
     from .cdc.ingest import dup_index_root, near_index_root
     from .cdc.lake import Lake
     from .cdc.textindex import text_index_root
+    from .cdc.trigramindex import substr_index_root as _substr_root
     from .cdc.vecindex import vec_index_root
 
     lake = Lake(args.lake, args.partitions)
@@ -428,7 +451,8 @@ def cmd_stats(args) -> int:
     for name, root in (("fpindex", dup_index_root(args.lake)),
                        ("nearidx", near_index_root(args.lake)),
                        ("textidx", text_index_root(args.lake)),
-                       ("vecidx", vec_index_root(args.lake))):
+                       ("vecidx", vec_index_root(args.lake)),
+                       ("trgmidx", _substr_root(args.lake))):
         if lake.fs.exists(root):
             report[name] = Lake(root).stats()
     from .cdc import list_col_indexes, list_range_indexes
@@ -731,6 +755,11 @@ def cmd_purge(args) -> int:
     v_root = vec_index_root(args.lake)
     if lake.fs.exists(v_root):  # vector postings carry urls too
         report["vecidx"] = VectorIndex(v_root).purge_keys(args.urls)
+    from .cdc import SubstringIndex, substr_index_root
+
+    g_root = substr_index_root(args.lake)
+    if lake.fs.exists(g_root):  # trigram postings carry urls too
+        report["trgmidx"] = SubstringIndex(g_root).purge_keys(args.urls)
     from .cdc import (ColumnIndex, RangeIndex, list_col_indexes,
                       list_range_indexes)
 
@@ -1110,6 +1139,45 @@ def cmd_text_index(args) -> int:
     return 0
 
 
+def cmd_substr_index(args) -> int:
+    from .cdc import Lake, SubstringIndex, substr_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    root = substr_index_root(args.lake)
+    n_idx = args.idx_partitions
+    if n_idx is None and not os.path.exists(
+            os.path.join(root, "_commits", "lake.json")):
+        n_idx = 32  # fresh index with no persisted metadata
+    idx = SubstringIndex(root, num_partitions=n_idx)
+    lineage = idx.refresh(lake, up_to=args.up_to)
+    committed = sum(1 for r in lineage if not r["skipped"])
+    print(json.dumps({"lake": args.lake, "watermark": idx.watermark(),
+                      "commits": committed,
+                      "skipped": len(lineage) - committed}))
+    return 0
+
+
+def cmd_contains(args) -> int:
+    """Verified substring lookup over LIVE text via the trigram keyspace
+    (cdc/trigramindex.py): O(|query grams|) index-partition reads, AND
+    intersection, hash-routed lake verify. In-process serving read."""
+    from .cdc import Lake, SubstringIndex, substr_index_root
+
+    lake = Lake(args.lake, args.partitions)
+    idx = SubstringIndex(substr_index_root(args.lake))
+    if args.rows:
+        t = idx.contains_local(lake, args.needle, as_of=args.as_of,
+                               rows=True)
+        rows = [] if t is None else [
+            {"url": r["url"], "text": (r.get("text") or "")[:160]}
+            for r in t.to_pylist()]
+        print(json.dumps({"needle": args.needle, "matches": rows}))
+    else:
+        keys = idx.contains_local(lake, args.needle, as_of=args.as_of)
+        print(json.dumps({"needle": args.needle, "urls": keys}))
+    return 0
+
+
 def cmd_col_index(args) -> int:
     from .cdc import ColumnIndex, Lake, col_index_root
 
@@ -1437,6 +1505,10 @@ def main(argv=None) -> int:
                           "<lake>/rangeidx_<COL> fresh for each named "
                           "int/timestamp payload column (same follower "
                           "cadence as --text-index; query with range-scan)")
+    ing.add_argument("--substr-index", action="store_true",
+                     dest="substr_index",
+                     help="keep <lake>/trgmidx (trigram substring index) "
+                          "fresh while tailing")
     ing.add_argument("--patch-ops", action="store_true", dest="patch_ops",
                      help="accept op='P' partial-update events (null column "
                           "= unchanged; column-wise LWW merge; requires "
@@ -1767,6 +1839,31 @@ def main(argv=None) -> int:
                     help="override; the lake's persisted metadata wins")
     vw.add_argument("--name", default="lang_stats")
     vw.set_defaults(fn=cmd_view)
+
+    gi = sub.add_parser("substr-index",
+                        help="refresh the lake's trigram substring index "
+                             "(<lake>/trgmidx): retract/apply gram-set "
+                             "diffs per changed url — 'grep the lake' "
+                             "serving reads via the contains command")
+    gi.add_argument("lake")
+    gi.add_argument("--partitions", type=int, default=None)
+    gi.add_argument("--idx-partitions", type=int, default=None,
+                    help="index partitions (first build only; default 32)")
+    gi.add_argument("--up-to", type=int, default=None)
+    gi.set_defaults(fn=cmd_substr_index)
+
+    ct = sub.add_parser("contains",
+                        help="verified substring lookup over LIVE text via "
+                             "the trigram index (>= 3 chars, case-"
+                             "insensitive)")
+    ct.add_argument("lake")
+    ct.add_argument("needle")
+    ct.add_argument("--as-of", type=int, default=None)
+    ct.add_argument("--rows", action="store_true",
+                    help="print matching rows (url + text preview) instead "
+                         "of urls only")
+    ct.add_argument("--partitions", type=int, default=None)
+    ct.set_defaults(fn=cmd_contains)
 
     ti = sub.add_parser("text-index",
                         help="refresh the lake's inverted full-text index "

@@ -11,6 +11,7 @@ from .ingest import (ApplyPartition, ApplyPartitionBacklog, dup_index_root,
                      num_epochs_in, replay, url_partition)
 from .neardup import NearDupIndex
 from .textindex import TextIndex, text_index_root
+from .trigramindex import SubstringIndex, substr_index_root
 from .vecindex import VectorIndex, vec_index_root
 from .colindex import ColumnIndex, col_index_root, list_col_indexes
 from .rangeindex import RangeIndex, list_range_indexes, range_index_root
@@ -29,6 +30,7 @@ from .views import MaterializedView, group_lang, value_text_len
 __all__ = [
     "DupIndex", "dup_index_root", "NearDupIndex", "near_index_root",
     "TextIndex", "text_index_root", "VectorIndex", "vec_index_root",
+    "SubstringIndex", "substr_index_root",
     "ColumnIndex", "col_index_root", "list_col_indexes",
     "RangeIndex", "range_index_root", "list_range_indexes",
     "apply_restore",

@@ -3023,10 +3023,115 @@ def _derived_lake_sql() -> str:
     return CDC_DERIVED_LAKE_SQL.format(base=BASE_TS_US)
 
 
+def cdc_substring_search(sf_dir: str):
+    """Trigram substring index (cdc/trigramindex.py — "grep the lake") end
+    to end: build a churned 2-epoch lake from ``documents`` (epoch 0
+    inserts every doc's text; epoch 1 suffixes ``' zqmark'`` onto
+    doc_id%5==0 docs and DELETES doc_id%9==0 — disjoint churn so the
+    expected live state is algebraic), refresh the gram keyspace, then run
+    the DISTRIBUTED verified lookup for ``'zqmark'``: O(|query grams|)
+    index-partition reads → AND intersection via a key groupby →
+    hash-routed lake verify. The SQL oracle recomputes the final text per
+    url and applies ``contains(lower(text), needle)``. In-query
+    invariants: a second refresh is a no-op and retraction works (a
+    deleted doc that WOULD match must not appear)."""
+    import shutil
+
+    from ..cdc import Lake, Lineage, SubstringIndex
+    from ..cdc.ingest import url_partition
+    from ..cdc.trigramindex import substr_index_root
+
+    root = "/tmp/odl_ray_trgm_query"
+    shutil.rmtree(root, ignore_errors=True)
+    num_partitions = 8
+    lake = Lake(os.path.join(root, "lake"), num_partitions)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def to_rows(epoch: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            texts = batch["text"].to_pylist()
+            if epoch == 0:
+                rows = [(int(i), t, False) for i, t in zip(ids, texts)]
+            else:
+                rows = [(int(i), t + " zqmark", False)
+                        for i, t in zip(ids, texts)
+                        if i % 5 == 0 and i % 9 != 0]
+                rows += [(int(i), None, True)
+                         for i in ids if i % 9 == 0]
+            urls = [f"u{i:06d}" for i, _, _ in rows]
+            t = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    [1_000_000 * (epoch + 1) + i for i, _, _ in rows],
+                    pa.int64()),
+                "seq": pa.array([epoch * 10_000_000 + i for i, _, _ in rows],
+                                pa.int64()),
+                "text": pa.array([t for _, t, _ in rows], pa.string()),
+                "deleted": pa.array([d for _, _, d in rows]),
+            })
+            return t.append_column(
+                "part", pa.array(url_partition(urls, num_partitions),
+                                 pa.int32()))
+        return fn
+
+    class CommitPartition:
+        __name__ = "CommitPartition"
+
+        def __init__(self, epoch: int):
+            self.epoch = epoch
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(os.path.join(root, "lake"), num_partitions)
+            part = int(group["part"][0].as_py())
+            ups = group.drop_columns(["part"])
+            seqs = ups["seq"].to_pylist()
+            lk.commit_delta(part, self.epoch, ups.sort_by(
+                [("url", "ascending")]), Lineage(
+                part=part, epoch=self.epoch, events_consumed=ups.num_rows,
+                rows_upserted=ups.num_rows, rows_deleted=0,
+                seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    for epoch in (0, 1):
+        (ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+         .map_batches(to_rows(epoch), batch_format="pyarrow")
+         .groupby("part")
+         .map_groups(CommitPartition(epoch), batch_format="pyarrow")
+         ).take_all()  # ≤ P tiny rows — drives the commits
+
+    idx = SubstringIndex(substr_index_root(lake.root), num_partitions=8)
+    idx.refresh(lake)
+    if idx.refresh(lake) != []:
+        raise AssertionError("substring-index refresh was not watermarked")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch["key"]})
+
+    return (idx.contains(lake, "zqmark")
+            .map_batches(rename, batch_format="pyarrow")
+            .sort("url"))
+
+
+CDC_SUBSTRING_SEARCH_SQL = """
+WITH final AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         CASE WHEN doc_id % 5 = 0 AND doc_id % 9 <> 0
+              THEN text || ' zqmark' ELSE text END AS text,
+         doc_id % 9 = 0 AS del
+  FROM documents)
+SELECT url FROM final WHERE NOT del AND contains(lower(text), 'zqmark')
+ORDER BY url
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_patch_upsert": cdc_patch_upsert,
     "cdc_derived_lake": cdc_derived_lake,
+    "cdc_substring_search": cdc_substring_search,
     "cdc_restore_state": cdc_restore_state,
     "cdc_changefeed": cdc_changefeed,
     "cdc_changefeed_before": cdc_changefeed_before,
@@ -3080,6 +3185,7 @@ CDC_ORACLE_SQL = {
     "cdc_restore_state": _restore_sql(),
     "cdc_patch_upsert": _patch_upsert_sql(),
     "cdc_derived_lake": _derived_lake_sql(),
+    "cdc_substring_search": CDC_SUBSTRING_SEARCH_SQL,
     "cdc_asof_enrich": """
         SELECT e.event_id, e.ts, e.user_id,
                p.event_id AS purchase_event_id, p.ts AS purchase_ts
