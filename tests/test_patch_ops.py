@@ -184,3 +184,74 @@ class TestPatchReplay:
                dataclasses.replace(CFG, backlog_snapshots="final"))
         assert a.read_state(include_tombstones=True).to_pylist() == \
             b.read_state(include_tombstones=True).to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPatchFuzz:
+    """North-star invariant with PATCHES, fuzzed: arbitrary I/U/D/P logs
+    (random out-of-order versions, content patches, metadata patches,
+    payload-less patches, patches onto tombstones and unknown keys)
+    replayed through the real engine at arbitrary epoch chunking equal the
+    single-threaded column-wise-LWW oracle byte-for-byte."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    events_strategy = st.lists(
+        st.tuples(st.integers(0, 4),                  # url
+                  st.sampled_from("IUDPP"),           # op (patches common)
+                  st.integers(0, 30),                 # warc_ts (collisions ok)
+                  st.integers(0, 9),                  # html revision
+                  st.sampled_from(["html", "lang", "none"])),  # patch kind
+        min_size=3, max_size=18)
+
+    @given(events_strategy, st.sampled_from([3, 7, 10_000]))
+    @settings(max_examples=8, deadline=None)
+    def test_patch_replay_matches_oracle(self, tmp_path_factory, raw,
+                                         epoch_size):
+        import dataclasses
+
+        from opendataloader_pdf_ray.fixtures.gen import render_html
+
+        root = tmp_path_factory.mktemp("pfz")
+        htmls, langs = [], []
+        for u, op, _, rev, kind in raw:
+            url = f"https://fz.example/{u}"
+            if op == "D":
+                htmls.append(None)
+                langs.append("en")
+            elif op == "P":
+                htmls.append(render_html(url, rev) if kind == "html"
+                             else None)
+                langs.append(f"pl{rev}" if kind == "lang" else None)
+            else:
+                htmls.append(render_html(url, rev))
+                langs.append("en")
+        events = pa.table({
+            "seq": pa.array(range(len(raw)), pa.int64()),
+            "op": pa.array([op for _, op, *_ in raw], pa.string()),
+            "url": pa.array([f"https://fz.example/{u}" for u, *_ in raw],
+                            pa.string()),
+            "warc_ts": pa.array([ts for _, _, ts, _, _ in raw],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "lang": pa.array(langs, pa.string()),
+        })
+        path = str(root / "events.parquet")
+        pq.write_table(events, path)
+        cfg = dataclasses.replace(CFG, num_partitions=4, num_salts=2,
+                                  epoch_size=epoch_size,
+                                  extract_batch_size=8)
+        lake = Lake(str(root / "lake"), cfg.num_partitions)
+        replay(path, lake.root, cfg)
+        from opendataloader_pdf_ray.cdc import oracle_final_state
+
+        oracle = oracle_final_state(events)
+        got = {r["url"]: r for r in
+               lake.read_state(include_tombstones=True).to_pylist()}
+        assert set(got) == set(oracle)
+        for url, want in oracle.items():
+            assert got[url]["deleted"] == want["deleted"], url
+            assert got[url]["seq"] == want["seq"], url
+            assert got[url]["text"] == want["text"], url
+            assert got[url]["lang"] == want["lang"], url
