@@ -121,10 +121,14 @@ class _BackfillPartition:
                 lin.skipped = True
                 out.append(lin)
                 continue
-            state = lake.read_partition(part, as_of=self.epoch - 1)
+            state = lake.read_partition(part, as_of=self.epoch - 1,
+                                        internal=True)
             if state is None:
                 continue
-            new = self.fn(state)
+            from .merge import is_internal_col, strip_internal
+
+            internal = [c for c in state.column_names if is_internal_col(c)]
+            new = self.fn(strip_internal(state))
             if new.num_rows != state.num_rows:
                 raise ValueError(
                     f"backfill transform changed row count on part {part}: "
@@ -134,6 +138,12 @@ class _BackfillPartition:
                 raise ValueError(
                     f"backfill transform altered key column "
                     f"{self.key_col!r} on part {part}")
+            # re-attach per-column version metadata (patch_ops lakes) the
+            # transform never sees: row count + key order were just checked,
+            # so positional alignment is safe
+            for c in internal:
+                if c not in new.column_names:
+                    new = new.append_column(c, state[c])
             seqs = state["seq"].to_pylist() if "seq" in state.column_names \
                 else [0]
             # kind="backfill": CDC ingest loud-fails if a binlog epoch ever

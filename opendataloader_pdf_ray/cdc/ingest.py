@@ -45,6 +45,7 @@ from .merge import (
     latest_per_key,
     merge_base_with_updates,
     merge_base_with_updates_patch,
+    merge_states,
 )
 
 _LINEAGE_AGGS = {"n_events": "sum", "seq_lo": "min", "seq_hi": "max"}
@@ -283,7 +284,8 @@ class ApplyPartition:
                                     winners.sort_by([("url", "ascending")]),
                                     lineage)
         else:
-            base = lake.read_partition(part, as_of=self.epoch - 1)
+            base = lake.read_partition(part, as_of=self.epoch - 1,
+                                        internal=True)
             merged = merge_base_with_updates_patch(base, winners) if patched \
                 else merge_base_with_updates(base, winners)
             out = lake.commit_partition(part, self.epoch, merged, lineage)
@@ -322,7 +324,8 @@ class ApplyPartitionBacklog:
         lake = Lake(self.lake_root, self.num_partitions)
         part = int(group["part"][0].as_py())
         out_rows: List[Lineage] = []
-        merged = lake.read_partition(part, as_of=self.epochs[0] - 1)
+        merged = lake.read_partition(part, as_of=self.epochs[0] - 1,
+                                     internal=True)
         # Epochs committed before this run (e.g. a prior out-of-order
         # ingest_epoch call left "holes" in the pending range). Their events
         # are filtered out upstream, so their effects live only in their
@@ -335,9 +338,10 @@ class ApplyPartitionBacklog:
         epoch_arr = group["epoch"].to_numpy(zero_copy_only=False)
         for epoch in self.epochs:
             if any(prev_epoch < c < epoch for c in pre_committed):
-                hole_snap = lake.read_partition(part, as_of=epoch - 1)
+                hole_snap = lake.read_partition(part, as_of=epoch - 1,
+                                                internal=True)
                 if hole_snap is not None:
-                    merged = merge_base_with_updates(merged, hole_snap)
+                    merged = merge_states(merged, hole_snap)
             prev_epoch = epoch
             sub = group.filter(pa.array(epoch_arr == epoch))
             if sub.num_rows == 0:
@@ -345,9 +349,10 @@ class ApplyPartitionBacklog:
             if lake.is_committed(part, epoch):
                 # merge (not replace): the crashed-run snapshot may predate
                 # epochs this fold already incorporated; LWW union covers both
-                snap = lake.read_partition(part, as_of=epoch)
+                snap = lake.read_partition(part, as_of=epoch,
+                                           internal=True)
                 if snap is not None:
-                    merged = merge_base_with_updates(merged, snap)
+                    merged = merge_states(merged, snap)
                 prior = _guard_cdc_epoch(lake, part, epoch)
                 prior.skipped = True
                 out_rows.append(prior)
@@ -415,7 +420,7 @@ class ApplyPartitionFinal:
             # inside the pending range lives only in its snapshot — the newest
             # committed snapshot ≤ last is cumulative and captures it (LWW
             # idempotence makes any overlap with the updates harmless)
-            base = lake.read_partition(part, as_of=last)
+            base = lake.read_partition(part, as_of=last, internal=True)
             if "op" in updates.column_names:
                 winners = fold_events(updates)
                 rows_upserted, rows_deleted = _patch_lineage_counts(winners)

@@ -48,7 +48,14 @@ import fsspec
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .merge import live_view, merge_base_with_updates, unified_schema, unify_to_schema
+from .merge import (
+    is_internal_col,
+    live_view,
+    merge_base_with_updates,
+    strip_internal,
+    unified_schema,
+    unify_to_schema,
+)
 
 # --------------------------------------------------------------- commit bloom
 # Per-DELTA-commit url Bloom filter: lets merge-on-read point lookups skip
@@ -538,7 +545,8 @@ class Lake:
 
     def read_partition(self, part: int, as_of: Optional[int] = None,
                        url_filter: Optional[List[str]] = None,
-                       columns: Optional[List[str]] = None) -> Optional[pa.Table]:
+                       columns: Optional[List[str]] = None,
+                       internal: bool = False) -> Optional[pa.Table]:
         """Merge-on-read: newest epoch ≤ as_of whose SNAPSHOT file exists is
         the base; committed delta files after it fold on top in epoch order
         (associative LWW, so this equals the eager CoW state).
@@ -560,7 +568,12 @@ class Lake:
         merge keys (url/warc_ts/seq/deleted — the fold needs them): parquet
         is columnar, so a 2-column consumer never decodes the wide
         text/blocks columns. Safe before the fold for the same reason the
-        url pushdown is: LWW winner selection touches only the merge keys."""
+        url pushdown is: LWW winner selection touches only the merge keys.
+
+        ``internal=True`` keeps the per-column version metadata columns
+        (``_cvt_*``/``_cvs_*``, patch_ops lakes) that the ingest and
+        maintenance fold paths need; user-facing reads (the default)
+        strip them."""
         filters = None
         if url_filter is not None:
             filters = [("url", "in", list(url_filter))]
@@ -596,7 +609,7 @@ class Lake:
                             bloom, url_list):
                         continue  # epoch definitely touches none of the urls
                 base = merge_base_with_updates(base, _read(*res))
-        return base
+        return base if internal else strip_internal(base)
 
     def _unified_live(self, as_of: Optional[int] = None):
         """Driver-side metadata pass shared by :meth:`read_dataset` and
@@ -620,6 +633,12 @@ class Lake:
                             else unified_schema(target, sch)
             if has_any:
                 live_parts.append(part)
+        if target is not None and any(is_internal_col(f.name)
+                                      for f in target):
+            # per-column version metadata (patch_ops lakes) never reaches
+            # user-facing Dataset schemas
+            target = pa.schema([f for f in target
+                                if not is_internal_col(f.name)])
         return live_parts, target
 
     def read_dataset(self, as_of: Optional[int] = None,
@@ -1183,7 +1202,7 @@ class Lake:
             newest = epochs[-1]
             if self.resolve_data(part, newest, "snap") is not None:
                 continue  # already a snapshot at the tip (possibly parent's)
-            state = self.read_partition(part)
+            state = self.read_partition(part, internal=True)
             if state is None:
                 continue
             self.fs.makedirs(self._part_dir(part), exist_ok=True)

@@ -28,6 +28,31 @@ VERSION_COLS = ("warc_ts", "seq")
 DELETED_COL = "deleted"
 PATCH_OP = "P"
 
+# Per-column definer versions (patch_ops lakes only): the stored snapshot
+# carries, for every payload column c, ``_cvt_<c>``/``_cvs_<c>`` = the
+# (warc_ts, seq) of the event that DEFINED c's current value. Without them
+# the materialized image is lossy across epochs: a payload-less patch bumps
+# the ROW version, and a later-arriving full image with an intermediate
+# version would lose columns it should define (hypothesis-found,
+# test_patch_ops). Internal — stripped from every user-facing read
+# (Lake.read_partition default); only the ingest/maintenance fold paths
+# read them back (internal=True).
+CV_TS_PREFIX = "_cvt_"
+CV_SEQ_PREFIX = "_cvs_"
+
+
+def is_internal_col(name: str) -> bool:
+    return name.startswith((CV_TS_PREFIX, CV_SEQ_PREFIX))
+
+
+def strip_internal(table: Optional[pa.Table]) -> Optional[pa.Table]:
+    """Drop per-column version metadata (user-facing view of a state
+    table). None-safe; no-op when none are present."""
+    if table is None:
+        return None
+    drop = [c for c in table.column_names if is_internal_col(c)]
+    return table.drop_columns(drop) if drop else table
+
 # Neutral elements for lineage-counter carry when a patch fold keeps more
 # than one survivor row per key: the aggregate of the WHOLE group lands on
 # the max-version survivor, every other survivor carries the neutral so a
@@ -232,24 +257,67 @@ def merge_base_with_updates(base: Optional[pa.Table], updates: pa.Table) -> pa.T
     return merged.sort_by([(MERGE_KEY, "ascending")])
 
 
-def _column_lww(table: pa.Table) -> pa.Table:
+def _payload_names(schema: pa.Schema) -> List[str]:
+    return [f.name for f in schema
+            if f.name not in (MERGE_KEY, "warc_ts", "seq", DELETED_COL, "op")
+            and not is_internal_col(f.name)]
+
+
+def _ensure_versions(state: pa.Table) -> pa.Table:
+    """Materialize implicit per-column versions on a full-image state
+    table that predates version tracking (legacy snapshots, plain→patch
+    upgrades): every payload column it carries was defined by full events,
+    i.e. at the ROW version."""
+    for name in _payload_names(state.schema):
+        if CV_TS_PREFIX + name not in state.column_names:
+            state = state.append_column(CV_TS_PREFIX + name,
+                                        state["warc_ts"].cast(pa.int64()))
+            state = state.append_column(CV_SEQ_PREFIX + name,
+                                        state["seq"].cast(pa.int64()))
+    return state
+
+
+def _column_lww(table: pa.Table,
+                materialized: Optional[np.ndarray] = None) -> pa.Table:
     """One row per url, each column resolved independently by LWW over the
-    events that DEFINE it: FULL rows (op ≠ 'P') define every column (a
+    rows that DEFINE it: FULL event rows (op ≠ 'P') define every column (a
     delete defines them as its tombstone nulls); PATCH rows define exactly
     their non-null columns (sparse wire encoding — a patch cannot set a
-    column to null, the standard limitation of mask-less partial updates).
+    column to null, the standard limitation of mask-less partial updates);
+    MATERIALIZED image rows (``materialized`` row mask — base snapshots)
+    define exactly the columns whose stored ``_cvt_<c>`` version is
+    non-null, at that version (a null ``_cvt`` means no event ever defined
+    the column — e.g. a key created by a partial patch — and that
+    undefined-ness must survive the fold: a later out-of-order full event
+    must win the column even with an older version).
     ``url``/``warc_ts``/``seq``/``deleted`` come from the overall
     max-version row (every event defines them; a patch implies existence,
     so a patch newer than a tombstone resurrects the key with only its own
     columns set — the delete already nulled the rest). Input must carry
-    ``op`` and ``deleted``; output drops ``op``. Vectorized: one lexsort +
-    one reduceat per column."""
+    ``op`` and ``deleted``; output drops ``op``.
+
+    The output carries fresh ``_cvt_``/``_cvs_`` definer-version columns
+    for every payload column so the NEXT fold stays exact — without them a
+    payload-less patch's row-version bump would make the base image beat a
+    later-arriving full event with an intermediate version on columns the
+    patch never defined (hypothesis-found). Vectorized: one lexsort + one
+    reduceat per column."""
+    payload_names = _payload_names(table.schema)
     if table.num_rows == 0:
-        return table.drop_columns(["op"])
+        out = table.drop_columns(
+            ["op"] + [c for c in table.column_names if is_internal_col(c)])
+        for name in payload_names:
+            out = out.append_column(CV_TS_PREFIX + name,
+                                    pa.array([], pa.int64()))
+            out = out.append_column(CV_SEQ_PREFIX + name,
+                                    pa.array([], pa.int64()))
+        return out
     urls = table[MERGE_KEY].to_numpy(zero_copy_only=False)
     ts = table["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    seq = table["seq"].to_numpy(zero_copy_only=False)
+    seq = table["seq"].cast(pa.int64()).to_numpy(zero_copy_only=False)
     ops = table["op"].to_numpy(zero_copy_only=False)
+    if materialized is None:
+        materialized = np.zeros(table.num_rows, bool)
     _, inv = np.unique(urls, return_inverse=True)
     order = np.lexsort((seq, ts, inv))
     sorted_codes = inv[order]
@@ -259,26 +327,83 @@ def _column_lww(table: pa.Table) -> pa.Table:
     is_last[:-1] = sorted_codes[1:] != sorted_codes[:-1]
     starts = np.flatnonzero(is_first)
     pos = np.arange(len(order))
-    full_sorted = (ops != PATCH_OP)[order]
+    full_event = (ops != PATCH_OP) & ~materialized
     winner_pos = pa.array(order[is_last])  # overall max-version row per group
-    fixed = {MERGE_KEY, "warc_ts", "seq", DELETED_COL, "op"}
+
     cols, names = [], []
+    version_cols = []
     for field in table.schema:
-        if field.name == "op":
+        if field.name == "op" or is_internal_col(field.name):
             continue
         names.append(field.name)
         col = table[field.name]
-        if field.name in fixed:
+        if field.name not in payload_names:
             cols.append(col.take(winner_pos))
             continue
+        # per-row (version, definedness) for this column
+        vts, vseq = ts, seq
+        cv_valid = None
+        cvt_name = CV_TS_PREFIX + field.name
+        if cvt_name in table.column_names:
+            cvt = table[cvt_name].combine_chunks()
+            cvs = table[CV_SEQ_PREFIX + field.name].combine_chunks()
+            cv_valid = pc.is_valid(cvt).to_numpy(zero_copy_only=False)
+            if cv_valid.any():
+                vts = np.where(cv_valid,
+                               pc.fill_null(cvt, 0).cast(pa.int64())
+                               .to_numpy(zero_copy_only=False), ts)
+                vseq = np.where(cv_valid,
+                                pc.fill_null(cvs, 0).cast(pa.int64())
+                                .to_numpy(zero_copy_only=False), seq)
+        order_c = np.lexsort((vseq, vts, inv))
         nonnull = pc.is_valid(col).combine_chunks().to_numpy(
-            zero_copy_only=False)[order]
-        defined = full_sorted | nonnull
+            zero_copy_only=False)
+        defined = full_event | (~materialized & nonnull)
+        if cv_valid is not None:
+            defined |= materialized & cv_valid
+        elif materialized.any():
+            # materialized rows without stored versions: legacy full images
+            defined |= materialized
+        defined = defined[order_c]
         win = np.maximum.reduceat(np.where(defined, pos, -1), starts)
-        take_idx = pa.array(order[np.clip(win, 0, None)].astype(np.int64),
-                            mask=(win < 0))
-        cols.append(col.take(take_idx))
+        src = order_c[np.clip(win, 0, None)]
+        mask = win < 0
+        cols.append(col.take(pa.array(src.astype(np.int64), mask=mask)))
+        version_cols.append((CV_TS_PREFIX + field.name,
+                             pa.array(vts[src], pa.int64(), mask=mask)))
+        version_cols.append((CV_SEQ_PREFIX + field.name,
+                             pa.array(vseq[src], pa.int64(), mask=mask)))
+    for name, arr in version_cols:
+        names.append(name)
+        cols.append(arr)
     return pa.table(cols, names=names)
+
+
+def merge_states(a: Optional[pa.Table], b: Optional[pa.Table]) -> pa.Table:
+    """LWW merge of two FULL-IMAGE state tables (one row per url each
+    side). Patch-version-aware: when either side carries per-column
+    version columns, each column resolves to the side whose definer
+    version is newer (exactly what re-folding the underlying events would
+    give); otherwise byte-identical to :func:`merge_base_with_updates`.
+    Used where two materialized states meet — backlog-replay hole/resume
+    snapshots folding into a running image."""
+    if b is None or b.num_rows == 0:
+        return a
+    if a is None or a.num_rows == 0:
+        return b
+    if not any(is_internal_col(c)
+               for c in set(a.column_names) | set(b.column_names)):
+        return merge_base_with_updates(a, b)
+    a, b = _ensure_versions(a), _ensure_versions(b)
+    schema = unified_schema(a.schema, b.schema)
+    table = pa.concat_tables(
+        [unify_to_schema(a, schema), unify_to_schema(b, schema)])
+    table = ensure_deleted_col(table)
+    table = table.append_column(
+        "op", pa.array(["U"] * table.num_rows, pa.string()))
+    return _column_lww(
+        table, materialized=np.ones(table.num_rows, bool)
+    ).sort_by([(MERGE_KEY, "ascending")])
 
 
 def merge_base_with_updates_patch(base: Optional[pa.Table],
@@ -297,15 +422,20 @@ def merge_base_with_updates_patch(base: Optional[pa.Table],
     if base is None or base.num_rows == 0:
         table = payload
         op_col = updates["op"].combine_chunks()
+        mat = np.zeros(payload.num_rows, bool)
     else:
+        base = _ensure_versions(base)
         schema = unified_schema(base.schema, payload.schema)
         table = pa.concat_tables(
             [unify_to_schema(base, schema), unify_to_schema(payload, schema)])
         op_col = pa.concat_arrays(
             [pa.array(["U"] * base.num_rows, pa.string()),
              updates["op"].combine_chunks().cast(pa.string())])
+        mat = np.concatenate([np.ones(base.num_rows, bool),
+                              np.zeros(payload.num_rows, bool)])
     table = table.append_column("op", op_col)
-    return _column_lww(table).sort_by([(MERGE_KEY, "ascending")])
+    return _column_lww(table, materialized=mat).sort_by(
+        [(MERGE_KEY, "ascending")])
 
 
 def live_view(table: pa.Table) -> pa.Table:

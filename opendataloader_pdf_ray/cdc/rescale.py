@@ -89,7 +89,8 @@ class _RescalePartition:
                 skipped.append(True)
                 continue
             if self.dst_p > self.src_p:      # split: one source, filter
-                t = src.read_partition(q % self.src_p, as_of=self.as_of)
+                t = src.read_partition(q % self.src_p, as_of=self.as_of,
+                                       internal=True)
                 if t is not None and t.num_rows:
                     urls = t["url"].to_numpy(zero_copy_only=False)
                     t = t.filter(pa.array(
@@ -97,7 +98,8 @@ class _RescalePartition:
             else:                            # merge: k disjoint sources
                 pieces = []
                 for p in range(q, self.src_p, self.dst_p):
-                    piece = src.read_partition(p, as_of=self.as_of)
+                    piece = src.read_partition(p, as_of=self.as_of,
+                                               internal=True)
                     if piece is not None and piece.num_rows:
                         pieces.append(piece)
                 t = pa.concat_tables(pieces) if pieces else None

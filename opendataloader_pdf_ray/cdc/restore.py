@@ -85,12 +85,14 @@ class _RestorePartition:
                 lin.skipped = True
                 out.append(lin)
                 continue
-            pre = lake.read_partition(part, as_of=self.epoch - 1)
+            pre = lake.read_partition(part, as_of=self.epoch - 1,
+                                      internal=True)
             if pre is None:
                 continue
             epochs = [e for e in lake.committed_epochs(part)
                       if e <= self.target]
-            tgt = lake.read_partition(part, as_of=self.target) \
+            tgt = lake.read_partition(part, as_of=self.target,
+                                      internal=True) \
                 if epochs else None
             if epochs and tgt is None:
                 # commits exist at/before the target but no data file

@@ -64,7 +64,8 @@ class _RetentionPartition:
                 lin.skipped = True
                 out.append(lin)
                 continue
-            state = lake.read_partition(part, as_of=self.epoch - 1)
+            state = lake.read_partition(part, as_of=self.epoch - 1,
+                                        internal=True)
             if state is None:
                 continue
             dead = state["deleted"].to_numpy(zero_copy_only=False)

@@ -23,6 +23,8 @@ from opendataloader_pdf_ray.cdc.merge import (
     fold_events,
     latest_per_key,
     merge_base_with_updates_patch,
+    merge_states,
+    strip_internal,
 )
 from opendataloader_pdf_ray.config import CDCConfig
 from opendataloader_pdf_ray.fixtures.gen import gen_events
@@ -56,7 +58,7 @@ GAUNTLET = _table([
 class TestPatchAlgebra:
     def test_column_wise_lww_semantics(self):
         merged = merge_base_with_updates_patch(None, fold_events(GAUNTLET))
-        got = {r["url"]: r for r in merged.to_pylist()}
+        got = {r["url"]: r for r in strip_internal(merged).to_pylist()}
         assert got["a"] == {"seq": 2, "url": "a", "warc_ts": 300,
                             "text": "t2", "lang": "fr", "deleted": False}
         # resurrect: D nulled text/lang, patch set lang only
@@ -64,6 +66,47 @@ class TestPatchAlgebra:
                             "text": None, "lang": "de", "deleted": False}
         assert got["c"] == {"seq": 6, "url": "c", "warc_ts": 500,
                             "text": None, "lang": "zz", "deleted": False}
+        # per-column definer versions ride the materialized image so later
+        # folds stay exact (the column's ORIGINAL definer, not the row max)
+        vv = {r["url"]: r for r in merged.to_pylist()}
+        assert (vv["a"]["_cvt_text"], vv["a"]["_cvs_text"]) == (300, 2)
+        assert (vv["a"]["_cvt_lang"], vv["a"]["_cvs_lang"]) == (200, 1)
+        assert (vv["b"]["_cvt_text"], vv["b"]["_cvs_text"]) == (200, 4)
+        assert (vv["b"]["_cvt_lang"], vv["b"]["_cvs_lang"]) == (300, 5)
+
+    def test_cross_epoch_out_of_order_full_after_patch(self):
+        """Hypothesis-found regression: a payload-less (or off-column)
+        patch bumps the ROW version; a full image arriving in a LATER
+        epoch with a version between the old full and the patch must still
+        define the columns the patch never touched. Requires the per-column
+        version metadata — the row-version-only image loses this fold."""
+        e1 = _table([_ev(6, "k", 9, "I", "v5", "en"),
+                     _ev(7, "k", 23, "P", None, None)])   # no-column patch
+        base = merge_base_with_updates_patch(None, fold_events(e1))
+        e2 = _table([_ev(9, "k", 15, "I", "v0", "en")])   # out-of-order full
+        got = merge_base_with_updates_patch(base, fold_events(e2))
+        row = strip_internal(got).to_pylist()[0]
+        assert row["text"] == "v0"            # defined by the (15,9) full
+        assert (row["warc_ts"], row["seq"]) == (23, 7)  # row version = max
+        # and the one-shot fold agrees (chunking invariance)
+        oneshot = merge_base_with_updates_patch(
+            None, fold_events(pa.concat_tables([e1, e2])))
+        assert got.equals(oneshot)
+
+    def test_merge_states_patch_aware(self):
+        """Two materialized images merge column-wise by stored versions
+        (the backlog hole/resume path)."""
+        a = merge_base_with_updates_patch(None, fold_events(_table([
+            _ev(0, "k", 10, "I", "t0", "en"),
+            _ev(1, "k", 40, "P", None, "fr")])))   # lang@40, text@10
+        b = merge_base_with_updates_patch(None, fold_events(_table([
+            _ev(2, "k", 20, "I", "t2", "de")])))   # all@20
+        m = strip_internal(merge_states(a, b)).to_pylist()[0]
+        assert m["text"] == "t2" and m["lang"] == "fr"
+        assert (m["warc_ts"], m["seq"]) == (40, 1)
+        # symmetric
+        m2 = strip_internal(merge_states(b, a)).to_pylist()[0]
+        assert m == m2
 
     def test_fold_associative_under_random_regrouping(self):
         want = merge_base_with_updates_patch(None, fold_events(GAUNTLET))
