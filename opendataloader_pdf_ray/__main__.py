@@ -1000,6 +1000,42 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_temporal_join(args) -> int:
+    """Event-time temporal join (cdc/temporal.py): SRC's change feed
+    enriched with DIM's as-of state. Streams to parquet with --out; else
+    prints the row count and a 5-row sample."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.temporal import temporal_join
+
+    cols = [c for c in args.cols.split(",") if c]
+    ds = temporal_join(Lake(args.src), Lake(args.dim), cols=cols,
+                       since=args.since, until=args.until,
+                       dim_until=args.dim_until)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "cols": cols}))
+    else:
+        n = 0
+        sample = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+            if len(sample) < 5 and b.num_rows:
+                sample.extend(b.slice(0, 5 - len(sample)).to_pylist())
+        print(json.dumps({"rows": n, "sample": sample}, default=str))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Distributed live-state equivalence check between two lakes
     (cdc/lakediff.py): the verifier for rescale / export round trips /
@@ -1774,6 +1810,28 @@ def main(argv=None) -> int:
     df.add_argument("--out", default=None,
                     help="also write the difference rows as parquet")
     df.set_defaults(fn=cmd_diff)
+
+    tj = sub.add_parser("temporal-join",
+                        help="enrich SRC's change feed with DIM's state AS "
+                             "OF each change's event time (Flink temporal-"
+                             "table join; co-partitioned lakes, one shuffle-"
+                             "free task per partition)")
+    tj.add_argument("src")
+    tj.add_argument("dim")
+    tj.add_argument("--cols", required=True,
+                    help="comma-separated dim payload columns to attach "
+                         "(as dim_<col>)")
+    tj.add_argument("--since", type=int, default=-1,
+                    help="feed epochs > this (default: from the beginning)")
+    tj.add_argument("--until", type=int, default=None,
+                    help="feed epochs <= this")
+    tj.add_argument("--dim-until", type=int, default=None,
+                    help="cap the dim version timeline at this epoch "
+                         "(time-travel the dimension)")
+    tj.add_argument("--out", default=None,
+                    help="write joined rows as parquet (default: print "
+                         "count + a sample)")
+    tj.set_defaults(fn=cmd_temporal_join)
 
     rp = sub.add_parser("replicate",
                         help="apply the source lake's change log into a "

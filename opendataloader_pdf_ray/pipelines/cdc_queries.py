@@ -3127,8 +3127,160 @@ ORDER BY url
 """
 
 
+def cdc_temporal_join(sf_dir: str):
+    """Event-time temporal join end-to-end through the REAL machinery
+    (``cdc/temporal.py``): two co-partitioned lakes seeded from
+    ``documents`` — a DIM lake whose per-url tag timeline is
+    ``a<id%5>`` @ t+1, ``b<id%5>`` @ t+5 (``%3`` urls), tombstone @ t+8
+    (``%7`` urls), and a SRC lake whose change feed fires at t+3
+    (insert), t+7 (``%2`` updates) and t+9 (``%4==1`` deletes) — so the
+    enrichment exercises every as-of regime: before-first-version is
+    impossible here but gated in pytest; sees-v1; sees-v2-iff-updated;
+    NULL-iff-tombstoned; and delete rows enrich like any other change.
+    The SQL oracle is a genuine DuckDB ``ASOF LEFT JOIN`` over the same
+    algebraically-derived version table (inclusive backward match,
+    tombstone → NULL) — the join rule itself is mirrored, not just the
+    construction. Flink ``FOR SYSTEM_TIME AS OF`` analog; shuffle-free:
+    one task per co-partitioned partition pair."""
+    import shutil
+
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..cdc.temporal import temporal_join
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_temporal_join_q"
+    shutil.rmtree(root, ignore_errors=True)
+    n_parts = 8
+    src = Lake(root + "/src", n_parts)
+    dim = Lake(root + "/dim", n_parts)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    E1, E2 = 10_000_000, 20_000_000
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = np.asarray(batch["text"].to_pylist(), object)
+        side, urls, ts_off, seqs, txts, dels, eps = [], [], [], [], [], [], []
+
+        def emit(s, mask, off, seq_base, txt_of, dead, epoch):
+            for i, t in zip(ids[mask], texts[mask]):
+                i = int(i)
+                side.append(s)
+                urls.append(f"u{i:06d}")
+                ts_off.append(i * 10 + off)
+                seqs.append(seq_base + i)
+                txts.append(None if dead else txt_of(i, t))
+                dels.append(dead)
+                eps.append(epoch)
+
+        every = np.ones(len(ids), bool)
+        # DIM timeline: a<id%5> @+1, b<id%5> @+5 (%3), tombstone @+8 (%7)
+        emit(0, every, 1, 0, lambda i, t: f"a{i % 5}", False, 0)
+        emit(0, ids % 3 == 0, 5, E1, lambda i, t: f"b{i % 5}", False, 1)
+        emit(0, ids % 7 == 0, 8, E2, None, True, 2)
+        # SRC feed: insert @+3, update @+7 (%2), delete @+9 (%4==1)
+        emit(1, every, 3, 0, lambda i, t: t, False, 0)
+        emit(1, ids % 2 == 0, 7, E1, lambda i, t: t + " s2", False, 1)
+        emit(1, ids % 4 == 1, 9, E2, None, True, 2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "side": pa.array(side, pa.int8()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                BASE_TS_US + np.asarray(ts_off, np.int64), pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "tag": pa.array(txts, pa.string()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        parts = url_partition(urls, n_parts)
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    class SeedBothLakes:
+        """One task per partition commits BOTH lakes' delta epochs in
+        order (the same url routes to the same partition in both — the
+        co-partitioning the join relies on)."""
+
+        __name__ = "SeedBothLakes"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            part = int(group["part"][0].as_py())
+            for s, lroot, tagcol in ((0, dim.root, "tag"),
+                                     (1, src.root, "text")):
+                lk = Lake(lroot, n_parts)
+                mine = group.filter(pc.equal(group["side"], s))
+                for e in (0, 1, 2):
+                    sub = mine.filter(pc.equal(mine["epoch"], e))
+                    if sub.num_rows == 0:
+                        continue
+                    winners = pa.table({
+                        "url": sub["url"], "warc_ts": sub["warc_ts"],
+                        "seq": sub["seq"], tagcol: sub["tag"],
+                        "deleted": sub["deleted"],
+                    }).sort_by([("url", "ascending")])
+                    seqs = winners["seq"].to_pylist()
+                    lk.commit_delta(part, e, winners, Lineage(
+                        part=part, epoch=e,
+                        events_consumed=winners.num_rows,
+                        rows_upserted=winners.num_rows, rows_deleted=0,
+                        seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    (ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+     .map_batches(to_rows, batch_format="pyarrow")
+     .groupby("part")
+     .map_groups(SeedBothLakes(), batch_format="pyarrow")
+     ).take_all()  # ≤ P tiny rows — drives the commits
+    return (temporal_join(src, dim, cols=["tag"])
+            .select_columns(["epoch", "op", "url", "seq", "dim_tag"])
+            .sort(["epoch", "url"]))
+
+
+def _temporal_join_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return f"""
+WITH dimv AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         {BASE_TS_US} + doc_id * 10 + 1 AS warc_ts,
+         'a' || CAST(doc_id % 5 AS VARCHAR) AS tag, FALSE AS deleted
+  FROM documents
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {BASE_TS_US} + doc_id * 10 + 5,
+         'b' || CAST(doc_id % 5 AS VARCHAR), FALSE
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT printf('u%06d', doc_id), {BASE_TS_US} + doc_id * 10 + 8,
+         NULL, TRUE
+  FROM documents WHERE doc_id % 7 = 0
+), srcfeed AS (
+  SELECT CAST(0 AS BIGINT) AS epoch, 'insert' AS op,
+         printf('u%06d', doc_id) AS url,
+         {BASE_TS_US} + doc_id * 10 + 3 AS warc_ts,
+         CAST(doc_id AS BIGINT) AS seq
+  FROM documents
+  UNION ALL
+  SELECT 1, 'update', printf('u%06d', doc_id),
+         {BASE_TS_US} + doc_id * 10 + 7, 10000000 + doc_id
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 2, 'delete', printf('u%06d', doc_id),
+         {BASE_TS_US} + doc_id * 10 + 9, 20000000 + doc_id
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT s.epoch, s.op, s.url, s.seq,
+       CASE WHEN d.deleted THEN NULL ELSE d.tag END AS dim_tag
+FROM srcfeed s ASOF LEFT JOIN dimv d
+  ON s.url = d.url AND s.warc_ts >= d.warc_ts
+ORDER BY s.epoch, s.url
+"""
+
+
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
+    "cdc_temporal_join": cdc_temporal_join,
     "cdc_patch_upsert": cdc_patch_upsert,
     "cdc_derived_lake": cdc_derived_lake,
     "cdc_substring_search": cdc_substring_search,
@@ -3184,6 +3336,7 @@ CDC_ORACLE_SQL = {
     "cdc_retention_expiry": _retention_sql(),
     "cdc_restore_state": _restore_sql(),
     "cdc_patch_upsert": _patch_upsert_sql(),
+    "cdc_temporal_join": _temporal_join_sql(),
     "cdc_derived_lake": _derived_lake_sql(),
     "cdc_substring_search": CDC_SUBSTRING_SEARCH_SQL,
     "cdc_asof_enrich": """

@@ -65,6 +65,7 @@ GUARDED_QUERIES = [
     "cdc_range_index_scan",    # driver sees index partition ids only
     "cdc_changefeed_timewindow",  # feed rows stream; commits drive setup
     "jsonl_roundtrip_stats",   # driver sees segment names + final stats
+    "cdc_temporal_join",       # join rows stream; seed commits drive setup
 ]
 
 SF = "/root/testdata/sf0.001"
