@@ -215,12 +215,25 @@ def cmd_ingest(args) -> int:
             r_root, num_partitions=n_idx, col=col,
             width=int(width) if width else None))
     if args.mode == "follow":
-        from .cdc.ingest import follow
+        if "," in args.events:
+            # fan-in: K comma-separated segment dirs merged into one lake
+            # (aligned per-source seq bands, min-watermark; cdc/ingest.py
+            # follow_fanin)
+            from .cdc.ingest import follow_fanin
 
-        lineage = follow(args.events, args.lake, cfg,
-                         poll_interval=args.poll_interval,
-                         followers=followers)
+            lineage = follow_fanin(args.events.split(","), args.lake, cfg,
+                                   poll_interval=args.poll_interval,
+                                   followers=followers)
+        else:
+            from .cdc.ingest import follow
+
+            lineage = follow(args.events, args.lake, cfg,
+                             poll_interval=args.poll_interval,
+                             followers=followers)
     else:
+        if "," in args.events:
+            raise SystemExit(
+                "fan-in (comma-separated EVENTS) requires --mode follow")
         lineage = replay(args.events, args.lake, cfg, mode=args.mode)
     lake = Lake(args.lake, cfg.num_partitions)
     for f in followers:  # batch modes: one refresh after the replay;

@@ -470,15 +470,21 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
                  override_parallelism: Optional[int] = None) -> List[dict]:
     """Run one epoch's micro-batch pipeline; returns lineage dicts.
     ``events_path``: a file/dir path or an explicit list of segment files
-    (``follow`` passes the readable set so in-flight segments stay out)."""
+    (``follow`` passes the readable set so in-flight segments stay out),
+    or an already-built ``ray.data.Dataset`` holding exactly this epoch's
+    events (``follow_fanin`` passes the seq-banded union of its sources —
+    the caller owns the band filter then)."""
     if cfg.patch_ops and cfg.epoch_commits == "delta":
         raise ValueError(
             "patch_ops requires snapshot epoch commits (delta files must "
             "hold full images for the merge-on-read fold)")
-    lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
-    ds = ray.data.read_parquet(
-        events_path, filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi)
-    )
+    if isinstance(events_path, ray.data.Dataset):
+        ds = events_path
+    else:
+        lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
+        ds = ray.data.read_parquet(
+            events_path,
+            filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi))
     ds = ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs={"cfg": cfg.extractor,
@@ -778,5 +784,162 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
                     f"follow: stop marker present but log is non-dense "
                     f"(max_seq={max_seq}, readable rows={n_rows}) — a "
                     f"segment is missing or unreadable")
+            return lineage
+        _time.sleep(poll_interval)
+
+
+class _FaninRemap:
+    """Version remap for fan-in: global seq = src_seq * K + source_idx.
+    Per-source order is preserved, cross-source versions never collide,
+    and a same-(url, warc_ts) tie across sources resolves deterministically
+    by (source-local seq, then source index) — the arrival-timing-free total order the LWW merge
+    needs. Picklable (rides map_batches into workers)."""
+
+    def __init__(self, k: int, idx: int):
+        self.k, self.idx = k, idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seq = pc.add(pc.multiply(batch["seq"].cast(pa.int64()),
+                                 pa.scalar(self.k, pa.int64())),
+                     pa.scalar(self.idx, pa.int64()))
+        return batch.set_column(batch.column_names.index("seq"), "seq", seq)
+
+
+def _fanin_guard(lake: Lake, dirs: List[str], epoch_size: int) -> None:
+    """Persist/verify the fan-in identity. The seq remap bakes (K, source
+    order) into every stored version, so resuming with a different source
+    list or epoch size would silently re-version the stream — refused
+    loudly instead (delete ``_commits/fanin.json`` only if you know the
+    binlog layout genuinely moved)."""
+    import json as _json
+    import posixpath as _pp
+
+    want = {"sources": list(dirs), "epoch_size": int(epoch_size)}
+    path = _pp.join(lake._commits_dir(), "fanin.json")
+    if lake.fs.exists(path):
+        with lake.fs.open(path, "rb") as f:
+            have = _json.loads(f.read().decode())
+        if have != want:
+            raise ValueError(
+                f"follow_fanin: lake was built from sources "
+                f"{have['sources']} (epoch_size {have['epoch_size']}), "
+                f"got {want['sources']} (epoch_size {want['epoch_size']}) "
+                f"— the seq remap is source-list-dependent; resume with "
+                f"the original list")
+        return
+    lake.fs.makedirs(lake._commits_dir(), exist_ok=True)
+    lake._write_small_atomic(path, _json.dumps(want).encode())
+
+
+def follow_fanin(events_dirs: List[str], lake_root: str,
+                 cfg: Optional[CDCConfig] = None, poll_interval: float = 0.5,
+                 stop_marker: str = ".end",
+                 max_idle_polls: Optional[int] = None,
+                 followers: Optional[List] = None) -> List[dict]:
+    """FAN-IN tail: K independently-growing binlog segment directories
+    (crawler shards, Kafka-partition drains, per-region drop dirs) merged
+    into ONE lake — the multi-producer half of the north rule, built on the
+    same exactly-once machinery as :func:`follow`.
+
+    Alignment rule (deterministic, arrival-timing-free): merged epoch ``e``
+    consumes, from every source, exactly the events with source-local
+    ``seq`` in ``[e·epoch_size, (e+1)·epoch_size)``. Epoch ``e`` is
+    ingestible only when EVERY source has either covered that band (dense
+    extent — same footer-only density check as ``follow``) or placed its
+    own stop marker (a finished short source contributes a partial or
+    empty band) — min-watermark semantics: one stalled producer stalls the
+    merge (visibly), it never reorders it. After all sources stop, the
+    tail drains through ``max_i ceil(len_i/epoch_size)`` epochs and
+    returns.
+
+    Versions: global ``seq = src_seq·K + source_idx`` (sources sorted) —
+    per-source order preserved, no cross-source collisions, same-(url,
+    warc_ts) races resolve by (source-local seq, then source index). The (K, source order,
+    epoch_size) identity is persisted in ``_commits/fanin.json`` and
+    verified on resume. Fencing, epoch-done markers, follower refresh,
+    straggler-hole refusal: exactly as in :func:`follow`.
+    """
+    import math as _math
+    import os as _os
+    import time as _time
+
+    cfg = cfg or CDCConfig()
+    dirs = sorted(events_dirs)
+    if not dirs:
+        raise ValueError("follow_fanin: no source directories")
+    k = len(dirs)
+    lake = Lake(lake_root, cfg.num_partitions)
+    _fanin_guard(lake, dirs, cfg.epoch_size)
+    fence_tok = lake.acquire_writer(_writer_owner("fanin"))
+    size = cfg.epoch_size
+    lineage: List[dict] = []
+    idle = 0
+    while True:
+        lake.check_writer(fence_tok)
+        # marker before extent per source: same TOCTOU contract as follow
+        stops = [_os.path.exists(_os.path.join(d, stop_marker))
+                 for d in dirs]
+        extents = [_log_extent(d) for d in dirs]
+        covered: List[float] = []   # epochs fully available per source
+        total: List[int] = []       # epochs a STOPPED source drains to
+        holes = False
+        for (mx, n_rows, _), stop_i in zip(extents, stops):
+            if mx < 0:  # nothing readable yet
+                covered.append(_math.inf if stop_i else 0)
+                total.append(0)
+                continue
+            dense = mx + 1 == n_rows
+            if not dense:
+                holes = True
+                covered.append(0)
+                total.append(0)
+                continue
+            full = (mx + 1) // size
+            covered.append(_math.inf if stop_i else full)
+            total.append(-(-(mx + 1) // size))  # ceil
+        all_stopping = all(stops)
+        if all_stopping and not holes:
+            n_epochs = max(total) if total else 0
+        else:
+            ready = min(covered) if covered else 0
+            n_epochs = 0 if ready == _math.inf else int(ready)
+            if all(c == _math.inf for c in covered):
+                n_epochs = 0  # every source stopped empty
+        progressed = False
+        for e in range(n_epochs):
+            if lake.is_epoch_done(e):
+                continue
+            lo, hi = e * size, (e + 1) * size
+            parts = []
+            for i, (mx, _, paths) in enumerate(extents):
+                if not paths or mx < lo:
+                    continue  # source ended before this band
+                d = ray.data.read_parquet(
+                    paths,
+                    filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi))
+                parts.append(d.map_batches(_FaninRemap(k, i),
+                                           batch_format="pyarrow"))
+            if not parts:
+                lake.mark_epoch_done(e)  # provably empty band
+                continue
+            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            lineage.extend(ingest_epoch(ds, lake, e, cfg))
+            lake.mark_epoch_done(e)
+            _auto_compact(lake, cfg)
+            progressed = True
+        if progressed:
+            for f in (followers or []):
+                f.refresh(lake)
+        if all_stopping and not holes \
+                and all(lake.is_epoch_done(e) for e in range(n_epochs)):
+            for f in (followers or []):
+                f.refresh(lake)  # heal a crash between commit and refresh
+            return lineage
+        idle = 0 if progressed else idle + 1
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            if holes and any(stops):
+                raise RuntimeError(
+                    "follow_fanin: stop marker present but a source log is "
+                    "non-dense — a segment is missing or unreadable")
             return lineage
         _time.sleep(poll_interval)

@@ -3238,6 +3238,120 @@ def cdc_temporal_join(sf_dir: str):
             .sort(["epoch", "url"]))
 
 
+def cdc_fanin_merge(sf_dir: str):
+    """Multi-source fan-in tail end-to-end through the REAL machinery
+    (``cdc/ingest.py`` ``follow_fanin``): two binlog segment dirs derived
+    from ``documents`` — source A inserts every doc at t+2; source B (even
+    ids only) updates at t+5 (``%4`` ids, wins), retro-updates at t+1
+    (non-``%4``, LOSES cross-source LWW), and deletes ``%18`` ids at t+9 —
+    merged into one lake with the ``seq·K + source_idx`` version remap and
+    aligned per-source epoch bands. The result gates the merged LWW state
+    (url, seq, lang, deleted) against a window-rank SQL oracle over the
+    algebraically-derived remapped union. Extracted text is gated by the
+    pytest union-oracle (``tests/test_fanin.py``); lang rides extraction
+    untouched, so it stands in for the payload here."""
+    import shutil
+
+    from ..cdc.ingest import follow_fanin
+    from ..cdc.lake import Lake
+    from ..config import CDCConfig
+    from ..fixtures.gen import BASE_TS_US, render_html
+
+    root = "/tmp/odl_ray_fanin_q"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def to_events(source: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if source == 1:
+                ids = ids[ids % 2 == 0]
+            urls = [f"u{int(i):06d}" for i in ids]
+            if source == 0:
+                off = np.full(len(ids), 2, np.int64)
+                ops = ["I"] * len(ids)
+                seqs = ids           # doc_id is dense 0..N-1 → valid binlog
+                langs = [f"a{int(i) % 3}" for i in ids]
+            else:
+                off = np.where(ids % 18 == 0, 9,
+                               np.where(ids % 4 == 0, 5, 1))
+                ops = ["D" if i % 18 == 0 else "U" for i in ids]
+                seqs = ids // 2      # dense over the even ids
+                langs = [None if i % 18 == 0 else f"b{int(i) % 3}"
+                         for i in ids]
+            html = [None if op == "D" else render_html(u, source)
+                    for op, u in zip(ops, urls)]
+            return pa.table({
+                "op": pa.array(ops, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(BASE_TS_US + ids * 10 + off,
+                                    pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(html, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+                "seq": pa.array(seqs, pa.int64()),
+            })
+        return fn
+
+    # distributed segment writes (no driver transit): each source log is a
+    # dir of parquet segments; density comes from doc_id being 0..N-1
+    for s, name in ((0, "a"), (1, "b")):
+        d = os.path.join(root, name)
+        (ray.data.read_parquet(docs_path, columns=["doc_id"])
+         .map_batches(to_events(s), batch_format="pyarrow")
+         .write_parquet(d))
+        open(os.path.join(d, ".end"), "w").close()
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=200,
+                    extract_batch_size=32,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
+    lake_root = os.path.join(root, "lake")
+    follow_fanin([os.path.join(root, "a"), os.path.join(root, "b")],
+                 lake_root, cfg, poll_interval=0.05)
+    state = (Lake(lake_root, cfg.num_partitions)
+             .read_state(include_tombstones=True)
+             .select(["url", "seq", "lang", "deleted"])
+             .sort_by([("url", "ascending")]))
+    return state
+
+
+def _fanin_merge_sql() -> str:
+    from ..fixtures.gen import BASE_TS_US
+
+    return f"""
+WITH a AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         {BASE_TS_US} + doc_id * 10 + 2 AS warc_ts,
+         doc_id * 2 AS seq,
+         'a' || CAST(doc_id % 3 AS VARCHAR) AS lang, FALSE AS deleted
+  FROM documents
+), b AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         {BASE_TS_US} + doc_id * 10 +
+           CASE WHEN doc_id % 18 = 0 THEN 9
+                WHEN doc_id % 4 = 0 THEN 5 ELSE 1 END AS warc_ts,
+         (doc_id // 2) * 2 + 1 AS seq,
+         CASE WHEN doc_id % 18 = 0 THEN NULL
+              ELSE 'b' || CAST(doc_id % 3 AS VARCHAR) END AS lang,
+         doc_id % 18 = 0 AS deleted
+  FROM documents WHERE doc_id % 2 = 0
+), u AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM u
+)
+SELECT url, CAST(seq AS BIGINT) AS seq, lang, deleted
+FROM ranked WHERE rn = 1
+ORDER BY url
+"""
+
+
 def _temporal_join_sql() -> str:
     from ..fixtures.gen import BASE_TS_US
 
@@ -3281,6 +3395,7 @@ ORDER BY s.epoch, s.url
 CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_temporal_join": cdc_temporal_join,
+    "cdc_fanin_merge": cdc_fanin_merge,
     "cdc_patch_upsert": cdc_patch_upsert,
     "cdc_derived_lake": cdc_derived_lake,
     "cdc_substring_search": cdc_substring_search,
@@ -3337,6 +3452,7 @@ CDC_ORACLE_SQL = {
     "cdc_restore_state": _restore_sql(),
     "cdc_patch_upsert": _patch_upsert_sql(),
     "cdc_temporal_join": _temporal_join_sql(),
+    "cdc_fanin_merge": _fanin_merge_sql(),
     "cdc_derived_lake": _derived_lake_sql(),
     "cdc_substring_search": CDC_SUBSTRING_SEARCH_SQL,
     "cdc_asof_enrich": """

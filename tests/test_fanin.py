@@ -1,0 +1,169 @@
+"""Fan-in tail (cdc/ingest.py follow_fanin): K binlog segment dirs merged
+into one lake — aligned per-source seq bands, min-watermark completeness,
+deterministic cross-source version order (seq*K + source_idx), persisted
+source identity, straggler refusal, exactly-once resume."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake, oracle_final_state
+from opendataloader_pdf_ray.cdc.ingest import follow_fanin
+from opendataloader_pdf_ray.config import CDCConfig
+from opendataloader_pdf_ray.fixtures.gen import gen_events, render_html
+
+CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=60,
+                extract_batch_size=16, extract_concurrency=2)
+
+
+def _write_segments(table, out_dir, lo, hi, shard=30):
+    os.makedirs(out_dir, exist_ok=True)
+    part = table.filter((pc.field("seq") >= lo) & (pc.field("seq") < hi))
+    for s in range(lo, hi, shard):
+        chunk = part.filter((pc.field("seq") >= s)
+                            & (pc.field("seq") < s + shard))
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{out_dir}/seg-{s:06d}.parquet")
+
+
+def _stop(d):
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, ".end"), "w").close()
+
+
+def _remap(table: pa.Table, k: int, idx: int) -> pa.Table:
+    seq = pc.add(pc.multiply(table["seq"].cast(pa.int64()), k), idx)
+    return table.set_column(table.column_names.index("seq"), "seq", seq)
+
+
+def _union_oracle(tables):
+    """oracle_final_state over the remapped union (sources in sorted-dir
+    order)."""
+    k = len(tables)
+    remapped = [_remap(t, k, i) for i, t in enumerate(tables)]
+    return oracle_final_state(pa.concat_tables(remapped))
+
+
+def _assert_state(lake, oracle):
+    got = {r["url"]: r for r in
+           lake.read_state(include_tombstones=True).to_pylist()}
+    assert set(got) == set(oracle)
+    for url, want in oracle.items():
+        assert got[url]["deleted"] == want["deleted"], url
+        assert got[url]["text"] == want["text"], url
+        assert got[url]["seq"] == want["seq"], url
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFanin:
+    def test_two_source_merge_matches_union_oracle(self, tmp_path):
+        a = gen_events(120, 30, seed=1)
+        b = gen_events(90, 30, seed=2)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(a, da, 0, 120)
+        _write_segments(b, db, 0, 90)
+        _stop(da)
+        _stop(db)
+        lake_root = str(tmp_path / "lake")
+        lin = follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        assert sum(l["events_consumed"] for l in lin) == 210
+        lake = Lake(lake_root)
+        assert lake.is_epoch_done(0) and lake.is_epoch_done(1)
+        _assert_state(lake, _union_oracle([a, b]))
+
+    def test_min_watermark_then_resume(self, tmp_path):
+        """A stalled source stalls the merge (min-watermark); a restart
+        after it catches up drains to the same state a one-shot run gives
+        (exactly-once + determinism across poll timing)."""
+        a = gen_events(120, 30, seed=3)
+        b = gen_events(120, 30, seed=4)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(a, da, 0, 120)       # a fully written
+        _write_segments(b, db, 0, 60)        # b has only epoch 0
+        lake_root = str(tmp_path / "lake")
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05,
+                     max_idle_polls=2)
+        lake = Lake(lake_root)
+        assert lake.is_epoch_done(0) and not lake.is_epoch_done(1)
+        # b catches up; both stop — the resumed tail drains the rest
+        _write_segments(b, db, 60, 120)
+        _stop(da)
+        _stop(db)
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        assert lake.is_epoch_done(1)
+        _assert_state(lake, _union_oracle([a, b]))
+        # one-shot reference lake over the same sources
+        ref_root = str(tmp_path / "ref")
+        follow_fanin([da, db], ref_root, CFG, poll_interval=0.05)
+        ref = Lake(ref_root)
+        assert lake.read_state(include_tombstones=True).to_pylist() == \
+            ref.read_state(include_tombstones=True).to_pylist()
+
+    def test_cross_source_tie_resolves_by_source_index(self, tmp_path):
+        """Same url, same warc_ts, same source-local seq in both sources:
+        the sorted-dir-order LATER source wins (seq*K + idx)."""
+        def one(url, text_rev, ts):
+            return pa.table({
+                "seq": pa.array([0], pa.int64()),
+                "op": pa.array(["I"], pa.string()),
+                "url": pa.array([url], pa.string()),
+                "warc_ts": pa.array([ts], pa.int64()).cast(
+                    pa.timestamp("us")),
+                "html": pa.array([render_html(url, text_rev)], pa.binary()),
+                "lang": pa.array(["en"], pa.string()),
+            })
+
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        ta = one("https://t.example/x", 1, 1000)
+        tb = one("https://t.example/x", 2, 1000)
+        os.makedirs(da), os.makedirs(db)
+        pq.write_table(ta, f"{da}/seg-0.parquet")
+        pq.write_table(tb, f"{db}/seg-0.parquet")
+        _stop(da)
+        _stop(db)
+        lake_root = str(tmp_path / "lake")
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        lake = Lake(lake_root)
+        _assert_state(lake, _union_oracle([ta, tb]))
+        row = lake.read_state().to_pylist()[0]
+        assert row["seq"] == 1  # 0*2 + source idx 1: source b won the tie
+
+    def test_source_list_change_refused(self, tmp_path):
+        a = gen_events(60, 20, seed=5)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(a, da, 0, 60)
+        _write_segments(a, db, 0, 60)
+        _stop(da)
+        _stop(db)
+        lake_root = str(tmp_path / "lake")
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        with pytest.raises(ValueError, match="source-list-dependent"):
+            follow_fanin([da], lake_root, CFG, poll_interval=0.05)
+
+    def test_empty_stopped_source_is_fine(self, tmp_path):
+        a = gen_events(60, 20, seed=6)
+        da, db = str(tmp_path / "a"), str(tmp_path / "empty")
+        _write_segments(a, da, 0, 60)
+        _stop(da)
+        _stop(db)  # stopped source that never produced a segment
+        lake_root = str(tmp_path / "lake")
+        lin = follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        assert sum(l["events_consumed"] for l in lin) == 60
+        # K=2 even though one source is empty ("a" sorts before "empty")
+        _assert_state(Lake(lake_root), oracle_final_state(_remap(a, 2, 0)))
+
+    def test_straggler_hole_raises_on_stop(self, tmp_path):
+        a = gen_events(120, 30, seed=7)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(a, da, 0, 120)
+        # b: segment 0..30 and 60..90 present, 30..60 missing — a hole
+        _write_segments(a, db, 0, 30)
+        _write_segments(a, db, 60, 90)
+        _stop(da)
+        _stop(db)
+        with pytest.raises(RuntimeError, match="non-dense"):
+            follow_fanin([da, db], str(tmp_path / "lake"), CFG,
+                         poll_interval=0.05, max_idle_polls=2)

@@ -66,6 +66,7 @@ GUARDED_QUERIES = [
     "cdc_changefeed_timewindow",  # feed rows stream; commits drive setup
     "jsonl_roundtrip_stats",   # driver sees segment names + final stats
     "cdc_temporal_join",       # join rows stream; seed commits drive setup
+    "cdc_fanin_merge",         # driver sees <=P lineage rows per epoch
 ]
 
 SF = "/root/testdata/sf0.001"
