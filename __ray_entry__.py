@@ -28,6 +28,21 @@ from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 # so the 50-slot gate always contains each distinct operator exactly once
 # (all embeddings / hybrid / multimodal / WARC / sketch queries included).
 _GATE_TAIL = [
+    "cdc_asof_enrich",         # bucketed merge_asof(by=key) enrichment —
+                               # cdc_temporal_join gates the as-of rule
+                               # end-to-end against a genuine DuckDB ASOF
+                               # JOIN oracle (same merge_asof core, plus
+                               # version-timeline semantics on top); the
+                               # sorted-bucket temporal-merge machinery
+                               # also backs cdc_user_sessions (r3: slot
+                               # freed for cdc_temporal_join)
+    "hybrid_triage_tally",     # triage route counts — a coarsening of
+                               # hybrid_enriched_entities (same router,
+                               # same planted markup; every entity-bearing
+                               # route is value-gated there) and
+                               # hybrid_routed_extract asserts route
+                               # counts == tally in-query (r3: slot freed
+                               # for cdc_fanin_merge)
     "cdc_materialized_view",   # no-oracle IVM smoke — cdc_incremental_view
                                # gates the same view fold with a SQL oracle
     "cdc_changefeed",          # strict sub-query of cdc_changefeed_before,
