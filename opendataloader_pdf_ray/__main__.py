@@ -1027,9 +1027,45 @@ def cmd_temporal_join(args) -> int:
 
     DataContext.get_current().enable_progress_bars = False
     from .cdc import Lake
-    from .cdc.temporal import temporal_join
+    from .cdc.temporal import follow_temporal_join, temporal_join
 
     cols = [c for c in args.cols.split(",") if c]
+    if args.follow:
+        # tail mode: one parquet per completed src window; the dim epoch
+        # each window joined against is recorded in the file name, so any
+        # emitted window replays byte-identically via --since/--until/
+        # --dim-until. Restart resumes from the highest hi already written.
+        import os as _os
+        import re as _re
+
+        import pyarrow.parquet as _pq
+
+        if not args.out:
+            print(json.dumps({"error": "--follow requires --out"}))
+            return 2
+        _os.makedirs(args.out, exist_ok=True)
+        watermark = args.since
+        pat = _re.compile(r"tj-(-?\d+)-(\d+)-d(-?\d+)\.parquet$")
+        for name in _os.listdir(args.out):
+            m = pat.match(name)
+            if m:
+                watermark = max(watermark, int(m.group(2)))
+        windows = 0
+        for lo, hi, dim_until, table in follow_temporal_join(
+                Lake(args.src), Lake(args.dim), cols=cols, since=watermark,
+                poll_interval=args.poll_interval,
+                max_idle_polls=args.idle_stop, align=args.align):
+            path = _os.path.join(args.out,
+                                 f"tj-{lo + 1}-{hi}-d{dim_until}.parquet")
+            tmp = path + ".tmp"
+            _pq.write_table(table, tmp, compression="zstd")
+            _os.rename(tmp, path)
+            windows += 1
+        print(json.dumps({"windows_written": windows, "out": args.out,
+                          "resumed_from": args.since, "align": args.align}))
+        if started_ray:
+            ray.shutdown()
+        return 0
     ds = temporal_join(Lake(args.src), Lake(args.dim), cols=cols,
                        since=args.since, until=args.until,
                        dim_until=args.dim_until)
@@ -1844,6 +1880,19 @@ def main(argv=None) -> int:
     tj.add_argument("--out", default=None,
                     help="write joined rows as parquet (default: print "
                          "count + a sample)")
+    tj.add_argument("--follow", action="store_true",
+                    help="TAIL the join: one parquet per completed src "
+                         "epoch window, enriched with dim state as of the "
+                         "dim epoch recorded in the file name (requires "
+                         "--out; restart resumes from files already "
+                         "written)")
+    tj.add_argument("--align", action="store_true",
+                    help="follow mode: event-time contract for epoch-"
+                         "aligned lakes — window (lo,hi] waits for dim "
+                         "epoch hi to complete and joins with dim_until=hi")
+    tj.add_argument("--poll-interval", type=float, default=0.5)
+    tj.add_argument("--idle-stop", type=int, default=None,
+                    help="follow mode: stop after N idle polls")
     tj.set_defaults(fn=cmd_temporal_join)
 
     rp = sub.add_parser("replicate",

@@ -215,3 +215,75 @@ def temporal_join(src: Lake, dim: Lake, cols: List[str], since: int = -1,
                                list(cols), since, until, dim_until,
                                src_target, dim_target, prefix),
         batch_format="pyarrow", batch_size=1)
+
+
+def follow_temporal_join(src: Lake, dim: Lake, cols: List[str],
+                         since: int = -1, poll_interval: float = 0.5,
+                         max_idle_polls: Optional[int] = None,
+                         stopped=None, align: bool = False,
+                         prefix: str = "dim_"):
+    """TAIL the temporal join — continuous stream enrichment (the Flink
+    temporal-table join in its streaming form): a generator yielding one
+    ``(lo_epoch, hi_epoch, dim_until, pa.Table)`` tuple per newly COMPLETED
+    src epoch window, each row enriched with the dim lake's as-of state.
+
+    The dim-side watermark is the streaming subtlety. Event times inside a
+    src window and the dim lake's commit progress are independent clocks, so
+    two contracts are offered:
+
+    - ``align=False`` (default — Flink's *processing-time* temporal join):
+      each window joins against the dim timeline as committed AT EMIT TIME;
+      the dim epoch used is recorded in the yielded ``dim_until`` (and the
+      CLI puts it in the output file name), so every emitted window is
+      byte-reproducible by a batch ``temporal_join(since=lo, until=hi,
+      dim_until=recorded)`` replay. A dim version that lands later does NOT
+      rewrite already-emitted windows. No window is emitted until the dim
+      lake has completed at least one epoch (keeps output column types
+      stable; waiting polls count as idle).
+    - ``align=True`` (the *event-time* join for epoch-aligned lakes — e.g.
+      a ``derive``d dim or two tails of the same fan-out binlog): the src
+      window is capped at the dim's completed watermark, so window (lo, hi]
+      joins with ``dim_until = hi`` exactly. One stalled dim producer
+      stalls (never reorders) the join — the same min-watermark rule
+      ``follow_fanin`` applies.
+
+    Resume is the caller's via ``since`` (the CLI derives it from output
+    file names, mirroring ``changes --follow``). Stop conditions match
+    ``follow_changes``: ``stopped()`` drains then returns;
+    ``max_idle_polls`` consecutive no-progress polls returns."""
+    import time as _time
+
+    from .changefeed import feed_head
+
+    watermark = since
+    idle = 0
+    while True:
+        stopping = bool(stopped()) if stopped is not None else False
+        hi = watermark
+        while src.is_epoch_complete(hi + 1):
+            hi += 1
+        dim_head = feed_head(dim)
+        if align:
+            hi = max(min(hi, dim_head), watermark)
+        elif dim_head < 0:
+            hi = watermark  # wait for the dim lake's first complete epoch
+        if hi > watermark:
+            dim_until = hi if align else dim_head
+            ds = temporal_join(src, dim, cols, since=watermark, until=hi,
+                               dim_until=dim_until, prefix=prefix)
+            batches = [b for b in ds.iter_batches(batch_format="pyarrow")
+                       if b.num_rows]
+            if batches:
+                table = pa.concat_tables(batches).sort_by(
+                    [("epoch", "ascending"), ("part", "ascending"),
+                     ("url", "ascending"), ("seq", "ascending")])
+                yield watermark, hi, dim_until, table
+            watermark = hi
+            idle = 0
+        else:
+            idle += 1
+        if stopping and hi == watermark:
+            return
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            return
+        _time.sleep(poll_interval)

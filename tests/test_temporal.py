@@ -241,3 +241,123 @@ class TestTemporalJoin:
         for r in rows:
             want = _brute_asof(effective, r["url"], r["warc_ts"])
             assert r["dim_tag"] == want, (r, want)
+
+
+def _collect_join(src, dim, **kw):
+    from opendataloader_pdf_ray.cdc.temporal import temporal_join
+
+    ds = temporal_join(src, dim, **kw)
+    tabs = [b for b in ds.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).sort_by(
+        [("epoch", "ascending"), ("part", "ascending"),
+         ("url", "ascending"), ("seq", "ascending")])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFollowTemporalJoin:
+    """Streaming temporal join (follow_temporal_join): processing-time vs
+    aligned event-time contracts, window reproducibility via the recorded
+    dim epoch, and the CLI tail with file-name resume."""
+
+    def _base(self, tmp_path):
+        src = Lake(str(tmp_path / "src"), P)
+        dim = Lake(str(tmp_path / "dim"), P)
+        _commit(dim, 0, [(f"u{i}", 10, i, "a") for i in range(6)])
+        dim.mark_epoch_done(0)
+        _commit(src, 0, [(f"u{i}", 20, 100 + i, f"s0-{i}")
+                         for i in range(6)])
+        src.mark_epoch_done(0)
+        return src, dim
+
+    def test_processing_time_windows_are_replayable(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.temporal import follow_temporal_join
+
+        src, dim = self._base(tmp_path)
+        wins = list(follow_temporal_join(src, dim, cols=["tag"],
+                                         poll_interval=0.05,
+                                         max_idle_polls=3))
+        assert [(w[0], w[1], w[2]) for w in wins] == [(-1, 0, 0)]
+        assert set(wins[0][3]["dim_tag"].to_pylist()) == {"a"}
+
+        # dim later commits a RETROACTIVE first version for a new url at an
+        # old event time, plus src emits epoch 1 touching it: the new
+        # window sees it, the already-emitted window replays unchanged
+        # from its recorded dim epoch.
+        _commit(dim, 1, [("u9", 5, 50, "late")])
+        dim.mark_epoch_done(1)
+        _commit(src, 1, [("u9", 30, 200, "s1-9"), ("u0", 40, 201, "s1-0")])
+        src.mark_epoch_done(1)
+        wins2 = list(follow_temporal_join(src, dim, cols=["tag"], since=0,
+                                          poll_interval=0.05,
+                                          max_idle_polls=3))
+        assert [(w[0], w[1], w[2]) for w in wins2] == [(0, 1, 1)]
+        by_url = {r["url"]: r["dim_tag"] for r in wins2[0][3].to_pylist()}
+        assert by_url == {"u9": "late", "u0": "a"}
+        # byte-reproducible replay of the first emitted window
+        replay = _collect_join(src, dim, cols=["tag"], since=-1, until=0,
+                               dim_until=0)
+        assert replay.equals(wins[0][3])
+
+    def test_align_waits_for_dim_epoch(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.temporal import follow_temporal_join
+
+        src, dim = self._base(tmp_path)
+        # src runs ahead: epoch 1 done on src, dim still at epoch 0
+        _commit(src, 1, [("u0", 40, 300, "s1-0")])
+        src.mark_epoch_done(1)
+        wins = list(follow_temporal_join(src, dim, cols=["tag"],
+                                         align=True, poll_interval=0.05,
+                                         max_idle_polls=3))
+        # capped at dim's watermark: only (−1, 0] emitted, dim_until == hi
+        assert [(w[0], w[1], w[2]) for w in wins] == [(-1, 0, 0)]
+        # dim catches up → the resumed aligned tail emits (0, 1] @ dim 1
+        _commit(dim, 1, [("u0", 35, 60, "b")])
+        dim.mark_epoch_done(1)
+        wins2 = list(follow_temporal_join(src, dim, cols=["tag"], since=0,
+                                          align=True, poll_interval=0.05,
+                                          max_idle_polls=3))
+        assert [(w[0], w[1], w[2]) for w in wins2] == [(0, 1, 1)]
+        assert wins2[0][3]["dim_tag"].to_pylist() == ["b"]
+
+    def test_waits_for_first_dim_epoch(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.temporal import follow_temporal_join
+
+        src = Lake(str(tmp_path / "src"), P)
+        dim = Lake(str(tmp_path / "dim"), P)
+        _commit(src, 0, [("u0", 20, 1, "s0")])
+        src.mark_epoch_done(0)
+        wins = list(follow_temporal_join(src, dim, cols=["tag"],
+                                         poll_interval=0.05,
+                                         max_idle_polls=2))
+        assert wins == []
+
+    def test_cli_follow_and_resume(self, tmp_path, capsys):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.__main__ import main
+
+        src, dim = self._base(tmp_path)
+        out = str(tmp_path / "tj_out")
+        assert main(["temporal-join", src.root, dim.root, "--cols", "tag",
+                     "--out", out, "--follow", "--poll-interval", "0.05",
+                     "--idle-stop", "3"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["windows_written"] == 1
+        names = sorted(os.listdir(out))
+        assert names == ["tj-0-0-d0.parquet"]
+        t = pq.read_table(os.path.join(out, names[0]))
+        assert set(t["dim_tag"].to_pylist()) == {"a"}
+
+        # restart with nothing new: resumes past the written window
+        assert main(["temporal-join", src.root, dim.root, "--cols", "tag",
+                     "--out", out, "--follow", "--poll-interval", "0.05",
+                     "--idle-stop", "2"]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["windows_written"] == 0
+        assert sorted(os.listdir(out)) == names
