@@ -488,7 +488,8 @@ def cmd_branch(args) -> int:
     from .cdc.lake import Lake
 
     src = Lake(args.src)
-    br = src.branch(args.dest, at=args.at, name=args.name)
+    at = None if args.at is None else src.resolve_epoch_ref(args.at)
+    br = src.branch(args.dest, at=at, name=args.name)
     print(json.dumps({"branch": br.root, "parent": src.root,
                       "fork_epoch": br.fork_epoch,
                       "name": (br._read_meta() or {}).get("branch_name")}))
@@ -723,7 +724,8 @@ def cmd_get(args) -> int:
     from .cdc import Lake
 
     lake = Lake(args.lake, args.partitions)
-    t = lake.lookup(args.urls, as_of=args.as_of,
+    as_of = None if args.as_of is None else lake.resolve_epoch_ref(args.as_of)
+    t = lake.lookup(args.urls, as_of=as_of,
                     include_tombstones=args.tombstones)
     rows = [] if t is None else t.to_pylist()
     for r in rows:  # timestamps → ISO strings for JSON
@@ -933,9 +935,10 @@ def cmd_restore(args) -> int:
     from .cdc.restore import apply_restore
 
     lake = Lake(args.lake, args.partitions)
-    lineage = apply_restore(lake, args.target)
+    target = lake.resolve_epoch_ref(args.target)
+    lineage = apply_restore(lake, target)
     print(json.dumps({
-        "target": args.target,
+        "target": target,
         "epoch": lineage[0]["epoch"] if lineage else None,
         "partitions_committed": sum(1 for l in lineage if not l["skipped"]),
         "partitions_skipped": sum(1 for l in lineage if l["skipped"]),
@@ -1327,6 +1330,31 @@ def cmd_range_scan(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Named savepoint (Lake.set_tag): a human name for an epoch, pinned
+    from vacuum like a branch fork point. No Ray session needed."""
+    from .cdc import Lake
+    from .cdc.changefeed import feed_head
+
+    lake = Lake(args.lake)
+    if args.delete:
+        lake.delete_tag(args.name)
+        print(json.dumps({"deleted": args.name}))
+        return 0
+    epoch = feed_head(lake) if args.at is None \
+        else lake.resolve_epoch_ref(args.at)
+    lake.set_tag(args.name, epoch)
+    print(json.dumps({"tag": args.name, "epoch": epoch}))
+    return 0
+
+
+def cmd_tags(args) -> int:
+    from .cdc import Lake
+
+    print(json.dumps({"tags": Lake(args.lake).list_tags()}))
+    return 0
+
+
 def cmd_lookup_where(args) -> int:
     """Multi-predicate serving lookup (cdc/planner.py): AND-intersect the
     column/range indexes named by ``--eq COL=V[,V...]`` / ``--range
@@ -1635,14 +1663,31 @@ def main(argv=None) -> int:
                     help="override only for pre-metadata lakes")
     st.set_defaults(fn=cmd_stats)
 
+    tg = sub.add_parser("tag",
+                        help="named savepoint: tag an epoch (pins its "
+                             "reconstruction files from vacuum; restore/"
+                             "branch/get accept tag names as epoch refs)")
+    tg.add_argument("lake")
+    tg.add_argument("name")
+    tg.add_argument("--at", default=None,
+                    help="epoch to tag (default: current feed head)")
+    tg.add_argument("--delete", action="store_true",
+                    help="delete the tag instead")
+    tg.set_defaults(fn=cmd_tag)
+
+    tgs = sub.add_parser("tags", help="list a lake's tags")
+    tgs.add_argument("lake")
+    tgs.set_defaults(fn=cmd_tags)
+
     bh = sub.add_parser("branch",
                         help="zero-copy branch of a lake at an epoch "
                              "(metadata-only; parent vacuum pins the "
                              "fork's files)")
     bh.add_argument("src", help="parent lake root")
     bh.add_argument("dest", help="branch lake root (must not exist)")
-    bh.add_argument("--at", type=int, default=None,
-                    help="fork epoch (default: parent tip)")
+    bh.add_argument("--at", default=None,
+                    help="fork epoch number or tag name "
+                         "(default: parent tip)")
     bh.add_argument("--name", default=None,
                     help="branch name registered in the parent "
                          "(default: random id)")
@@ -1768,7 +1813,8 @@ def main(argv=None) -> int:
     gt.add_argument("urls", nargs="+")
     gt.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
-    gt.add_argument("--as-of", type=int, default=None, dest="as_of")
+    gt.add_argument("--as-of", default=None, dest="as_of",
+                    help="epoch number or tag name")
     gt.add_argument("--tombstones", action="store_true")
     gt.set_defaults(fn=cmd_get)
 
@@ -1825,8 +1871,9 @@ def main(argv=None) -> int:
                               "(resumable; time travel across the rollback "
                               "preserved; re-restore to roll forward)")
     rst.add_argument("lake")
-    rst.add_argument("target", type=int,
-                     help="epoch whose live state to restore")
+    rst.add_argument("target",
+                     help="epoch number OR tag name whose live state to "
+                          "restore")
     rst.add_argument("--partitions", type=int, default=None,
                      help="override only for pre-metadata lakes")
     rst.set_defaults(fn=cmd_restore)

@@ -39,6 +39,7 @@ from __future__ import annotations
 import base64
 import json
 import posixpath
+import re
 import sys
 import uuid
 from dataclasses import asdict, dataclass, fields
@@ -506,6 +507,85 @@ class Lake:
                 f"{cur} (this writer held {token}) — a newer tail or "
                 f"maintenance op took over; stop this process and let "
                 f"the new writer resume from the commit log")
+
+    # ---------------------------------------------------------------- tags
+    # Named savepoints: a tag is a human name for an epoch, stored as one
+    # small json under _commits/tags/ (ops-plane metadata, never data
+    # bytes). Tagged epochs PIN their reconstruction files from vacuum
+    # exactly like branch fork points do, so `restore LAKE <tag>` keeps
+    # working after compaction. Reference parity: none (no lake in the
+    # reference); the analog is Iceberg/Delta named snapshots ("tags").
+
+    _TAG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9._-]*$")
+
+    def _tag_path(self, name: str) -> str:
+        return posixpath.join(self._commits_dir(), "tags", name + ".json")
+
+    def set_tag(self, name: str, epoch: int) -> None:
+        """Create tag ``name`` → ``epoch``. The name must start with a
+        letter (never int-like — epoch refs stay unambiguous), the epoch
+        must be COMPLETE (done/maint marker — tagging a half-committed
+        epoch would save a state no reader can reconstruct), and the tag
+        must not already exist (retagging is delete + set, an explicit
+        two-step so a tag can't be silently moved)."""
+        if not self._TAG_RE.match(name):
+            raise ValueError(
+                f"bad tag name {name!r}: must start with a letter and use "
+                f"only [A-Za-z0-9._-] (keeps tag refs distinguishable "
+                f"from integer epoch refs)")
+        if not self.is_epoch_complete(epoch):
+            raise ValueError(
+                f"cannot tag epoch {epoch}: it has no done/maint marker — "
+                f"tagging a half-committed epoch would name a state no "
+                f"reader can reconstruct")
+        if self.fs.exists(self._tag_path(name)):
+            raise ValueError(f"tag {name!r} already exists "
+                             f"(at epoch {self.get_tag(name)}) — delete it "
+                             f"first to retag")
+        self.fs.makedirs(posixpath.join(self._commits_dir(), "tags"),
+                         exist_ok=True)
+        self._write_small_atomic(self._tag_path(name),
+                                 json.dumps({"epoch": int(epoch)}).encode())
+
+    def delete_tag(self, name: str) -> None:
+        if not self.fs.exists(self._tag_path(name)):
+            raise ValueError(f"tag {name!r} does not exist")
+        self.fs.rm_file(self._tag_path(name))
+
+    def get_tag(self, name: str) -> Optional[int]:
+        if not self.fs.exists(self._tag_path(name)):
+            return None
+        with self.fs.open(self._tag_path(name), "rb") as f:
+            return int(json.loads(f.read().decode())["epoch"])
+
+    def list_tags(self) -> Dict[str, int]:
+        tags_dir = posixpath.join(self._commits_dir(), "tags")
+        try:
+            names = self.fs.ls(tags_dir, detail=False)
+        except FileNotFoundError:
+            return {}
+        out = {}
+        for full in names:
+            name = posixpath.basename(full)
+            if name.endswith(".json"):
+                out[name[:-5]] = self.get_tag(name[:-5])
+        return out
+
+    def resolve_epoch_ref(self, ref) -> int:
+        """An epoch reference is an int (or int-like string) epoch number,
+        or a tag name. Unknown tags fail loudly with the available names."""
+        if isinstance(ref, int):
+            return ref
+        s = str(ref)
+        try:
+            return int(s)
+        except ValueError:
+            pass
+        epoch = self.get_tag(s)
+        if epoch is None:
+            raise ValueError(f"unknown tag {s!r} on lake {self.root} "
+                             f"(tags: {sorted(self.list_tags()) or 'none'})")
+        return epoch
 
     def committed_epochs(self, part: int) -> List[int]:
         prefix = f"part-{part:04d}-epoch-"
@@ -1295,16 +1375,18 @@ class Lake:
         into it and reclaimed. Commit records (lineage) are always kept —
         history stays auditable, only data-file storage is reclaimed.
 
-        Registered BRANCHES pin files: for every fork epoch F the newest
-        local snapshot ≤ F plus the deltas in (that snapshot, F] are kept,
-        whatever ``keep_snapshots`` says — a branch forked at F reconstructs
-        its base state from exactly those files, so parent maintenance can
+        Registered BRANCHES and TAGS pin files: for every fork epoch F
+        (and every tagged epoch T) the newest local snapshot ≤ F plus the
+        deltas in (that snapshot, F] are kept, whatever ``keep_snapshots``
+        says — a branch forked at F (a ``restore`` / as-of read at T)
+        reconstructs its state from exactly those files, so maintenance can
         never orphan it. Only LOCAL files are ever deleted: a branch's own
         vacuum cannot touch the parent's storage by construction.
 
         Safe anytime. Returns number of files removed."""
         removed = 0
-        forks = sorted({int(b["fork_epoch"]) for b in self.branches()})
+        forks = sorted({int(b["fork_epoch"]) for b in self.branches()}
+                       | set(self.list_tags().values()))
         for part in range(self.num_partitions):
             self._sweep_tmp(part)
             epochs = self.committed_epochs(part)
@@ -1355,6 +1437,10 @@ class Lake:
         issues: List[str] = []
         orphans: List[str] = []
         n_commits = 0
+        for name, epoch in sorted(self.list_tags().items()):
+            if not self.is_epoch_complete(epoch):
+                issues.append(f"tag {name!r}: epoch {epoch} has no "
+                              f"done/maint marker — dangling savepoint")
         for part in range(self.num_partitions):
             epochs = []
             for epoch in self.committed_epochs(part):
@@ -1472,6 +1558,9 @@ class Lake:
         br = self.branches()
         if br:
             extra["branches"] = br
+        tags = self.list_tags()
+        if tags:
+            extra["tags"] = tags
         return {
             **extra,
             "partitions": self.num_partitions,
