@@ -186,6 +186,13 @@ _GATE_TAIL = [
                                # (weighted quantile budget) and per-key
                                # ranked selection by doc_top_per_source
                                # (r3: slot freed for cdc_patch_upsert)
+    "doc_frequent_ngrams",     # two-pass n-gram mining — its MG-sketch
+                               # pre-prune is gated in-slot by
+                               # doc_top_words_mg (same sketch + certified
+                               # recount) and the capped-vocab two-pass
+                               # groupby by doc_tfidf_top_terms; green
+                               # driver row in r02 (r3: slot freed for
+                               # cdc_zonemap_scan)
     "hybrid_routed_extract",   # rows-only smoke (reconcile output is not
                                # SQL-expressible): pytest + in-query
                                # invariant assertions gate it; its triage

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "cdc_restore_state", "jsonl_roundtrip_stats", "cdc_range_index_scan",
     "cdc_changefeed_timewindow", "cdc_index_intersect_scan",
     "cdc_patch_upsert", "cdc_derived_lake", "cdc_substring_search",
-    "cdc_temporal_join", "cdc_fanin_merge",
+    "cdc_temporal_join", "cdc_fanin_merge", "cdc_zonemap_scan",
 ]
 
 

@@ -673,6 +673,20 @@ def cmd_export(args) -> int:
                       file=sys.stderr)
                 return 2
             where_eq.setdefault(col, []).extend(vals.split(","))
+    where_range = None
+    if args.range:
+        if args.stream or args.wet:
+            print("error: --range requires the default resumable export "
+                  "(not --stream/--wet)", file=sys.stderr)
+            return 2
+        where_range = {}
+        for spec in args.range:
+            parts = spec.split(":")
+            if len(parts) != 3:
+                print(f"error: bad --range {spec!r}: COL:LO:HI",
+                      file=sys.stderr)
+                return 2
+            where_range[parts[0]] = (int(parts[1]), int(parts[2]))
     if args.wet:
         from .sources.warc import export_wet
 
@@ -705,7 +719,8 @@ def cmd_export(args) -> int:
         summary = lake.export_resumable(args.out, as_of=args.as_of,
                                         include_tombstones=args.tombstones,
                                         partition_by=args.partition_by,
-                                        where_eq=where_eq)
+                                        where_eq=where_eq,
+                                        where_range=where_range)
         print(json.dumps({
             "rows": sum(s["rows"] for s in summary),
             "out": args.out,
@@ -1761,6 +1776,13 @@ def main(argv=None) -> int:
                          "index); with a col-index on a term, partitions "
                          "holding no match are pruned up front; re-runs "
                          "with a different predicate rewrite (stamped)")
+    ex.add_argument("--range", nargs="+", default=None,
+                    metavar="COL:LO:HI",
+                    help="export only rows with LO <= COL <= HI "
+                         "(inclusive; int/timestamp columns) — lake "
+                         "partitions provably out of range are pruned "
+                         "from per-commit zone maps before any data file "
+                         "is opened; ANDs with --eq; stamped like --eq")
     ex.add_argument("--wet", action="store_true",
                     help="write WET-style WARC conversion records (the "
                          "Common-Crawl extracted-text format) instead of "

@@ -76,6 +76,45 @@ def _bloom_m_bits(n_keys: int) -> int:
     return min(_BLOOM_MAX_BITS, (m + 63) // 64 * 64)
 
 
+def _zone_maps_of(table) -> Dict[str, List[int]]:
+    """{col: [min, max]} over the table's LIVE (non-tombstone) rows'
+    INT/TIMESTAMP payload columns — the Iceberg/Delta file-statistics
+    analog, ridden by every commit record so predicate scans can prune
+    whole partitions from METADATA before any data file is opened. Scope
+    mirrors the range index (ints/timestamps only — float NaN poisons
+    min/max comparisons, and string bounds need Iceberg-style truncation
+    to stay small); version-key/meta columns are excluded (``warc_ts``
+    already rides as ``ts_range``, ``seq`` as lineage seq_min/max, Bloom
+    covers ``url``). Tombstones contribute no values (a delete never
+    creates a live match), so the dict may be EMPTY — and the empty dict
+    is written anyway: "post-feature commit, contributes nothing" must
+    stay distinguishable from a pre-feature record (absent key), which
+    readers must treat as "may overlap anything"."""
+    import pyarrow.compute as _pc
+
+    if "deleted" in table.column_names:
+        table = table.filter(
+            _pc.invert(_pc.fill_null(table["deleted"], False)))
+    out: Dict[str, List[int]] = {}
+    if table.num_rows == 0:
+        return out
+    for field in table.schema:
+        if field.name in ("url", "warc_ts", "seq", "deleted") \
+                or is_internal_col(field.name):
+            continue
+        col = table[field.name]
+        if pa.types.is_timestamp(field.type):
+            col = col.cast(pa.int64())
+        elif not (pa.types.is_integer(field.type)):
+            continue
+        mm = _pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue  # all-null column: contributes nothing
+        out[field.name] = [int(lo), int(hi)]
+    return out
+
+
 def _ts_range_of(table) -> Optional[List[int]]:
     """[min, max] of ``warc_ts`` as int64 µs — the event-time zone map a
     commit record carries so change-feed time-window reads can prune whole
@@ -778,6 +817,93 @@ class Lake:
         return _changes(self, since=since, until=until, columns=columns,
                         before=before, min_ts=min_ts, max_ts=max_ts)
 
+    def parts_overlapping_range(self, col: str, lo: int, hi: int,
+                                as_of: Optional[int] = None) -> List[int]:
+        """Lake partitions that MAY hold a live row with ``lo <= col <=
+        hi``, from the per-commit zone maps alone (METADATA only — no data
+        file opened). Soundness: every live value took effect via SOME
+        commit whose zone map covered it (snapshot commits bound the whole
+        folded state, delta commits bound their winner set), so a partition
+        none of whose commits overlap the range cannot hold a matching
+        live row. Pre-feature commit records (no ``zone_maps`` key at all)
+        conservatively count as overlapping; a POST-feature record whose
+        dict lacks ``col`` contributed no live value for it (all
+        tombstones, all-null, or the column didn't exist yet — unified
+        reads null-backfill those rows, and NULL never matches a range),
+        so it prunes. O(P·epochs) small-json reads on the driver — the
+        same cost the windowed change feed accepts."""
+        out: List[int] = []
+        for part in range(self.num_partitions):
+            epochs = self.committed_epochs(part)
+            if as_of is not None:
+                epochs = [e for e in epochs if e <= as_of]
+            for e in epochs:
+                maps = self._read_commit(part, e).get("zone_maps")
+                if maps is None:  # pre-feature record: may hold anything
+                    out.append(part)
+                    break
+                zm = maps.get(col)
+                if zm is not None and zm[0] <= hi and zm[1] >= lo:
+                    out.append(part)
+                    break
+        return out
+
+    def read_range(self, col: str, lo: int, hi: int,
+                   as_of: Optional[int] = None,
+                   columns: Optional[List[str]] = None) -> "object":
+        """Range-predicate scan of live state as a streaming Dataset —
+        :meth:`read_dataset` with zone-map partition pruning up front and
+        the exact inclusive filter inside each task. The index-free range
+        path: the range index (rangeindex.py) answers from a follower
+        keyspace in O(range/width) partition reads; this answers from
+        commit metadata with no index maintenance at all — the
+        Iceberg/Delta data-skipping model. Ints/timestamps only (the
+        zone-map scope)."""
+        import ray.data as _rd
+
+        keep_parts = set(self.parts_overlapping_range(col, lo, hi, as_of))
+        live_parts, target = self._unified_live(as_of)
+        live_parts = [p for p in live_parts if p in keep_parts]
+        if target is None or col not in target.names or not live_parts:
+            return _rd.from_items([])
+        if not (pa.types.is_integer(target.field(col).type)
+                or pa.types.is_timestamp(target.field(col).type)):
+            raise ValueError(
+                f"read_range: column {col!r} is {target.field(col).type} — "
+                f"zone maps cover int/timestamp columns only")
+        if columns is not None:
+            keep = self._projection(list(dict.fromkeys([*columns, col])),
+                                    target.names)
+            target = pa.schema([target.field(c) for c in keep])
+        root, n_parts = self.root, self.num_partitions
+        proj = None if columns is None else target.names
+
+        def load(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            out = []
+            for part in batch["part"].to_pylist():
+                t = Lake(root, n_parts).read_partition(int(part), as_of,
+                                                       columns=proj)
+                if t is None or t.num_rows == 0:
+                    continue
+                t = live_view(unify_to_schema(t, target))
+                c = t[col]
+                if pa.types.is_timestamp(c.type):
+                    c = c.cast(pa.int64())
+                mask = _pc.and_kleene(_pc.greater_equal(c, lo),
+                                      _pc.less_equal(c, hi))
+                t = t.filter(_pc.fill_null(mask, False))
+                if t.num_rows:
+                    out.append(t)
+            if not out:
+                return target.empty_table()
+            return pa.concat_tables(out)
+
+        parts_ds = _rd.from_items([{"part": p} for p in live_parts])
+        return parts_ds.map_batches(load, batch_format="pyarrow",
+                                    batch_size=1)
+
     def _parts_matching_eq(self, col: str, values,
                            as_of: Optional[int]) -> Optional[set]:
         """Lake partitions that can hold a row matching ``col IN values``,
@@ -810,7 +936,8 @@ class Lake:
     def export_resumable(self, out: str, as_of: Optional[int] = None,
                          include_tombstones: bool = False,
                          partition_by: Optional[str] = None,
-                         where_eq: Optional[Dict[str, List[str]]] = None
+                         where_eq: Optional[Dict[str, List[str]]] = None,
+                         where_range: Optional[Dict[str, tuple]] = None
                          ) -> List[Dict]:
         """RESUMABLE + INCREMENTAL partitioned export (the brief's
         resumable-output rule): one task per live partition writes
@@ -848,6 +975,12 @@ class Lake:
         rewrites rather than wrongly skipping (and an unfiltered export
         never reuses a filtered file).
 
+        ``where_range`` ({col: (lo, hi)}, inclusive, int/timestamp columns):
+        range slicing — partitions whose commit ZONE MAPS provably hold no
+        value in range are pruned up front (:meth:`parts_overlapping_range`,
+        metadata only), the inclusive filter inside each task stays exact.
+        ANDs with ``where_eq``; shares its predicate-stamped resume.
+
         Schema-unified like :meth:`read_dataset`; the driver handles
         partition ids and ≤P summary rows only."""
         import ray.data as _rd
@@ -858,29 +991,55 @@ class Lake:
         if partition_by is not None and partition_by not in target.names:
             raise ValueError(f"partition_by column {partition_by!r} not in "
                              f"lake schema {target.names}")
-        pred_tag = "" if not where_eq else json.dumps(
-            {c: sorted(str(v) for v in vs) for c, vs in where_eq.items()},
+        pred_tag = "" if not (where_eq or where_range) else json.dumps(
+            {"eq": {c: sorted(str(v) for v in vs)
+                    for c, vs in (where_eq or {}).items()},
+             "range": {c: [int(r[0]), int(r[1])]
+                       for c, r in (where_range or {}).items()}},
             sort_keys=True)
+        # Pruned partitions are still VISITED (their result is provably
+        # empty, so the task skips the data read entirely and writes the
+        # empty slice): a predicate CHANGE must rewrite every partition's
+        # file/manifest, else a partition pruned by the new predicate
+        # would leave the OLD predicate's rows on disk.
+        pruned_out: set = set()
         if where_eq:
             for col, vals in where_eq.items():
                 pruned = self._parts_matching_eq(col, vals, as_of)
                 if pruned is not None:
-                    live_parts = [p for p in live_parts if p in pruned]
+                    pruned_out |= {p for p in live_parts if p not in pruned}
                     break  # one index prunes; the inline filter stays exact
+        if where_range:
+            for col, (rlo, rhi) in where_range.items():
+                keep = set(self.parts_overlapping_range(
+                    col, int(rlo), int(rhi), as_of))
+                pruned_out |= {p for p in live_parts if p not in keep}
+        pruned_out = frozenset(pruned_out)
         root, n_parts = self.root, self.num_partitions
         _STAMP = b"odl_export_epoch"
         _PRED = b"odl_export_pred"
 
         def _apply_pred(t: pa.Table) -> pa.Table:
-            if not where_eq:
+            if not (where_eq or where_range):
                 return t
-            for col, vals in where_eq.items():
+            for col, vals in (where_eq or {}).items():
                 if col not in t.column_names:
                     return t.slice(0, 0)  # evolution: column absent = no match
                 want = {str(v) for v in vals}
                 svals = [None if x is None else str(x)
                          for x in t[col].to_pylist()]
                 t = t.filter(pa.array([x in want for x in svals]))
+            for col, (rlo, rhi) in (where_range or {}).items():
+                if col not in t.column_names:
+                    return t.slice(0, 0)
+                import pyarrow.compute as _pc
+
+                c = t[col]
+                if pa.types.is_timestamp(c.type):
+                    c = c.cast(pa.int64())
+                mask = _pc.and_kleene(_pc.greater_equal(c, int(rlo)),
+                                      _pc.less_equal(c, int(rhi)))
+                t = t.filter(_pc.fill_null(mask, False))
             return t
 
         def _atomic_write(ofs, is_local: bool, t: pa.Table,
@@ -916,13 +1075,16 @@ class Lake:
                     parts.append(part); rows.append(int(old["rows"]))
                     tips.append(tip); skipped.append(True)
                     continue
-                t = lake.read_partition(part, as_of)
-                if t is None:
-                    continue
-                t = unify_to_schema(t, target)
-                if not include_tombstones:
-                    t = live_view(t)
-                t = _apply_pred(t)
+                if part in pruned_out:  # provably empty: no data read
+                    t = target.empty_table()
+                else:
+                    t = lake.read_partition(part, as_of)
+                    if t is None:
+                        continue
+                    t = unify_to_schema(t, target)
+                    if not include_tombstones:
+                        t = live_view(t)
+                    t = _apply_pred(t)
                 vals = [str(x) if x is not None else None
                         for x in t[partition_by].to_pylist()]
                 written: List[str] = []
@@ -982,13 +1144,16 @@ class Lake:
                         tips.append(tip)
                         skipped.append(True)
                         continue
-                t = lake.read_partition(part, as_of)
-                if t is None:
-                    continue
-                t = unify_to_schema(t, target)
-                if not include_tombstones:
-                    t = live_view(t)
-                t = _apply_pred(t)
+                if part in pruned_out:  # provably empty: no data read
+                    t = target.empty_table()
+                else:
+                    t = lake.read_partition(part, as_of)
+                    if t is None:
+                        continue
+                    t = unify_to_schema(t, target)
+                    if not include_tombstones:
+                        t = live_view(t)
+                    t = _apply_pred(t)
                 t = t.replace_schema_metadata(
                     {**(t.schema.metadata or {}),
                      _STAMP: str(tip).encode(),
@@ -1232,6 +1397,9 @@ class Lake:
         rng = _ts_range_of(table)
         if rng is not None:  # event-time zone map (changefeed pruning)
             record["ts_range"] = rng
+        # per-column zone maps (predicate-scan pruning) — written even when
+        # empty: key presence means "post-feature, contributes nothing"
+        record["zone_maps"] = _zone_maps_of(table)
         self._write_small_atomic(self._commit_path(part, epoch),
                                  json.dumps(record).encode())
         return lineage
@@ -1263,6 +1431,9 @@ class Lake:
         rng = _ts_range_of(winners)
         if rng is not None:  # event-time zone map (changefeed pruning)
             record["ts_range"] = rng
+        # per-column zone maps (predicate-scan pruning) — written even when
+        # empty: key presence means "post-feature, contributes nothing"
+        record["zone_maps"] = _zone_maps_of(winners)
         self._write_small_atomic(self._commit_path(part, epoch),
                                  json.dumps(record).encode())
         return lineage
@@ -1513,13 +1684,19 @@ class Lake:
         (long delta chains) or ``vacuum`` (superseded bytes). O(P·files)
         driver work, independent of data size."""
         per_part = []
-        commits_total = commits_with_ts = 0
+        commits_total = commits_with_ts = commits_with_zm = 0
+        zm_cols: set = set()
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
             for e in epochs:
                 commits_total += 1
-                if self._read_commit(part, e).get("ts_range") is not None:
+                rec = self._read_commit(part, e)
+                if rec.get("ts_range") is not None:
                     commits_with_ts += 1
+                zm = rec.get("zone_maps")
+                if zm is not None:
+                    commits_with_zm += 1
+                    zm_cols.update(zm)
             snaps = deltas = data_bytes = 0
             tip_rows = 0
             chain = 0  # deltas newer than the newest snapshot
@@ -1576,6 +1753,11 @@ class Lake:
             # pre-feature commits are conservatively processed
             "ts_range_coverage": (commits_with_ts / commits_total)
             if commits_total else 0.0,
+            # per-column zone maps (predicate-scan pruning): fraction of
+            # commits carrying one, and which columns are covered
+            "zone_map_coverage": (commits_with_zm / commits_total)
+            if commits_total else 0.0,
+            "zone_map_cols": sorted(zm_cols),
             "hottest": sorted(per_part, key=lambda p: -p["bytes"])[:5],
         }
 

@@ -1831,6 +1831,139 @@ def cdc_range_index_scan(sf_dir: str):
     return idx.scan_range(2500, 6499).sort(["key", "val"])
 
 
+def cdc_zonemap_scan(sf_dir: str):
+    """Per-commit column ZONE MAPS end-to-end (lake.py `_zone_maps_of` →
+    `parts_overlapping_range` → `read_range`): the Iceberg/Delta
+    data-skipping model — every commit record carries {col: [min, max]}
+    for its int/timestamp payload columns, and a range scan prunes whole
+    lake partitions from METADATA before any data file is opened; no
+    follower index maintained at all (contrast `cdc_range_index_scan`,
+    which answers the same predicate class from a maintained keyspace).
+
+    Seed: a SPARSE score column — the distribution where partition-level
+    skipping genuinely fires on a url-hash-partitioned lake (flags,
+    violation counts, spam scores: almost-all-zero). Epoch 0 inserts every
+    doc with score = doc_id*7919%10000 if doc_id%37==0 else 0; epoch 1
+    UNFLAGS doc_id%74==0 back to 0 (predicate-exit rows — stale zone maps
+    stay conservative); epoch 2 DELETES doc_id%9==0. Scan
+    ``score BETWEEN 1 AND 10000``. In-query invariants pin the pruning
+    itself: every partition holding a live flagged doc survives, and no
+    partition that never saw a flagged doc does."""
+    import shutil
+
+    import numpy as np
+
+    from ..cdc.ingest import url_partition
+    from ..cdc.lake import Lake, Lineage
+    from ..fixtures.gen import BASE_TS_US
+
+    root = "/tmp/odl_ray_zonemap_q"
+    shutil.rmtree(root, ignore_errors=True)
+    # 64 partitions: flagged docs (≈1/37) land in a strict subset, so the
+    # metadata prune demonstrably skips partitions at every sf
+    n_parts = 64
+    E1, E2 = 10_000_000, 20_000_000
+    lake = Lake(root, n_parts)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, seqs, scores, dels, eps = [], [], [], [], []
+        for i in ids:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(i)
+            scores.append(i * 7919 % 10000 if i % 37 == 0 else 0)
+            dels.append(False); eps.append(0)
+        for i in ids[ids % 74 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E1 + i)
+            scores.append(0); dels.append(False); eps.append(1)
+        for i in ids[ids % 9 == 0]:
+            i = int(i)
+            urls.append(f"u{i:06d}"); seqs.append(E2 + i)
+            scores.append(None); dels.append(True); eps.append(2)
+        seq_arr = np.asarray(seqs, np.int64)
+        t = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(BASE_TS_US + seq_arr, pa.int64()),
+            "seq": pa.array(seq_arr, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+            "deleted": pa.array(dels, pa.bool_()),
+            "epoch": pa.array(eps, pa.int64()),
+        })
+        return t.append_column(
+            "part", pa.array(url_partition(urls, n_parts), pa.int32()))
+
+    class SeedPartition:
+        __name__ = "SeedPartition"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lk = Lake(root, n_parts)
+            part = int(group["part"][0].as_py())
+            for e in (0, 1, 2):
+                sub = group.filter(pc.equal(group["epoch"], e))
+                if sub.num_rows == 0:
+                    continue
+                winners = sub.drop_columns(["part", "epoch"]).sort_by(
+                    [("url", "ascending")])
+                seqs = winners["seq"].to_pylist()
+                lk.commit_delta(part, e, winners, Lineage(
+                    part=part, epoch=e, events_consumed=winners.num_rows,
+                    rows_upserted=winners.num_rows, rows_deleted=0,
+                    seq_min=min(seqs), seq_max=max(seqs)))
+            return pa.table({"part": pa.array([part], pa.int32())})
+
+    (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+        .map_batches(to_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(SeedPartition(), batch_format="pyarrow")
+        .take_all())  # ≤ P tiny rows — drives the seed commits
+
+    import pyarrow.parquet as _pq
+
+    doc_ids = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id"])["doc_id"].to_pylist()
+
+    # ---- pin the pruning itself (metadata-only, driver-side, ≤P ids)
+    overlap = set(lake.parts_overlapping_range("score", 1, 10000))
+    flagged = [i for i in doc_ids if i % 37 == 0
+               and (i * 7919 % 10000) >= 1]
+    live_flagged = [i for i in flagged if i % 74 != 0 and i % 9 != 0]
+    must_keep = set(url_partition([f"u{i:06d}" for i in live_flagged],
+                                  n_parts).tolist()) if live_flagged \
+        else set()
+    ever_flagged = set(url_partition([f"u{i:06d}" for i in flagged],
+                                     n_parts).tolist()) if flagged else set()
+    assert must_keep <= overlap, (
+        f"zone maps pruned partitions holding live in-range rows: "
+        f"{sorted(must_keep - overlap)}")
+    assert overlap <= ever_flagged, (
+        f"zone maps kept partitions that never saw a flagged doc: "
+        f"{sorted(overlap - ever_flagged)}")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64())})
+        return pa.table({"url": t["url"],
+                         "score": t["score"].cast(pa.int64())})
+
+    return (lake.read_range("score", 1, 10000, columns=["url", "score"])
+            .map_batches(project, batch_format="pyarrow")
+            .sort("url"))
+
+
+CDC_ZONEMAP_SCAN_SQL = """
+WITH live AS (
+  SELECT printf('u%06d', doc_id) AS url,
+         CAST(doc_id * 7919 % 10000 AS BIGINT) AS score
+  FROM documents
+  WHERE doc_id % 37 = 0 AND doc_id % 74 <> 0 AND doc_id % 9 <> 0)
+SELECT url, score FROM live WHERE score BETWEEN 1 AND 10000
+ORDER BY url
+"""
+
+
 def cdc_index_intersect_scan(sf_dir: str):
     """Multi-predicate index intersection end-to-end (cdc/planner.py):
     seed a 3-epoch lake whose payload carries BOTH a ``lang`` and an int
@@ -3407,6 +3540,7 @@ CDC_QUERIES = {
     "cdc_column_index_scan": cdc_column_index_scan,
     "cdc_range_index_scan": cdc_range_index_scan,
     "cdc_index_intersect_scan": cdc_index_intersect_scan,
+    "cdc_zonemap_scan": cdc_zonemap_scan,
     "cdc_replicated_state": cdc_replicated_state,
     "cdc_quarantine_stats": cdc_quarantine_stats,
     "cdc_dup_attribution": cdc_dup_attribution,
@@ -3442,6 +3576,7 @@ CDC_ORACLE_SQL = {
     "cdc_branch_divergence": CDC_BRANCH_DIVERGENCE_SQL,
     "cdc_column_index_scan": CDC_COLUMN_INDEX_SCAN_SQL,
     "cdc_range_index_scan": CDC_RANGE_INDEX_SCAN_SQL,
+    "cdc_zonemap_scan": CDC_ZONEMAP_SCAN_SQL,
     "cdc_index_intersect_scan": CDC_INDEX_INTERSECT_SCAN_SQL,
     "cdc_replicated_state": CDC_REPLICATED_STATE_SQL,
     "cdc_quarantine_stats": CDC_QUARANTINE_STATS_SQL,
