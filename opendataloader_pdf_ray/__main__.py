@@ -214,6 +214,24 @@ def cmd_ingest(args) -> int:
         followers.append(RangeIndex(
             r_root, num_partitions=n_idx, col=col,
             width=int(width) if width else None))
+    for vname in (args.view or ()):
+        from .cdc import MaterializedView
+
+        class _ViewFollower:
+            """Adapt MaterializedView (lake bound at init, folds every
+            pending (part, epoch) idempotently) to the follower-refresh
+            protocol — the tail keeps the aggregate view fresh after each
+            committed epoch, and the crash-heal catch-up path covers a
+            crash between commit and view fold."""
+
+            def __init__(self, v):
+                self.v = v
+
+            def refresh(self, lake, up_to=None):
+                self.v.refresh()
+
+        followers.append(_ViewFollower(
+            MaterializedView(Lake(args.lake, args.partitions), vname)))
     if args.mode == "follow":
         if "," in args.events:
             # fan-in: K comma-separated segment dirs merged into one lake
@@ -258,6 +276,9 @@ def cmd_ingest(args) -> int:
         summary["near_index_band_entries"] = NearDupIndex(
             near_index_root(args.lake)).count_fingerprints()
     for f in followers:
+        if type(f).__name__ == "_ViewFollower":  # view: folds, no watermark
+            summary[f"view_{f.v.name}_groups"] = f.v.read().num_rows
+            continue
         kind = {"TextIndex": "text_index", "VectorIndex": "vec_index",
                 "RangeIndex": None}.get(type(f).__name__, None)
         if kind is None:
@@ -1633,6 +1654,11 @@ def main(argv=None) -> int:
                           "<lake>/rangeidx_<COL> fresh for each named "
                           "int/timestamp payload column (same follower "
                           "cadence as --text-index; query with range-scan)")
+    ing.add_argument("--view", nargs="+", default=None, metavar="NAME",
+                     help="keep the named incrementally-maintained "
+                          "aggregate view(s) (<lake>/_views/NAME, the "
+                          "`view` command's per-lang count+sum) fresh at "
+                          "the same follower cadence as --text-index")
     ing.add_argument("--substr-index", action="store_true",
                      dest="substr_index",
                      help="keep <lake>/trgmidx (trigram substring index) "

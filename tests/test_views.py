@@ -191,3 +191,29 @@ class TestMaterializedView:
         v_seq.refresh(parallel=False)
         v_par.refresh(parallel=True)
         assert view_dict(v_seq) == view_dict(v_par) == batch_view(lake)
+
+    def test_ingest_view_follower_cli(self, tmp_path, capsys):
+        """`ingest --view NAME` keeps the aggregate view fresh at the
+        follower cadence: after the CLI ingest the view is already folded
+        (a subsequent refresh applies nothing) and equals the batch
+        aggregate; follow mode tails it the same way."""
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.fixtures.gen import write_fixture_dir
+
+        events = tmp_path / "events"
+        write_fixture_dir(str(events), 120, 30, seed=17, shard_size=60)
+        (events / ".end").touch()
+        lake_dir = str(tmp_path / "lake")
+        rc = main(["ingest", str(events), lake_dir, "--epoch-size", "60",
+                   "--partitions", "4", "--mode", "follow",
+                   "--view", "lang_stats"])
+        assert rc == 0
+        capsys.readouterr()
+        lake = Lake(lake_dir, 4)
+        view = MaterializedView(lake, "lang_stats")
+        assert view.refresh() == 0  # tail already folded every epoch
+        assert view_dict(view) == batch_view(lake)
+        # the `view` CLI reads it without new folds
+        assert main(["view", lake_dir, "--name", "lang_stats"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["folds_applied"] == 0 and rep["groups"]
