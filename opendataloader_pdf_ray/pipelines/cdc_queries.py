@@ -3439,7 +3439,14 @@ def cdc_fanin_merge(sf_dir: str):
         open(os.path.join(d, ".end"), "w").close()
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=200,
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(docs_path).num_rows
+    # epoch banding is size-invariant for the final LWW state (pytest pins
+    # chunking invariance); a fixed 200 forced ~45 micro-pipelines at sf0.1
+    # (~55 s of per-epoch Dataset setup) — size for a handful of epochs
+    cfg = CDCConfig(num_partitions=8, num_salts=2,
+                    epoch_size=max(200, n_docs // 4),
                     extract_batch_size=32,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     lake_root = os.path.join(root, "lake")
