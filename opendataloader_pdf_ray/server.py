@@ -291,6 +291,85 @@ def _call_lookup_where_lake(a: Dict[str, Any]) -> str:
                        "urls": keys[:int(a.get("limit", 20))]})
 
 
+_ZONEMAP_TOOL = {
+    "name": "zonemap_scan_lake",
+    "description": "Index-free range scan over a CDC lake via per-commit "
+                   "column zone maps (Iceberg/Delta data skipping): LIVE "
+                   "rows with lo <= column <= hi. Partitions provably out "
+                   "of range are pruned from commit metadata; only the "
+                   "surviving partitions are read, in-process — no "
+                   "cluster is started.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake", "column", "lo", "hi"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+            "column": {"type": "string",
+                       "description": "Int/timestamp payload column."},
+            "lo": {"type": "integer"},
+            "hi": {"type": "integer"},
+            "as_of": {"type": "integer",
+                      "description": "Epoch number (time travel)."},
+            "limit": {"type": "integer", "default": 20},
+        },
+    },
+}
+
+
+def _call_zonemap_scan_lake(a: Dict[str, Any]) -> str:
+    import pyarrow.compute as pc
+
+    from .cdc.lake import Lake
+    from .cdc.merge import live_view
+
+    lake = Lake(a["lake"])
+    col, lo, hi = str(a["column"]), int(a["lo"]), int(a["hi"])
+    as_of = a.get("as_of")
+    parts = lake.parts_overlapping_range(col, lo, hi, as_of)
+    rows = []
+    for part in parts:
+        t = lake.read_partition(part, as_of)
+        if t is None or col not in t.column_names:
+            continue
+        t = live_view(t)
+        c = t[col]
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(c.type):
+            c = c.cast(pa.int64())
+        mask = pc.and_kleene(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        t = t.filter(pc.fill_null(mask, False))
+        rows.extend({"url": u, "val": v} for u, v in
+                    zip(t["url"].to_pylist(), t[col].to_pylist()))
+    rows.sort(key=lambda r: r["url"])
+    return json.dumps({
+        "n_rows": len(rows),
+        "partitions_read": len(parts),
+        "partitions_total": lake.num_partitions,
+        "hits": rows[:int(a.get("limit", 20))]})
+
+
+_TAGS_TOOL = {
+    "name": "lake_tags",
+    "description": "List a CDC lake's named savepoints (tag -> epoch). "
+                   "Tags pin their epochs from vacuum; restore/branch/get "
+                   "accept tag names as epoch refs. Metadata-only.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+        },
+    },
+}
+
+
+def _call_lake_tags(a: Dict[str, Any]) -> str:
+    from .cdc.lake import Lake
+
+    return json.dumps({"tags": Lake(a["lake"]).list_tags()})
+
+
 _TOOLS = {
     "convert_html": (_TOOL_SCHEMA, _call_convert_html),
     "search_lake": (_SEARCH_TOOL, _call_search_lake),
@@ -298,6 +377,8 @@ _TOOLS = {
     "semantic_search_lake": (_SEMANTIC_TOOL, _call_semantic_search_lake),
     "range_scan_lake": (_RANGE_TOOL, _call_range_scan_lake),
     "lookup_where_lake": (_LOOKUP_WHERE_TOOL, _call_lookup_where_lake),
+    "zonemap_scan_lake": (_ZONEMAP_TOOL, _call_zonemap_scan_lake),
+    "lake_tags": (_TAGS_TOOL, _call_lake_tags),
 }
 
 

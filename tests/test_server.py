@@ -23,7 +23,7 @@ class TestProtocol:
         assert [t["name"] for t in tools] == [
             "convert_html", "search_lake", "ranked_search_lake",
             "semantic_search_lake", "range_scan_lake",
-            "lookup_where_lake"]
+            "lookup_where_lake", "zonemap_scan_lake", "lake_tags"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -256,3 +256,49 @@ class TestLookupWhereTool:
         assert resp["result"]["isError"] is False
         out = json.loads(resp["result"]["content"][0]["text"])
         assert out == {"n_urls": 1, "urls": ["a"]}
+
+
+class TestZoneMapAndTagsTools:
+    def _lake(self, tmp_path):
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.cdc import Lake
+        from opendataloader_pdf_ray.cdc.lake import Lineage
+
+        root = str(tmp_path / "lake")
+        lake = Lake(root, 2)
+        t = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "warc_ts": pa.array([1, 2], pa.int64()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "score": pa.array([120, 480], pa.int64()),
+            "deleted": pa.array([False, False], pa.bool_()),
+        })
+        for part in (0, 1):
+            lake.commit_delta(part, 0, t.slice(part, 1), Lineage(
+                part=part, epoch=0, events_consumed=1, rows_upserted=1,
+                rows_deleted=0, seq_min=part + 1, seq_max=part + 1))
+        lake.mark_epoch_done(0)
+        return root, lake
+
+    def test_zonemap_scan_lake_tool(self, tmp_path):
+        root, _ = self._lake(tmp_path)
+        resp = _call("tools/call", {"name": "zonemap_scan_lake",
+                                    "arguments": {"lake": root,
+                                                  "column": "score",
+                                                  "lo": 100, "hi": 200}})
+        assert resp["result"]["isError"] is False
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out["n_rows"] == 1
+        assert out["hits"] == [{"url": "a", "val": 120}]
+        # metadata pruning: only the partition whose bound overlaps is read
+        assert out["partitions_read"] < out["partitions_total"]
+
+    def test_lake_tags_tool(self, tmp_path):
+        root, lake = self._lake(tmp_path)
+        lake.set_tag("r1", 0)
+        resp = _call("tools/call", {"name": "lake_tags",
+                                    "arguments": {"lake": root}})
+        assert resp["result"]["isError"] is False
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert out == {"tags": {"r1": 0}}
