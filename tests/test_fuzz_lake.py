@@ -334,3 +334,54 @@ class TestIngestProperty:
             assert got[url]["deleted"] == want["deleted"], url
             assert got[url]["seq"] == want["seq"], url
             assert got[url]["text"] == want["text"], url
+
+
+class TestZoneMapProperty:
+    @given(churn, st.data())
+    @settings(max_examples=20, deadline=None)
+    def test_pruned_scan_equals_brute_force(self, tmp_path_factory, epochs,
+                                            data):
+        """Zone-map partition pruning is SOUND under any churn: folding
+        only the overlapping partitions and filtering exactly equals the
+        brute-force filter of the whole live state."""
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        lo = data.draw(st.integers(-1100, 1100))
+        hi = data.draw(st.integers(lo, 1100))
+        keep = set(lake.parts_overlapping_range("score", lo, hi))
+        got = []
+        for p in keep:
+            t = lake.read_partition(p)
+            if t is None:
+                continue
+            for r in live_view(t).to_pylist():
+                if r["score"] is not None and lo <= r["score"] <= hi:
+                    got.append((r["url"], r["score"]))
+        live = _live_map(lake.read_state(include_tombstones=True))
+        want = sorted((u, s) for u, (_, _, s) in live.items()
+                      if s is not None and lo <= s <= hi)
+        assert sorted(got) == want
+
+    @given(churn)
+    @settings(max_examples=15, deadline=None)
+    def test_zone_map_bounds_every_live_row(self, tmp_path_factory, epochs):
+        """Every commit's zone map bounds every LIVE row of its file, and
+        all-tombstone commits write the explicit empty dict."""
+        import pyarrow.parquet as pq
+
+        root = tmp_path_factory.mktemp("fz")
+        lake = _build(root, epochs)
+        for p in range(P):
+            for e in lake.committed_epochs(p):
+                zm = lake._read_commit(p, e).get("zone_maps")
+                assert zm is not None  # post-feature: key always present
+                res = lake.resolve_data(p, e, "delta")
+                if res is None:
+                    continue
+                t = live_view(pq.read_table(res[1], filesystem=res[0]))
+                vals = [v for v in t["score"].to_pylist() if v is not None]
+                if not vals:
+                    assert "score" not in zm
+                else:
+                    assert zm["score"][0] == min(vals)
+                    assert zm["score"][1] == max(vals)
