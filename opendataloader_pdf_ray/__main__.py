@@ -1020,6 +1020,29 @@ def cmd_import_jsonl(args) -> int:
     return 0
 
 
+def cmd_export_jsonl(args) -> int:
+    """The inverse of import-jsonl (sources/jsonl_binlog.export_jsonl):
+    parquet binlog segments → Debezium-style JSONL segments, so the
+    engine's binlog is consumable by JSONL/Kafka tooling. Round trip
+    (export-jsonl → import-jsonl → ingest) reproduces the same lake."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .sources.jsonl_binlog import export_jsonl
+
+    n = export_jsonl(args.src, args.out, gzip_out=not args.no_gzip)
+    print(json.dumps({"segments_exported": n, "out": args.out}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack live lake text into fixed-token-budget training-sequence
     manifests (cdc/pack.py): one shard per partition, atomic + tip-epoch
@@ -1942,6 +1965,17 @@ def main(argv=None) -> int:
     ij.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
                     help="stop after N polls with no new segments")
     ij.set_defaults(fn=cmd_import_jsonl)
+
+    ej = sub.add_parser("export-jsonl",
+                        help="inverse of import-jsonl: parquet binlog "
+                             "segments out as Debezium-style JSONL "
+                             "(distributed, resumable, atomic, "
+                             "byte-deterministic gzip)")
+    ej.add_argument("src", help="parquet segment directory")
+    ej.add_argument("out", help="JSONL output directory")
+    ej.add_argument("--no-gzip", action="store_true", dest="no_gzip",
+                    help="write plain .jsonl instead of .jsonl.gz")
+    ej.set_defaults(fn=cmd_export_jsonl)
 
     df = sub.add_parser("diff",
                         help="distributed live-state equivalence check "

@@ -223,3 +223,52 @@ def to_jsonl_segment(events: pa.Table, debezium_ops: bool = True) -> bytes:
             "after": after or None,
         }, sort_keys=True))
     return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def export_jsonl(src_dir: str, out_dir: str, gzip_out: bool = True) -> int:
+    """Distributed parquet→JSONL segment export — the full inverse of
+    :func:`import_jsonl`, making the engine's binlog consumable by
+    JSONL/Debezium tooling (and closing the interchange loop:
+    ``export-jsonl`` → ``import-jsonl`` → ``ingest`` reproduces the same
+    lake, diff-verified in tests). One Ray task per segment, resumable
+    (existing outputs skipped), atomic per-segment writes. Returns the
+    number of segments exported this run."""
+    import ray.data
+
+    names = sorted(n for n in os.listdir(src_dir)
+                   if n.endswith(".parquet") and not n.startswith("."))
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".jsonl.gz" if gzip_out else ".jsonl"
+
+    def outname(name: str) -> str:
+        return name[: -len(".parquet")] + suffix
+
+    todo = [n for n in names
+            if not os.path.exists(posixpath.join(out_dir, outname(n)))]
+    if not todo:
+        return 0
+
+    def task(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        done = []
+        for name in batch["name"].to_pylist():
+            events = pq.read_table(posixpath.join(src_dir, name))
+            data = to_jsonl_segment(events)
+            if gzip_out:
+                # mtime=0: byte-deterministic output (gzip stamps the wall
+                # clock by default, which would break equal-input ==
+                # equal-bytes)
+                data = gzip.compress(data, mtime=0)
+            final = posixpath.join(out_dir, outname(name))
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.rename(tmp, final)  # atomic publish (POSIX)
+            done.append(name)
+        return pa.table({"name": pa.array(done, pa.string())})
+
+    ds = ray.data.from_items([{"name": n} for n in todo],
+                             override_num_blocks=len(todo))
+    return ds.map_batches(task, batch_format="pyarrow",
+                          batch_size=None).count()
