@@ -571,11 +571,35 @@ def cmd_rescale(args) -> int:
 def cmd_quarantine(args) -> int:
     """Print the DLQ: per-(part, epoch) counts + every poison record's
     (url, seq, error) as one JSON line. Driver-side read — the DLQ is
-    metadata-sized next to the corpus; no Ray session needed."""
+    metadata-sized next to the corpus; no Ray session needed.
+    ``--retry EVENTS`` closes the loop: re-drive the quarantined events
+    through the CURRENT extractor and fold successes back into the lake as
+    one exactly-once maintenance epoch (cdc/quarantine.retry_quarantine)."""
     from .cdc.lake import Lake
     from .cdc.quarantine import QuarantineStore, quarantine_root
 
     lake = Lake(args.lake, args.partitions)
+    if args.retry:
+        import ray
+
+        started_ray = not ray.is_initialized()
+        if started_ray:
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from .cdc.quarantine import retry_quarantine
+        from .config import CDCConfig
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        cfg = CDCConfig(num_partitions=lake.num_partitions,
+                        extract_concurrency=max(1, min(8, cpus - 1)))
+        summary = retry_quarantine(lake, args.retry, cfg)
+        print(json.dumps(summary))
+        if started_ray:
+            ray.shutdown()
+        return 0
     store = QuarantineStore(quarantine_root(args.lake), lake.num_partitions)
     t = store.read(epoch=args.epoch)
     rows = [] if t is None else [
@@ -1781,6 +1805,11 @@ def main(argv=None) -> int:
     qr.add_argument("--epoch", type=int, default=None)
     qr.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
+    qr.add_argument("--retry", default=None, metavar="EVENTS",
+                    help="re-drive the quarantined events from this binlog "
+                         "dir through the current extractor; successes "
+                         "fold back into the lake as one exactly-once "
+                         "maintenance epoch and leave the DLQ")
     qr.set_defaults(fn=cmd_quarantine)
 
     cpt = sub.add_parser("compact",

@@ -67,22 +67,29 @@ def _live_parts(lake: Lake) -> List[int]:
     return [p for p in range(lake.num_partitions) if lake.committed_epochs(p)]
 
 
-def resolve_backfill_epoch(lake: Lake, name: str) -> int:
+def resolve_backfill_epoch(lake: Lake, name: str,
+                           parts: Optional[List[int]] = None) -> int:
     """The resume-or-new decision, from the commit log alone: the newest
-    backfill marker with any uncommitted live partition resumes (the name
-    must match — mixing transforms within one epoch would corrupt the
-    snapshot set); otherwise a fresh epoch = global max + 1 is claimed by
-    writing its marker."""
+    backfill marker with any uncommitted partition IN ITS SCOPE resumes
+    (the name must match — mixing transforms within one epoch would
+    corrupt the snapshot set); otherwise a fresh epoch = global max + 1 is
+    claimed by writing its marker. ``parts`` scopes the maintenance epoch
+    to a subset of partitions (e.g. a DLQ retry touches only partitions
+    with healed rows): the scope is PERSISTED in the marker so completeness
+    is judged against it — markers without a recorded scope (older code,
+    whole-lake ops) keep the every-live-partition rule."""
     markers = []
     for full in lake.fs.ls(lake._commits_dir(), detail=False):
         base = posixpath.basename(full)
         if base.startswith(_MARKER_PREFIX) and base.endswith(".json"):
             markers.append(int(base[len(_MARKER_PREFIX):-5]))
-    parts = _live_parts(lake)
+    live = _live_parts(lake)
     for epoch in sorted(markers, reverse=True):
-        if any(not lake.is_committed(p, epoch) for p in parts):
-            with lake.fs.open(_marker_path(lake, epoch)) as f:
-                rec = json.loads(f.read())
+        with lake.fs.open(_marker_path(lake, epoch)) as f:
+            rec = json.loads(f.read())
+        scope = rec.get("parts")
+        scope = live if scope is None else [int(p) for p in scope]
+        if any(not lake.is_committed(p, epoch) for p in scope):
             if rec.get("name") != name:
                 raise ValueError(
                     f"unfinished backfill epoch {epoch} belongs to "
@@ -90,12 +97,14 @@ def resolve_backfill_epoch(lake: Lake, name: str) -> int:
                     f"or vacuum it first")
             return epoch
         break  # newest marker finished → no resume candidate below it
-    newest = max((e for p in parts for e in lake.committed_epochs(p)),
+    newest = max((e for p in live for e in lake.committed_epochs(p)),
                  default=-1)
     epoch = newest + 1
+    marker = {"name": name, "epoch": epoch}
+    if parts is not None:
+        marker["parts"] = sorted(int(p) for p in parts)
     lake._write_small_atomic(_marker_path(lake, epoch),
-                             json.dumps({"name": name,
-                                         "epoch": epoch}).encode())
+                             json.dumps(marker).encode())
     return epoch
 
 

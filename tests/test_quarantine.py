@@ -151,3 +151,65 @@ class TestQuarantine:
         store = QuarantineStore(quarantine_root(lake_root),
                                 CFG.num_partitions)
         assert store.read() is None
+
+    def test_retry_heals_and_scrubs(self, tmp_path):
+        """The closing half of the DLQ loop: after the poison cause is
+        fixed (here: the segment re-published with good bytes), --retry
+        re-extracts the quarantined events, folds successes into the lake
+        as one maintenance epoch (LWW-safe), scrubs healed records from
+        the DLQ, and leaves still-poison records quarantined."""
+        from opendataloader_pdf_ray.cdc import oracle_final_state
+        from opendataloader_pdf_ray.cdc.quarantine import retry_quarantine
+
+        path, events = _events_with_poison(tmp_path, {70, 71})
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, CFG, mode="epoch")
+        lake = Lake(lake_root, CFG.num_partitions)
+
+        # fix seq 70 (re-published good bytes), leave 71 poison
+        good = gen_events(120, 30, seed=42)
+        html = events["html"].to_pylist()
+        seqs = events["seq"].to_pylist()
+        html[seqs.index(70)] = good["html"][seqs.index(70)].as_py()
+        fixed = events.set_column(events.column_names.index("html"), "html",
+                                  pa.array(html, pa.binary()))
+        pq.write_table(fixed, path)
+
+        summary = retry_quarantine(lake, path, CFG)
+        assert summary["quarantined"] == 2
+        assert summary["healed"] == 1
+        assert summary["still_failing"] == 1
+        assert summary["dlq_rows_removed"] == 1
+        assert lake.is_epoch_complete(summary["epoch"])
+
+        store = QuarantineStore(quarantine_root(lake_root),
+                                CFG.num_partitions)
+        left = store.read()
+        assert left.num_rows == 1 and left["seq"][0].as_py() == 71
+
+        # final state == the fixed stream minus the still-poison event
+        clean = fixed.filter(pc.invert(pc.is_in(
+            fixed["seq"], value_set=pa.array([71]))))
+        oracle = oracle_final_state(clean)
+        got = {r["url"]: r for r in
+               lake.read_state(include_tombstones=True).to_pylist()}
+        assert set(got) == set(oracle)
+        for url, want in oracle.items():
+            assert got[url]["text"] == want["text"], url
+            assert got[url]["seq"] == want["seq"], url
+
+        # idempotent: a second retry heals nothing and changes nothing
+        again = retry_quarantine(lake, path, CFG)
+        assert again["healed"] == 0 and again["still_failing"] == 1
+        assert store.read().num_rows == 1
+
+    def test_retry_empty_dlq_is_noop(self, tmp_path):
+        from opendataloader_pdf_ray.cdc.quarantine import retry_quarantine
+
+        path, _ = _events_with_poison(tmp_path, set())
+        lake_root = str(tmp_path / "lake")
+        replay(path, lake_root, CFG, mode="epoch")
+        lake = Lake(lake_root, CFG.num_partitions)
+        out = retry_quarantine(lake, path, CFG)
+        assert out == {"quarantined": 0, "healed": 0, "still_failing": 0,
+                       "epoch": None}
