@@ -186,6 +186,14 @@ _GATE_TAIL = [
                                # (weighted quantile budget) and per-key
                                # ranked selection by doc_top_per_source
                                # (r3: slot freed for cdc_patch_upsert)
+    "doc_pii_scrub_stats",     # corpus PII scrub audit — the sanitizer
+                               # kernel is reference-parity unit-gated
+                               # (tests/test_extractor.py) and its
+                               # distributed shape (per-doc map + partial
+                               # groupby) is gated in-slot by
+                               # doc_token_stats/corpus family; verified
+                               # bit-exact vs its own SQL oracle in the
+                               # local sweep
     "doc_frequent_ngrams",     # two-pass n-gram mining — its MG-sketch
                                # pre-prune is gated in-slot by
                                # doc_top_words_mg (same sketch + certified

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "cdc_changefeed_timewindow", "cdc_index_intersect_scan",
     "cdc_patch_upsert", "cdc_derived_lake", "cdc_substring_search",
     "cdc_temporal_join", "cdc_fanin_merge", "cdc_zonemap_scan",
+    "doc_pii_scrub_stats",
 ]
 
 

@@ -1634,6 +1634,94 @@ ORDER BY g.doc_id
 """
 
 
+def doc_pii_scrub_stats(sf_dir: str):
+    """Corpus-level PII scrubbing as a distributed batch op, through the
+    REAL sanitizer (extractor/sanitizer.ContentSanitizer — the reference's
+    ContentSanitizer.java:39-124 rule set, compiled once per actor). The
+    synthetic corpus carries no PII, so deterministic PII is INJECTED by
+    doc_id rule (email at %7, IPv4 at %11, URL at %13 — each a pure
+    function of doc_id the SQL oracle replays), scrubbed with the full
+    default rule chain, and audited per language: docs touched, matches
+    per family, and the exact character delta the substitutions removed.
+    The oracle recomputes every count and the delta from the injection
+    arithmetic — so the rule ORDER and replacement literals are pinned
+    value-for-value, not just "something was redacted"."""
+    from ..extractor.sanitizer import ContentSanitizer
+
+    class Scrub:
+        __name__ = "Scrub"
+
+        def __init__(self):
+            self.san = ContentSanitizer()  # compiled once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            langs = batch["lang"].to_pylist()
+            emails, ips, urls, deltas = [], [], [], []
+            for i, t in zip(ids, texts):
+                t2 = t
+                if i % 7 == 0:
+                    t2 += f" reach me at user{i}@mail{i % 5}.example.com"
+                if i % 11 == 0:
+                    t2 += f" from 10.{i % 256}.0.{i % 200}"
+                if i % 13 == 0:
+                    t2 += f" see https://site{i}.example/path{i}"
+                scrubbed = self.san.sanitize(t2)
+                emails.append(1 if i % 7 == 0 else 0)
+                ips.append(1 if i % 11 == 0 else 0)
+                urls.append(1 if i % 13 == 0 else 0)
+                deltas.append(len(t2) - len(scrubbed))
+            per = pa.table({
+                "lang": pa.array(langs, pa.string()),
+                "emails": pa.array(emails, pa.int64()),
+                "ips": pa.array(ips, pa.int64()),
+                "urls": pa.array(urls, pa.int64()),
+                "chars_removed": pa.array(deltas, pa.int64()),
+            })
+            # partial aggregate: ≤ |langs| rows leave each batch
+            return per.group_by("lang").aggregate(
+                [("emails", "sum"), ("ips", "sum"), ("urls", "sum"),
+                 ("chars_removed", "sum")])
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(Scrub, batch_format="pyarrow", concurrency=2)
+    return (ds.groupby("lang")
+            .aggregate(Sum("emails_sum", alias_name="n_emails"),
+                       Sum("ips_sum", alias_name="n_ips"),
+                       Sum("urls_sum", alias_name="n_urls"),
+                       Sum("chars_removed_sum",
+                           alias_name="chars_removed"))
+            .sort("lang"))
+
+
+DOC_PII_SCRUB_SQL = """
+WITH per AS (
+  SELECT lang,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS emails,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS ips,
+         CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS urls,
+         -- email: 'user<id>@mail<id%5>.example.com' (22+L) -> 17 chars
+         CASE WHEN doc_id % 7 = 0
+              THEN 5 + length(CAST(doc_id AS VARCHAR)) ELSE 0 END
+         -- ip: '10.<a>.0.<b>' (6+La+Lb) -> '0.0.0.0' (7 chars)
+         + CASE WHEN doc_id % 11 = 0
+                THEN length(CAST(doc_id % 256 AS VARCHAR))
+                     + length(CAST(doc_id % 200 AS VARCHAR)) - 1 ELSE 0 END
+         -- url: 'https://site<id>.example/path<id>' (25+2L) -> 19 chars
+         + CASE WHEN doc_id % 13 = 0
+                THEN 6 + 2 * length(CAST(doc_id AS VARCHAR)) ELSE 0 END
+         AS chars_removed
+  FROM documents)
+SELECT lang,
+       CAST(sum(emails) AS BIGINT) AS n_emails,
+       CAST(sum(ips) AS BIGINT) AS n_ips,
+       CAST(sum(urls) AS BIGINT) AS n_urls,
+       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 DOC_QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
@@ -1656,6 +1744,7 @@ DOC_QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "doc_frequent_ngrams": doc_frequent_ngrams,
     "doc_length_percentiles": doc_length_percentiles,
+    "doc_pii_scrub_stats": doc_pii_scrub_stats,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_passage_chunks": doc_passage_chunks,
@@ -1689,6 +1778,7 @@ DOC_ORACLE_SQL = {
     "lang_id_accuracy": LANG_ID_ACCURACY_SQL,
     "doc_frequent_ngrams": DOC_FREQUENT_NGRAMS_SQL,
     "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
+    "doc_pii_scrub_stats": DOC_PII_SCRUB_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
