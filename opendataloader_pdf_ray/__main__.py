@@ -1131,16 +1131,19 @@ def cmd_temporal_join(args) -> int:
             return 2
         _os.makedirs(args.out, exist_ok=True)
         watermark = args.since
-        pat = _re.compile(r"tj-(-?\d+)-(\d+)-d(-?\d+)\.parquet$")
-        for name in _os.listdir(args.out):
-            m = pat.match(name)
-            if m:
-                watermark = max(watermark, int(m.group(2)))
+        if args.consumer is None:
+            # no consumer group: resume from the output file names
+            pat = _re.compile(r"tj-(-?\d+)-(\d+)-d(-?\d+)\.parquet$")
+            for name in _os.listdir(args.out):
+                m = pat.match(name)
+                if m:
+                    watermark = max(watermark, int(m.group(2)))
         windows = 0
         for lo, hi, dim_until, table in follow_temporal_join(
                 Lake(args.src), Lake(args.dim), cols=cols, since=watermark,
                 poll_interval=args.poll_interval,
-                max_idle_polls=args.idle_stop, align=args.align):
+                max_idle_polls=args.idle_stop, align=args.align,
+                consumer=args.consumer):
             path = _os.path.join(args.out,
                                  f"tj-{lo + 1}-{hi}-d{dim_until}.parquet")
             tmp = path + ".tmp"
@@ -2051,6 +2054,12 @@ def main(argv=None) -> int:
     tj.add_argument("--poll-interval", type=float, default=0.5)
     tj.add_argument("--idle-stop", type=int, default=None,
                     help="follow mode: stop after N idle polls")
+    tj.add_argument("--consumer", default=None,
+                    help="follow mode: durable consumer group — offset "
+                         "lives in the SRC lake's _commits/consumers/ "
+                         "(same namespace as changes consumers), advanced "
+                         "only after a window is processed "
+                         "(at-least-once)")
     tj.set_defaults(fn=cmd_temporal_join)
 
     rp = sub.add_parser("replicate",

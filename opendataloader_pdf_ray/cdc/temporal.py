@@ -221,7 +221,8 @@ def follow_temporal_join(src: Lake, dim: Lake, cols: List[str],
                          since: int = -1, poll_interval: float = 0.5,
                          max_idle_polls: Optional[int] = None,
                          stopped=None, align: bool = False,
-                         prefix: str = "dim_"):
+                         prefix: str = "dim_",
+                         consumer: Optional[str] = None):
     """TAIL the temporal join — continuous stream enrichment (the Flink
     temporal-table join in its streaming form): a generator yielding one
     ``(lo_epoch, hi_epoch, dim_until, pa.Table)`` tuple per newly COMPLETED
@@ -248,14 +249,22 @@ def follow_temporal_join(src: Lake, dim: Lake, cols: List[str],
       ``follow_fanin`` applies.
 
     Resume is the caller's via ``since`` (the CLI derives it from output
-    file names, mirroring ``changes --follow``). Stop conditions match
+    file names, mirroring ``changes --follow``), or durable via
+    ``consumer``: a named consumer group whose offset (src-lake epochs,
+    stored in the src lake's ``_commits/consumers/`` exactly like a
+    ``changes`` consumer — the join consumes the same feed timeline) is
+    persisted only after the caller's loop RESUMES past the yield, giving
+    at-least-once redelivery on crash. Stop conditions match
     ``follow_changes``: ``stopped()`` drains then returns;
     ``max_idle_polls`` consecutive no-progress polls returns."""
     import time as _time
 
-    from .changefeed import feed_head
+    from .changefeed import consumer_offset, feed_head, \
+        store_consumer_offset
 
     watermark = since
+    if consumer is not None:
+        watermark = max(watermark, consumer_offset(src, consumer))
     idle = 0
     while True:
         stopping = bool(stopped()) if stopped is not None else False
@@ -278,6 +287,10 @@ def follow_temporal_join(src: Lake, dim: Lake, cols: List[str],
                     [("epoch", "ascending"), ("part", "ascending"),
                      ("url", "ascending"), ("seq", "ascending")])
                 yield watermark, hi, dim_until, table
+                # reached only when the consumer resumed us past the
+                # yield: the window is processed, the offset may advance
+            if consumer is not None:
+                store_consumer_offset(src, consumer, hi)
             watermark = hi
             idle = 0
         else:

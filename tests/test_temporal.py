@@ -361,3 +361,30 @@ class TestFollowTemporalJoin:
         rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep2["windows_written"] == 0
         assert sorted(os.listdir(out)) == names
+
+    def test_consumer_group_offsets(self, tmp_path):
+        """Durable consumer group on the streaming join: the offset (src
+        epochs) persists only after the caller resumes past the yield —
+        a crash mid-window redelivers exactly that window."""
+        from opendataloader_pdf_ray.cdc.changefeed import consumer_offset
+        from opendataloader_pdf_ray.cdc.temporal import follow_temporal_join
+
+        src, dim = self._base(tmp_path)
+        gen = follow_temporal_join(src, dim, cols=["tag"],
+                                   poll_interval=0.05, max_idle_polls=2,
+                                   consumer="enricher")
+        lo, hi, dim_until, table = next(gen)
+        assert (lo, hi) == (-1, 0) and table.num_rows
+        # crash before resuming: offset NOT advanced → redelivery
+        gen.close()
+        assert consumer_offset(src, "enricher") == -1
+        gen2 = follow_temporal_join(src, dim, cols=["tag"],
+                                    poll_interval=0.05, max_idle_polls=2,
+                                    consumer="enricher")
+        wins = list(gen2)
+        assert [(w[0], w[1]) for w in wins] == [(-1, 0)]
+        # fully drained loop → offset advanced; a fresh tail replays nothing
+        assert consumer_offset(src, "enricher") == 0
+        assert list(follow_temporal_join(
+            src, dim, cols=["tag"], poll_interval=0.05, max_idle_polls=2,
+            consumer="enricher")) == []
