@@ -1416,6 +1416,22 @@ def cmd_range_scan(args) -> int:
     return 0
 
 
+def cmd_drop_column(args) -> int:
+    """Subtractive schema evolution (Lake.drop_column): physically remove
+    a payload column from every data file, all epochs — additive
+    unification would otherwise resurrect it as nulls forever. No Ray
+    session needed."""
+    from .cdc import Lake
+
+    try:
+        audit = Lake(args.lake, args.partitions).drop_column(args.column)
+    except ValueError as exc:
+        print(json.dumps({"error": str(exc)}))
+        return 2
+    print(json.dumps(audit))
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Named savepoint (Lake.set_tag): a human name for an epoch, pinned
     from vacuum like a branch fork point. No Ray session needed."""
@@ -1769,6 +1785,18 @@ def main(argv=None) -> int:
     tgs = sub.add_parser("tags", help="list a lake's tags")
     tgs.add_argument("lake")
     tgs.set_defaults(fn=cmd_tags)
+
+    dc = sub.add_parser("drop-column",
+                        help="physically remove a payload column from "
+                             "every data file, all epochs (subtractive "
+                             "schema evolution / column-level "
+                             "right-to-be-forgotten; atomic per file, "
+                             "idempotent)")
+    dc.add_argument("lake")
+    dc.add_argument("column")
+    dc.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    dc.set_defaults(fn=cmd_drop_column)
 
     bh = sub.add_parser("branch",
                         help="zero-copy branch of a lake at an epoch "

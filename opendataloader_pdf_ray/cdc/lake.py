@@ -1342,6 +1342,101 @@ class Lake:
             json.dumps(audit).encode())
         return audit
 
+    def drop_column(self, col: str) -> Dict:
+        """Subtractive schema evolution: physically remove a payload column
+        from EVERY data file (snapshots and deltas, all epochs) — the
+        column-level right-to-be-forgotten, and the inverse of the additive
+        null-backfill rule (a column mistakenly ingested corpus-wide cannot
+        be removed by any forward epoch: schema unification would resurrect
+        it as nulls forever). A content-rewriting maintenance op like
+        ``purge``: idempotent (files without the column stay byte-stable),
+        crash-safe (atomic per-file replace), commit records keep their
+        lineage but their ``zone_maps`` entry for the column is scrubbed
+        (stale pruning metadata must not name a ghost column). Branch lakes
+        SHADOW parent-held files with the projected copy (the parent and
+        sibling branches keep the column); dropping on a PARENT drops it
+        for delegating branches too — the purge convention.
+
+        Guards: version-key/meta columns are refused; a column/range index
+        on the column is refused (delete the index first — its keyspace
+        would silently go stale). An audit record lands in the commit
+        log."""
+        import hashlib
+
+        if col in self._MERGE_COLS or is_internal_col(col):
+            raise ValueError(f"drop_column: {col!r} is a version-key/meta "
+                             f"column — the merge cannot run without it")
+        from .colindex import col_index_root
+        from .rangeindex import range_index_root
+
+        for idx_root in (col_index_root(self.root, col),
+                         range_index_root(self.root, col)):
+            if self.fs.exists(idx_root):
+                raise ValueError(
+                    f"drop_column: {col!r} has a follower index at "
+                    f"{idx_root} — delete the index first (it would "
+                    f"silently go stale)")
+        files_rewritten = 0
+        for part in range(self.num_partitions):
+            try:
+                names = sorted(self.fs.ls(self._part_dir(part),
+                                          detail=False))
+            except FileNotFoundError:
+                names = []
+            for full in names:
+                name = posixpath.basename(full)
+                if not (name.startswith(("epoch=", "delta="))
+                        and name.endswith(".parquet")):
+                    continue
+                if col not in pq.read_schema(full, filesystem=self.fs).names:
+                    continue  # idempotence: untouched files stay stable
+                t = pq.read_table(full, filesystem=self.fs)
+                self._write_table_atomic(t.drop_columns([col]), full)
+                files_rewritten += 1
+            if self.parent_root is not None:
+                # shadow parent history (purge convention): a local file
+                # with the same name wins resolution for THIS lake only
+                for epoch in self.committed_epochs(part):
+                    if epoch > self.fork_epoch:
+                        continue
+                    for kind, local in (
+                            ("snap", self._data_path(part, epoch)),
+                            ("delta", self._delta_path(part, epoch))):
+                        if self.fs.exists(local):
+                            continue
+                        res = self.resolve_data(part, epoch, kind)
+                        if res is None:
+                            continue
+                        rfs, rpath = res
+                        if col not in pq.read_schema(
+                                rpath, filesystem=rfs).names:
+                            continue
+                        t = pq.read_table(rpath, filesystem=rfs)
+                        self.fs.makedirs(self._part_dir(part),
+                                         exist_ok=True)
+                        self._write_table_atomic(t.drop_columns([col]),
+                                                 local)
+                        files_rewritten += 1
+            # scrub stale zone-map entries naming the dropped column
+            for epoch in self.committed_epochs(part):
+                cpath = self._commit_path(part, epoch)
+                if not self.fs.exists(cpath):
+                    continue  # delegated (branch) commit record
+                rec = self._read_commit(part, epoch)
+                zm = rec.get("zone_maps")
+                if zm and col in zm:
+                    del zm[col]
+                    self._write_small_atomic(cpath,
+                                             json.dumps(rec).encode())
+        audit = {"op": "drop_column", "column": col,
+                 "files_rewritten": files_rewritten}
+        batch_id = hashlib.sha256(col.encode()).hexdigest()[:16]
+        self._write_small_atomic(
+            posixpath.join(self._commits_dir(),
+                           f"dropcol-{batch_id}.json"),
+            json.dumps(audit).encode())
+        return audit
+
     def read_state(self, as_of: Optional[int] = None, include_tombstones: bool = False) -> pa.Table:
         """Whole-lake state as ONE pyarrow table (tests / small lakes only —
         big lakes should use partition_files() + ray.data.read_parquet).
