@@ -483,12 +483,14 @@ FROM s2 LEFT JOIN s1 USING (user_id)
 
 def cdc_replay_flagship(sf_dir: str):
     """Full CDC replay (documents-derived events → lake) — the flagship
-    pipeline as a queries() entry. Not SQL-expressible (stateful exactly-once
-    ingest): rows-only driver check; correctness is pinned by the pytest
-    replay suite against the sequential oracle."""
-    from .flagship import run_flagship
+    pipeline as a queries() entry, now ORACLE-GATED end-to-end: events are
+    synthesized inside map_batches, the HTML is SQL-reconstructable, and the
+    merged LWW state (url, seq, lang, deleted, byte-exact text — tombstones
+    included) is certified against a DuckDB window-rank oracle
+    (pipelines/flagship.py FLAGSHIP schedule; r3 verdict item #1)."""
+    from .flagship import flagship_state
 
-    return run_flagship(sf_dir, work_dir="/tmp/odl_ray_flagship_q")
+    return flagship_state(sf_dir, work_dir="/tmp/odl_ray_flagship_q")
 
 
 def cdc_incremental_view(sf_dir: str, num_epochs: int = 8):
@@ -3576,7 +3578,14 @@ CDC_QUERIES = {
     "cdc_embed_backfill_ann": cdc_embed_backfill_ann,
 }
 
+def _flagship_sql() -> str:
+    from .flagship import flagship_sql
+
+    return flagship_sql()
+
+
 CDC_ORACLE_SQL = {
+    "cdc_replay_flagship": _flagship_sql(),
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
     "cdc_changefeed_timewindow": CDC_CHANGEFEED_TIMEWINDOW_SQL,
