@@ -1146,6 +1146,18 @@ def cmd_temporal_join(args) -> int:
                 consumer=args.consumer):
             path = _os.path.join(args.out,
                                  f"tj-{lo + 1}-{hi}-d{dim_until}.parquet")
+            # Consumer-mode redelivery (crash between write and offset
+            # store) re-joins the window against the CURRENT dim head, so a
+            # stale tj-LO-HI-dN.parquet from the crashed attempt may sit
+            # next to the new dim epoch's file — drop any prior emission of
+            # this src window first so directory readers never see the same
+            # window twice with conflicting enrichment.
+            stale_pat = _re.compile(
+                rf"tj-{lo + 1}-{hi}-d-?\d+\.parquet$")
+            for name in _os.listdir(args.out):
+                full = _os.path.join(args.out, name)
+                if stale_pat.match(name) and full != path:
+                    _os.remove(full)
             tmp = path + ".tmp"
             _pq.write_table(table, tmp, compression="zstd")
             _os.rename(tmp, path)

@@ -95,6 +95,21 @@ def resolve_backfill_epoch(lake: Lake, name: str,
                     f"unfinished backfill epoch {epoch} belongs to "
                     f"transform {rec.get('name')!r}, not {name!r} — finish "
                     f"or vacuum it first")
+            if parts is not None and rec.get("parts") is not None:
+                # resumed scoped op: the recomputed affected set is
+                # authoritative. Rescope the marker to (new set ∪ parts the
+                # crashed run already committed) — otherwise a scope that
+                # SHRANK (extractor changed between crash and resume)
+                # leaves uncommitted ghost partitions that wedge every
+                # later maintenance op (ADVICE r3).
+                new_scope = sorted({int(p) for p in parts}
+                                   | {p for p in scope
+                                      if lake.is_committed(p, epoch)})
+                if new_scope != scope:
+                    rec["parts"] = new_scope
+                    lake._write_small_atomic(
+                        _marker_path(lake, epoch),
+                        json.dumps(rec).encode())
             return epoch
         break  # newest marker finished → no resume candidate below it
     newest = max((e for p in live for e in lake.committed_epochs(p)),
@@ -106,6 +121,37 @@ def resolve_backfill_epoch(lake: Lake, name: str,
     lake._write_small_atomic(_marker_path(lake, epoch),
                              json.dumps(marker).encode())
     return epoch
+
+
+def reconcile_scoped_marker(lake: Lake, name: str) -> Optional[int]:
+    """Close out a crashed scoped maintenance op whose RESUMED affected set
+    is empty (e.g. a dlq-retry after the extractor changed so nothing heals
+    any more): the newest unfinished marker for ``name`` is rescoped to the
+    partitions the crashed run actually committed and its maintenance
+    watermark is published — the marker can then never wedge later
+    differently-named ops. Returns the closed epoch, or None if there was
+    no unfinished marker for ``name``."""
+    for full in sorted(lake.fs.ls(lake._commits_dir(), detail=False),
+                       reverse=True):
+        base = posixpath.basename(full)
+        if not (base.startswith(_MARKER_PREFIX) and base.endswith(".json")):
+            continue
+        epoch = int(base[len(_MARKER_PREFIX):-5])
+        with lake.fs.open(_marker_path(lake, epoch)) as f:
+            rec = json.loads(f.read())
+        if rec.get("name") != name or rec.get("parts") is None:
+            continue
+        scope = [int(p) for p in rec["parts"]]
+        committed = [p for p in scope if lake.is_committed(p, epoch)]
+        if len(committed) == len(scope):
+            continue  # finished — nothing to reconcile
+        rec["parts"] = committed
+        lake._write_small_atomic(_marker_path(lake, epoch),
+                                 json.dumps(rec).encode())
+        if not lake.is_epoch_complete(epoch):
+            lake.mark_epoch_maint(epoch)
+        return epoch
+    return None
 
 
 class _BackfillPartition:

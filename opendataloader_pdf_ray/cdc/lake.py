@@ -581,6 +581,12 @@ class Lake:
             raise ValueError(f"tag {name!r} already exists "
                              f"(at epoch {self.get_tag(name)}) — delete it "
                              f"first to retag")
+        gaps = self.reconstruction_gaps(epoch)
+        if gaps:
+            raise ValueError(
+                f"cannot tag epoch {epoch}: a pre-tag vacuum already "
+                f"reclaimed files the reconstruction needs — restore/"
+                f"branch by this tag would fail later ({'; '.join(gaps)})")
         self.fs.makedirs(posixpath.join(self._commits_dir(), "tags"),
                          exist_ok=True)
         self._write_small_atomic(self._tag_path(name),
@@ -1368,6 +1374,9 @@ class Lake:
                              f"column — the merge cannot run without it")
         from .colindex import col_index_root
         from .rangeindex import range_index_root
+        from .textindex import text_index_root
+        from .trigramindex import substr_index_root
+        from .vecindex import vec_index_root
 
         for idx_root in (col_index_root(self.root, col),
                          range_index_root(self.root, col)):
@@ -1375,6 +1384,33 @@ class Lake:
                 raise ValueError(
                     f"drop_column: {col!r} has a follower index at "
                     f"{idx_root} — delete the index first (it would "
+                    f"silently go stale)")
+        # text/trigram indexes cover the text column; the vector index
+        # covers its configured embedding column (persisted in
+        # _vecconf.json; pre-feature indexes default to 'vec'). Dropping a
+        # covered column would leave search/contains/vec-search verifying
+        # against a ghost column (ADVICE r3).
+        for idx_root, covered in ((text_index_root(self.root), "text"),
+                                  (substr_index_root(self.root), "text")):
+            if col == covered and self.fs.exists(idx_root):
+                raise ValueError(
+                    f"drop_column: {col!r} is covered by the follower "
+                    f"index at {idx_root} — delete the index first (it "
+                    f"would silently go stale)")
+        vroot = vec_index_root(self.root)
+        if self.fs.exists(vroot):
+            vcol = "vec"
+            try:
+                with self.fs.open(posixpath.join(vroot, "_vecconf.json"),
+                                  "rb") as f:
+                    vcol = json.loads(f.read().decode()).get("vec_col",
+                                                             "vec")
+            except FileNotFoundError:
+                pass
+            if col == vcol:
+                raise ValueError(
+                    f"drop_column: {col!r} is the vector index's embedding "
+                    f"column ({vroot}) — delete the index first (it would "
                     f"silently go stale)")
         files_rewritten = 0
         for part in range(self.num_partitions):
@@ -1682,6 +1718,29 @@ class Lake:
                         removed += 1
         return removed
 
+    def reconstruction_gaps(self, as_of: int) -> List[str]:
+        """Metadata-only check that ``read_partition(part, as_of)`` can
+        actually rebuild epoch ``as_of`` in every partition: the newest
+        surviving snapshot ≤ as_of is the base, and every committed epoch
+        after it (≤ as_of) must still have its delta file. Returns the
+        missing pieces (empty = reconstructable). Used by :meth:`set_tag`
+        (refuse naming a state no reader can rebuild — ADVICE r3) and
+        ``verify(deep=True)`` (flag tags orphaned by a later vacuum)."""
+        gaps: List[str] = []
+        for part in range(self.num_partitions):
+            epochs = [e for e in self.committed_epochs(part) if e <= as_of]
+            if not epochs:
+                continue
+            snaps = [e for e in epochs
+                     if self.resolve_data(part, e, "snap") is not None]
+            base = max(snaps) if snaps else -1
+            for e in epochs:
+                if e > base and self.resolve_data(part, e, "delta") is None:
+                    gaps.append(f"part {part} epoch {e}: no surviving "
+                                f"snapshot covers it and its delta file "
+                                f"is gone")
+        return gaps
+
     def verify(self, deep: bool = False) -> Dict:
         """fsck for the lake: audit commit-log ↔ data-file consistency.
 
@@ -1707,6 +1766,10 @@ class Lake:
             if not self.is_epoch_complete(epoch):
                 issues.append(f"tag {name!r}: epoch {epoch} has no "
                               f"done/maint marker — dangling savepoint")
+            elif deep:
+                for gap in self.reconstruction_gaps(epoch):
+                    issues.append(f"tag {name!r}: epoch {epoch} not "
+                                  f"reconstructable — {gap}")
         for part in range(self.num_partitions):
             epochs = []
             for epoch in self.committed_epochs(part):

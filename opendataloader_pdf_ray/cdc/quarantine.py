@@ -335,8 +335,15 @@ def retry_quarantine(lake: Lake, events_path: str, cfg=None) -> dict:
                        .iter_batches(batch_format="pyarrow")
                        for r in b.to_pylist()})  # ≤ P ints
     if not affected:
+        # nothing heals under the CURRENT extractor — but a prior crashed
+        # retry may have left an unfinished scoped marker whose partitions
+        # this run no longer touches; close it out or it wedges every
+        # later maintenance op (ADVICE r3)
+        from .backfill import reconcile_scoped_marker
+
+        closed = reconcile_scoped_marker(lake, "dlq-retry")
         return {"quarantined": len(pairs), "healed": 0,
-                "still_failing": int(n_still), "epoch": None}
+                "still_failing": int(n_still), "epoch": closed}
     epoch = resolve_backfill_epoch(lake, "dlq-retry", parts=affected)
     _fence_writer(lake, "dlq-retry")
     root, n_parts = lake.root, lake.num_partitions

@@ -284,6 +284,7 @@ class VectorIndex(FollowerIndex):
         if conf is not None:  # persisted geometry wins — it hashed the data
             self.nbits, self.seed = int(conf["nbits"]), int(conf["seed"])
             self.dim = int(conf["dim"])
+            self.vec_col = conf.get("vec_col", vec_col)
         self._extra_init = {"key_col": key_col, "vec_col": vec_col,
                             "nbits": self.nbits, "seed": self.seed,
                             "dim": self.dim}
@@ -303,7 +304,7 @@ class VectorIndex(FollowerIndex):
         self.lake._write_small_atomic(
             self._conf_path(),
             json.dumps({"nbits": self.nbits, "seed": self.seed,
-                        "dim": self.dim}).encode())
+                        "dim": self.dim, "vec_col": self.vec_col}).encode())
 
     def _sniff_dim(self, lake: Lake) -> int:
         for part in range(lake.num_partitions):

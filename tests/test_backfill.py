@@ -98,6 +98,47 @@ class TestBackfill:
         with pytest.raises(ValueError, match="unfinished backfill"):
             backfill(lake, token_stats, name="other-transform")
 
+    def test_scoped_marker_rescopes_when_affected_set_shrinks(self,
+                                                              tmp_path):
+        """ADVICE r3: a crashed scoped op (e.g. dlq-retry over parts [a, b],
+        only a committed) re-run after the affected set SHRANK must rescope
+        the marker — not leave ghost uncommitted partitions that wedge
+        every later differently-named maintenance op forever."""
+        lake = seed_lake(tmp_path / "lake")
+        parts_with_data = [p for p in range(P) if lake.committed_epochs(p)]
+        a, b = parts_with_data[0], parts_with_data[1]
+        epoch = resolve_backfill_epoch(lake, "dlq-retry", parts=[a, b])
+        task = _BackfillPartition(lake.root, P, epoch, token_stats, "url")
+        task(pa.table({"part": pa.array([a], pa.int32())}))  # crash after a
+        # any OTHER maintenance op is (correctly) wedged right now
+        with pytest.raises(ValueError, match="unfinished backfill"):
+            resolve_backfill_epoch(lake, "retention:99")
+        # resume with the shrunk affected set {a}: marker rescoped to its
+        # committed parts ∪ new scope = {a} → finished
+        assert resolve_backfill_epoch(lake, "dlq-retry", parts=[a]) == epoch
+        lake.mark_epoch_maint(epoch)
+        # the wedge is gone: a different op now claims a FRESH epoch
+        assert resolve_backfill_epoch(lake, "retention:99") == epoch + 1
+
+    def test_reconcile_scoped_marker_on_empty_affected_set(self, tmp_path):
+        """The resumed run's affected set is EMPTY (extractor changed so
+        nothing heals): reconcile_scoped_marker closes the crashed marker
+        — rescoped to what actually committed, watermark published."""
+        from opendataloader_pdf_ray.cdc.backfill import (
+            reconcile_scoped_marker)
+
+        lake = seed_lake(tmp_path / "lake")
+        parts_with_data = [p for p in range(P) if lake.committed_epochs(p)]
+        a, b = parts_with_data[0], parts_with_data[1]
+        epoch = resolve_backfill_epoch(lake, "dlq-retry", parts=[a, b])
+        task = _BackfillPartition(lake.root, P, epoch, token_stats, "url")
+        task(pa.table({"part": pa.array([a], pa.int32())}))
+        assert reconcile_scoped_marker(lake, "dlq-retry") == epoch
+        assert lake.is_epoch_complete(epoch)
+        # idempotent: nothing left to reconcile
+        assert reconcile_scoped_marker(lake, "dlq-retry") is None
+        assert resolve_backfill_epoch(lake, "retention:99") == epoch + 1
+
     def test_second_backfill_gets_new_epoch(self, tmp_path):
         lake = seed_lake(tmp_path / "lake", with_tombstone=False)
         l1 = backfill(lake, token_stats, name="token-stats")

@@ -96,6 +96,37 @@ class TestDropColumn:
         with pytest.raises(ValueError, match="follower index"):
             lake.drop_column("score")
 
+    def test_text_and_vector_index_guards(self, tmp_path):
+        """ADVICE r3: a text/trigram/vector index over the dropped column
+        must refuse the drop — search/contains/vec-search would otherwise
+        verify against a ghost column."""
+        from opendataloader_pdf_ray.cdc.textindex import text_index_root
+        from opendataloader_pdf_ray.cdc.trigramindex import substr_index_root
+        from opendataloader_pdf_ray.cdc.vecindex import vec_index_root
+
+        lake = _lake(tmp_path)
+        lake.fs.makedirs(text_index_root(lake.root), exist_ok=True)
+        with pytest.raises(ValueError, match="covered by the follower"):
+            lake.drop_column("text")
+        import shutil
+
+        shutil.rmtree(text_index_root(lake.root))
+        lake.fs.makedirs(substr_index_root(lake.root), exist_ok=True)
+        with pytest.raises(ValueError, match="covered by the follower"):
+            lake.drop_column("text")
+        shutil.rmtree(substr_index_root(lake.root))
+
+        # vector index: covered column comes from the persisted conf
+        vroot = vec_index_root(lake.root)
+        lake.fs.makedirs(vroot, exist_ok=True)
+        with open(f"{vroot}/_vecconf.json", "w") as f:
+            json.dump({"nbits": 5, "seed": 42, "dim": 4,
+                       "vec_col": "score"}, f)
+        with pytest.raises(ValueError, match="embedding column"):
+            lake.drop_column("score")
+        # a DIFFERENT column is not covered → drop proceeds
+        assert lake.drop_column("text")["files_rewritten"] > 0
+
     def test_branch_shadows_parent(self, tmp_path):
         lake = _lake(tmp_path)
         br = lake.branch(str(tmp_path / "br"), name="b1")

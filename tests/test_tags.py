@@ -98,6 +98,27 @@ class TestTagBasics:
 
 
 class TestTagVacuumPinning:
+    def test_tagging_vacuumed_epoch_refused(self, tmp_path):
+        """ADVICE r3: an epoch whose snapshot a PRE-tag vacuum already
+        reclaimed must refuse set_tag (restore/branch by it would fail
+        later); fsck --deep flags a tag orphaned after the fact."""
+        lake = _three_epoch_lake(tmp_path)
+        lake.vacuum(keep_snapshots=1)  # epochs 0/1 snapshots reclaimed
+        with pytest.raises(ValueError, match="pre-tag vacuum"):
+            lake.set_tag("too-late", 1)
+        # the surviving head still tags fine
+        lake.set_tag("head", 2)
+        assert lake.verify(deep=True)["ok"]
+        # a tag orphaned AFTER set (metadata damage) is caught by deep fsck
+        lake2 = _three_epoch_lake(tmp_path / "l2")
+        lake2.set_tag("pinned", 1)
+        victim = next(p for p in range(P)
+                      if 1 in lake2.committed_epochs(p)
+                      and lake2.fs.exists(lake2._data_path(p, 1)))
+        lake2.fs.rm_file(lake2._data_path(victim, 1))
+        rep = lake2.verify(deep=True)
+        assert any("not reconstructable" in i for i in rep["issues"])
+
     def test_vacuum_keeps_tagged_epoch_readable(self, tmp_path):
         lake = _three_epoch_lake(tmp_path)
         want = {}  # pre-vacuum as-of-1 state per partition

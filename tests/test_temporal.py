@@ -362,6 +362,41 @@ class TestFollowTemporalJoin:
         assert rep2["windows_written"] == 0
         assert sorted(os.listdir(out)) == names
 
+    def test_cli_consumer_redelivery_replaces_stale_window_file(
+            self, tmp_path, capsys):
+        """Crash between window write and offset store → the redelivered
+        window joins the CURRENT dim head; the stale tj-LO-HI-dOLD.parquet
+        from the crashed attempt must be REPLACED, not left beside the new
+        dim epoch's file (ADVICE r3: directory readers would see the same
+        src window twice with conflicting enrichment)."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.__main__ import main
+
+        src, dim = self._base(tmp_path)
+        out = str(tmp_path / "tj_out")
+        os.makedirs(out)
+        # crashed attempt: window (-1, 0] was written against dim epoch 0,
+        # but the consumer offset was never stored
+        stale = os.path.join(out, "tj-0-0-d0.parquet")
+        pq.write_table(pa.table({"url": ["stale"]}), stale)
+        # dim advances before the restart
+        _commit(dim, 1, [(f"u{i}", 15, 60 + i, "b") for i in range(6)])
+        dim.mark_epoch_done(1)
+        assert main(["temporal-join", src.root, dim.root, "--cols", "tag",
+                     "--out", out, "--follow", "--poll-interval", "0.05",
+                     "--idle-stop", "3", "--consumer", "enricher"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["windows_written"] == 1
+        names = sorted(n for n in os.listdir(out) if n.endswith(".parquet"))
+        # exactly ONE emission of the src window, at the current dim head
+        assert names == ["tj-0-0-d1.parquet"]
+        t = pq.read_table(os.path.join(out, names[0]))
+        assert set(t["dim_tag"].to_pylist()) == {"b"}
+
     def test_consumer_group_offsets(self, tmp_path):
         """Durable consumer group on the streaming join: the offset (src
         epochs) persists only after the caller resumes past the yield —

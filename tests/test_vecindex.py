@@ -97,7 +97,8 @@ class TestGeometry:
         idx.refresh(lake)
         conf = json.loads(
             (tmp_path / "vi" / "_vecconf.json").read_text())
-        assert conf == {"nbits": 4, "seed": 7, "dim": DIM}
+        assert conf == {"nbits": 4, "seed": 7, "dim": DIM,
+                        "vec_col": "vec"}
         # a later open with DIFFERENT ctor geometry loads the persisted one
         again = VectorIndex(str(tmp_path / "vi"), nbits=9, seed=999)
         assert (again.nbits, again.seed, again.dim) == (4, 7, DIM)
