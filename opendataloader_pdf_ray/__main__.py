@@ -963,7 +963,9 @@ def cmd_retention(args) -> int:
     from .cdc.retention import apply_retention
 
     lake = Lake(args.lake, args.partitions)
-    lineage = apply_retention(lake, args.cutoff_ts_us, ts_col=args.ts_col)
+    lineage = apply_retention(lake, args.cutoff_ts_us, ts_col=args.ts_col,
+                              cooperative=args.cooperative,
+                              lease_timeout=args.lease_timeout)
     print(json.dumps({
         "cutoff_ts_us": args.cutoff_ts_us,
         "epoch": lineage[0]["epoch"] if lineage else None,
@@ -2006,6 +2008,11 @@ def main(argv=None) -> int:
     rt.add_argument("--ts-col", default="warc_ts")
     rt.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
+    rt.add_argument("--cooperative", action="store_true",
+                    help="run UNDER a live follow tail via the maintenance "
+                         "lease (cdc/lease.py) instead of fencing it; "
+                         "requires the tail to grant within --lease-timeout")
+    rt.add_argument("--lease-timeout", type=float, default=60.0)
     rt.set_defaults(fn=cmd_retention)
 
     rst = sub.add_parser("restore",

@@ -123,6 +123,20 @@ def resolve_backfill_epoch(lake: Lake, name: str,
     return epoch
 
 
+def claim_marker(lake: Lake, name: str, epoch: int,
+                 parts: Optional[List[int]] = None) -> None:
+    """Idempotently write the backfill marker for an EXTERNALLY-chosen
+    epoch (cooperative-lease grants — cdc/lease.py); crash-resume
+    bookkeeping is then identical to the resolve_backfill_epoch path."""
+    path = _marker_path(lake, epoch)
+    if lake.fs.exists(path):
+        return
+    marker = {"name": name, "epoch": int(epoch)}
+    if parts is not None:
+        marker["parts"] = sorted(int(p) for p in parts)
+    lake._write_small_atomic(path, json.dumps(marker).encode())
+
+
 def reconcile_scoped_marker(lake: Lake, name: str) -> Optional[int]:
     """Close out a crashed scoped maintenance op whose RESUMED affected set
     is empty (e.g. a dlq-retry after the extractor changed so nothing heals
@@ -225,29 +239,53 @@ _LINEAGE_SCHEMA = [
 
 def backfill(lake: Lake, fn: Callable[[pa.Table], pa.Table],
              name: str = "backfill", key_col: str = "url",
-             epoch: Optional[int] = None) -> List[dict]:
+             epoch: Optional[int] = None, cooperative: bool = False,
+             lease_timeout: float = 60.0) -> List[dict]:
     """Apply ``fn`` to every live partition's current state and commit the
     results as one new exactly-once epoch (module docstring). Returns ≤P
     tiny lineage dicts; re-running a finished backfill starts a NEW epoch,
-    re-running a crashed one resumes it."""
+    re-running a crashed one resumes it.
+
+    ``cooperative=True`` runs UNDER a live ``follow`` tail instead of
+    fencing it: the epoch comes from the tail's maintenance-lease grant
+    (cdc/lease.py — the tail pauses at an epoch boundary and resumes after
+    the ``.maint`` marker, no WriterFencedError); requires a live tail to
+    grant within ``lease_timeout``."""
     import ray.data
 
-    if epoch is None:
+    req = None
+    if cooperative:
+        if epoch is not None:
+            raise ValueError("cooperative backfill takes its epoch from "
+                             "the tail's lease grant — do not pass epoch=")
+        from .lease import acquire_maint_epoch
+
+        epoch, req = acquire_maint_epoch(lake, name, timeout=lease_timeout)
+        claim_marker(lake, name, epoch)
+    elif epoch is None:
         epoch = resolve_backfill_epoch(lake, name)
-    from .retention import _fence_writer
-    _fence_writer(lake, "backfill")  # zombie tails die at their next poll
+    if not cooperative:
+        from .retention import _fence_writer
+        _fence_writer(lake, "backfill")  # zombie tails die at next poll
     parts = _live_parts(lake)
-    if not parts:
-        return []
-    ds = ray.data.from_items([{"part": p} for p in parts],
-                             override_num_blocks=len(parts))
-    lineage = ds.map_batches(
-        _BackfillPartition(lake.root, lake.num_partitions, epoch, fn,
-                           key_col),
-        batch_format="pyarrow", batch_size=None)
-    out = lineage.take_all()  # ≤ P tiny rows
-    # publish the MAINTENANCE watermark (not epoch_done — that would make
-    # a resumed binlog tail skip the colliding epoch silently), or every
-    # watermark tail (follow_changes, follow_replicate) stalls here forever
-    lake.mark_epoch_maint(epoch)
+    out: List[dict] = []
+    if parts:
+        ds = ray.data.from_items([{"part": p} for p in parts],
+                                 override_num_blocks=len(parts))
+        lineage = ds.map_batches(
+            _BackfillPartition(lake.root, lake.num_partitions, epoch, fn,
+                               key_col),
+            batch_format="pyarrow", batch_size=None)
+        out = lineage.take_all()  # ≤ P tiny rows
+    if parts or req is not None:
+        # publish the MAINTENANCE watermark (not epoch_done — that would
+        # make a resumed binlog tail skip the colliding epoch silently), or
+        # every watermark tail (follow_changes, follow_replicate) stalls
+        # here forever; a cooperative grant must ALWAYS complete (the
+        # granting tail stays paused until the marker lands)
+        lake.mark_epoch_maint(epoch)
+    if req is not None:  # cooperative: un-pause the granting tail
+        from .lease import release_lease
+
+        release_lease(lake, req)
     return out

@@ -467,13 +467,18 @@ def num_epochs_in(events_path: str, epoch_size: int) -> int:
 
 
 def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
-                 override_parallelism: Optional[int] = None) -> List[dict]:
+                 override_parallelism: Optional[int] = None,
+                 commit_epoch: Optional[int] = None) -> List[dict]:
     """Run one epoch's micro-batch pipeline; returns lineage dicts.
     ``events_path``: a file/dir path or an explicit list of segment files
     (``follow`` passes the readable set so in-flight segments stay out),
     or an already-built ``ray.data.Dataset`` holding exactly this epoch's
     events (``follow_fanin`` passes the seq-banded union of its sources —
-    the caller owns the band filter then)."""
+    the caller owns the band filter then). ``commit_epoch`` decouples the
+    LAKE epoch this pipeline commits at from the BINLOG epoch whose seq
+    band it reads (cooperative-lease tails shift binlog epochs past
+    interleaved maintenance epochs — cdc/lease.py); default: same number."""
+    ce = epoch if commit_epoch is None else commit_epoch
     if cfg.patch_ops and cfg.epoch_commits == "delta":
         raise ValueError(
             "patch_ops requires snapshot epoch commits (delta files must "
@@ -509,11 +514,11 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
             # DLQ first, then hand every OTHER keyspace the clean stream
             # (a cheap filter over the already-materialized blocks — no
             # second materialization, no second extraction)
-            ds = _maintain_quarantine(ds, lake, epoch, cfg)
+            ds = _maintain_quarantine(ds, lake, ce, cfg)
         if cfg.maintain_dup_index:
-            _maintain_dup_index(ds, lake, epoch, cfg)
+            _maintain_dup_index(ds, lake, ce, cfg)
         if cfg.maintain_near_index:
-            _maintain_near_index(ds, lake, epoch, cfg)
+            _maintain_near_index(ds, lake, ce, cfg)
     ds = ds.map_batches(_add_keys(cfg), batch_format="pyarrow")
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:
@@ -522,7 +527,7 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         ds = ds.repartition(cfg.local_merge_blocks).map_batches(
             _combine, batch_format="pyarrow")
     lineage_ds = ds.groupby("part").map_groups(
-        ApplyPartition(lake.root, cfg.num_partitions, epoch,
+        ApplyPartition(lake.root, cfg.num_partitions, ce,
                        commit_mode=cfg.epoch_commits), batch_format="pyarrow"
     )
     return lineage_ds.take_all()  # ≤ P tiny rows
@@ -732,14 +737,25 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
 
     cfg = cfg or CDCConfig()
     lake = Lake(lake_root, cfg.num_partitions)
-    # fencing token: a restarted tail (or a maintenance op) bumps the
-    # generation, and THIS process dies loudly at its next poll instead of
-    # zombie-writing alongside the new owner (lake.acquire_writer)
+    # fencing token: a restarted tail (or a non-cooperative maintenance op)
+    # bumps the generation, and THIS process dies loudly at its next poll
+    # instead of zombie-writing alongside the new owner (lake.acquire_writer)
     fence_tok = lake.acquire_writer(_writer_owner("follow"))
+    from .lease import LeaseState
+
+    lease = LeaseState(lake)  # cooperative-maintenance servicing (lease.py)
     lineage: List[dict] = []
     idle = 0
     while True:
         lake.check_writer(fence_tok)
+        if lease.poll():
+            # cooperative maintenance holds the next lake epoch: stay
+            # alive, ingest nothing until its .maint marker lands
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                return lineage
+            _time.sleep(poll_interval)
+            continue
         # marker BEFORE extent (TOCTOU guard): the producer contract is
         # "write all segments, then the marker", so sampling the marker
         # first guarantees the extent read afterwards covers everything
@@ -757,19 +773,30 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
                 epochs.append(n_complete)  # final partial epoch
         progressed = False
         for e in epochs:
-            if lake.is_epoch_done(e):
+            if lake.is_epoch_done(lease.lake_epoch(e)):
                 continue
             # pass the readable-segment list, not the dir: a producer's
             # in-flight (footer-less) file must not enter the read set
-            lineage.extend(ingest_epoch(paths, lake, e, cfg))
-            lake.mark_epoch_done(e)
+            lineage.extend(ingest_epoch(paths, lake, e, cfg,
+                                        commit_epoch=lease.lake_epoch(e)))
+            lake.mark_epoch_done(lease.lake_epoch(e))
             _auto_compact(lake, cfg)
             progressed = True
         if progressed:
             for f in (followers or []):
                 f.refresh(lake)
+        req = lease.want_grant()
+        if req is not None:
+            # every currently-complete binlog epoch is done → epoch
+            # boundary: reserve the next lake epoch for the maintenance op
+            # and pause from the next poll on
+            lease.grant(req)
+            idle = 0
+            _time.sleep(poll_interval)
+            continue
         if stopping and (dense or max_seq < 0) \
-                and all(lake.is_epoch_done(e) for e in epochs):
+                and all(lake.is_epoch_done(lease.lake_epoch(e))
+                        for e in epochs):
             # catch-up: heal a prior crash between epoch commit and refresh
             for f in (followers or []):
                 f.refresh(lake)

@@ -91,30 +91,56 @@ class _RetentionPartition:
 
 
 def apply_retention(lake: Lake, cutoff_ts_us: int, ts_col: str = "warc_ts",
-                    epoch: Optional[int] = None) -> List[dict]:
+                    epoch: Optional[int] = None, cooperative: bool = False,
+                    lease_timeout: float = 60.0) -> List[dict]:
     """Expire every live row with ``ts_col < cutoff_ts_us`` as one new
     exactly-once epoch (module docstring). Returns ≤P tiny lineage dicts;
     re-running a finished retention starts a NEW epoch, re-running a
-    crashed one resumes it, replaying a committed epoch no-ops."""
+    crashed one resumes it, replaying a committed epoch no-ops.
+
+    ``cooperative=True`` runs UNDER a live ``follow`` tail: the epoch comes
+    from the tail's maintenance-lease grant (cdc/lease.py — the tail pauses
+    at an epoch boundary and resumes after the ``.maint`` marker; no
+    WriterFencedError, no stream stop). Requires a live tail to grant
+    within ``lease_timeout``."""
     import ray.data
 
-    if epoch is None:
-        epoch = resolve_backfill_epoch(lake, f"retention:{cutoff_ts_us}")
-    _fence_writer(lake, "retention")  # zombie tails die at their next poll
+    name = f"retention:{cutoff_ts_us}"
+    req = None
+    if cooperative:
+        if epoch is not None:
+            raise ValueError("cooperative retention takes its epoch from "
+                             "the tail's lease grant — do not pass epoch=")
+        from .backfill import claim_marker
+        from .lease import acquire_maint_epoch
+
+        epoch, req = acquire_maint_epoch(lake, name, timeout=lease_timeout)
+        claim_marker(lake, name, epoch)
+    elif epoch is None:
+        epoch = resolve_backfill_epoch(lake, name)
+    if not cooperative:
+        _fence_writer(lake, "retention")  # zombie tails die at next poll
     parts = _live_parts(lake)
-    if not parts:
-        return []
-    ds = ray.data.from_items([{"part": p} for p in parts],
-                             override_num_blocks=len(parts))
-    lineage = ds.map_batches(
-        _RetentionPartition(lake.root, lake.num_partitions, epoch,
-                            cutoff_ts_us, ts_col),
-        batch_format="pyarrow", batch_size=None)
-    out = lineage.take_all()  # ≤ P tiny rows
-    # publish the MAINTENANCE watermark (not epoch_done — that would make
-    # a resumed binlog tail skip the colliding epoch silently), or every
-    # watermark tail (follow_changes, follow_replicate) stalls here forever
-    lake.mark_epoch_maint(epoch)
+    out: List[dict] = []
+    if parts:
+        ds = ray.data.from_items([{"part": p} for p in parts],
+                                 override_num_blocks=len(parts))
+        lineage = ds.map_batches(
+            _RetentionPartition(lake.root, lake.num_partitions, epoch,
+                                cutoff_ts_us, ts_col),
+            batch_format="pyarrow", batch_size=None)
+        out = lineage.take_all()  # ≤ P tiny rows
+    if parts or req is not None:
+        # publish the MAINTENANCE watermark (not epoch_done — that would
+        # make a resumed binlog tail skip the colliding epoch silently), or
+        # every watermark tail (follow_changes, follow_replicate) stalls
+        # here forever; a cooperative grant must ALWAYS complete (the
+        # granting tail stays paused until the marker lands)
+        lake.mark_epoch_maint(epoch)
+    if req is not None:  # cooperative: un-pause the granting tail
+        from .lease import release_lease
+
+        release_lease(lake, req)
     return out
 
 
