@@ -190,6 +190,116 @@ def main() -> None:
     ray.shutdown()
 
 
+def run_follow(num_cpus: int, extract_mode: str, n_epochs: int) -> dict:
+    """Steady-state tail benchmark (r3 verdict item #3): drip-feed the
+    cached event log through ``follow`` one epoch at a time (closed loop —
+    epoch e+1 is released when e commits) and report per-epoch latency
+    p50/p99 and sustained ev/s. ``extract_mode`` contrasts the tail-tuned
+    tasks extract against the actor-pool default to quantify the
+    per-pipeline pool spin-up cost."""
+    import threading
+
+    from opendataloader_pdf_ray.cdc import Lake
+    from opendataloader_pdf_ray.cdc.ingest import follow
+    from opendataloader_pdf_ray.config import CDCConfig
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    events_path = events_path_for(sf_name)
+    n_events, _ = _SF_EVENTS.get(sf_name, _SF_EVENTS["sf0.1"])
+    epoch_size = n_events // n_epochs
+    shards = sorted(os.listdir(events_path))
+
+    drip_dir = f"/tmp/odl_bench_tail_segs_{extract_mode}"
+    lake_root = f"/tmp/odl_bench_tail_lake_{extract_mode}"
+    shutil.rmtree(drip_dir, ignore_errors=True)
+    shutil.rmtree(lake_root, ignore_errors=True)
+    os.makedirs(drip_dir)
+
+    cfg = CDCConfig(num_partitions=64, num_salts=8, epoch_size=epoch_size,
+                    extract_batch_size=128, extract_mode=extract_mode,
+                    extract_concurrency=num_cpus, extract_num_cpus=0.75,
+                    epoch_commits="delta")
+    # shard k covers seqs [k*shard_rows, ...) — write_fixture_dir layout
+    shard_rows = max(500, n_events // 48)
+    latencies: list = []
+    t_start = [0.0]
+
+    def producer():
+        lake = None
+        released = 0  # shards linked so far
+        for e in range(n_epochs):
+            hi = (e + 1) * epoch_size if e < n_epochs - 1 else n_events
+            while released < len(shards) and released * shard_rows < hi:
+                os.link(os.path.join(events_path, shards[released]),
+                        os.path.join(drip_dir, shards[released]))
+                released += 1
+            t_rel = time.time()
+            if e == 0:
+                t_start[0] = t_rel
+            while True:  # closed loop: wait for the epoch to commit
+                try:
+                    lake = lake or Lake(lake_root)
+                    if lake.is_epoch_done(e):
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.02)
+            latencies.append(time.time() - t_rel)
+        open(os.path.join(drip_dir, ".end"), "w").close()
+
+    prod = threading.Thread(target=producer, daemon=True)
+    prod.start()
+    follow(drip_dir, lake_root, cfg, poll_interval=0.05)
+    prod.join(timeout=60)
+    wall = time.time() - t_start[0]
+    lat = sorted(latencies)
+
+    def pct(p):
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+
+    return {
+        "extract_mode": extract_mode,
+        "epochs": n_epochs,
+        "epoch_size": epoch_size,
+        "events": n_events,
+        "wall_sec": round(wall, 3),
+        "sustained_events_per_sec": round(n_events / wall, 1),
+        "epoch_latency_p50_sec": pct(0.50),
+        "epoch_latency_p99_sec": pct(0.99),
+        "epoch_latency_max_sec": round(lat[-1], 3),
+    }
+
+
+def follow_bench() -> None:
+    """`bench.py --follow`: steady-state tail line for BENCH/BASELINE.md —
+    tasks-mode (tail-tuned) vs actor-pool extract on the same drip."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    n_epochs = {"sf0.001": 4, "sf0.01": 6}.get(sf_name, 16)
+    tasks = run_follow(NUM_CPUS, "tasks", n_epochs)
+    actors = run_follow(NUM_CPUS, "actors", n_epochs)
+    print(json.dumps({
+        "metric": "cdc_follow_tail",
+        "unit": "sec",
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+        "tasks": tasks,
+        "actor_pool": actors,
+        "tail_speedup_tasks_vs_actor_pool": round(
+            tasks["sustained_events_per_sec"]
+            / actors["sustained_events_per_sec"], 3),
+    }))
+    ray.shutdown()
+
+
 # register-only busy loop: measures what fraction of linear CPU scaling THIS
 # host delivers right now to any workload (shared microVM — the ceiling moves
 # hour to hour; BASELINE.md round-2 probe protocol, automated per r2 verdict)
@@ -267,6 +377,8 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--follow" in sys.argv:
+        follow_bench()
     elif os.environ.get("BENCH_HEADLINE_ONLY"):
         import ray
 

@@ -52,6 +52,45 @@ _LINEAGE_AGGS = {"n_events": "sum", "seq_lo": "min", "seq_hi": "max"}
 _HELPER_COLS = ["part", "salt", "n_events", "seq_lo", "seq_hi"]
 
 
+class _ExtractBatch:
+    """Tasks-mode extract: a plain per-batch callable (no actor pool).
+    The stdlib extractor's construction is ~0.6 ms (compiled config, no
+    model), so re-constructing per batch is free while skipping the actor
+    pool's per-pipeline spin-up (~1.3 s at 8 CPUs) — the right mode for a
+    streaming tail's micro-epochs (``CDCConfig.extract_mode``). A backend
+    that genuinely loads state (hybrid HTTP client, a model) must keep
+    actor mode. Output is byte-identical either way (the extractor is a
+    pure function of the batch)."""
+
+    def __init__(self, cfg: CDCConfig):
+        self.kwargs = {"cfg": cfg.extractor,
+                       "drop_html": cfg.drop_html_after_extract,
+                       "quarantine": cfg.quarantine_errors}
+        self.derive = None  # derive runs as its own stage, unchanged
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return HtmlExtractor(**self.kwargs)(batch)
+
+
+def _extract_stage(ds: "ray.data.Dataset", cfg: CDCConfig) -> "ray.data.Dataset":
+    """The extractor stage, per ``cfg.extract_mode``: ``"actors"`` (default
+    — stateful pool, setup once per actor) or ``"tasks"`` (stateless
+    map_batches; tail micro-epochs where pool spin-up dominates)."""
+    if cfg.extract_mode == "tasks":
+        return ds.map_batches(_ExtractBatch(cfg), batch_format="pyarrow",
+                              batch_size=cfg.extract_batch_size)
+    return ds.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs={"cfg": cfg.extractor,
+                               "drop_html": cfg.drop_html_after_extract,
+                               "quarantine": cfg.quarantine_errors},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=cfg.extract_num_cpus,
+    )
+
+
 def _writer_owner(role: str) -> str:
     """Ops-plane writer identity for fencing tokens (host:pid:role) —
     metadata only, never influences data bytes."""
@@ -483,23 +522,17 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
         raise ValueError(
             "patch_ops requires snapshot epoch commits (delta files must "
             "hold full images for the merge-on-read fold)")
+    n_input_blocks = None
     if isinstance(events_path, ray.data.Dataset):
         ds = events_path
     else:
         lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
+        if isinstance(events_path, (list, tuple)):
+            n_input_blocks = len(events_path)
         ds = ray.data.read_parquet(
             events_path,
             filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi))
-    ds = ds.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"cfg": cfg.extractor,
-                               "drop_html": cfg.drop_html_after_extract,
-                               "quarantine": cfg.quarantine_errors},
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
-        num_cpus=cfg.extract_num_cpus,
-    )
+    ds = _extract_stage(ds, cfg)
     if cfg.patch_ops:
         ds = ds.map_batches(_null_patch_derived, batch_format="pyarrow")
     if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
@@ -523,7 +556,13 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:
         ds = ds.groupby(["part", "salt"]).map_groups(_combine, batch_format="pyarrow")
-    elif cfg.local_merge_blocks:
+    elif cfg.local_merge_blocks and (
+            n_input_blocks is None
+            or n_input_blocks > cfg.local_merge_blocks):
+        # the coalesce bounds the BLOCK count into the partition sort; when
+        # the read set is already ≤ that many segments (per-epoch pruned
+        # tail polls) the barrier is pure overhead — measured ~2s/epoch of
+        # the streaming tail's fixed cost at 8 CPUs
         ds = ds.repartition(cfg.local_merge_blocks).map_batches(
             _combine, batch_format="pyarrow")
     lineage_ds = ds.groupby("part").map_groups(
@@ -557,16 +596,7 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
             events_path,
             filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi) & ~expr,
         )
-    ds = ds.map_batches(
-        HtmlExtractor,
-        fn_constructor_kwargs={"cfg": cfg.extractor,
-                               "drop_html": cfg.drop_html_after_extract,
-                               "quarantine": cfg.quarantine_errors},
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
-        num_cpus=cfg.extract_num_cpus,
-    )
+    ds = _extract_stage(ds, cfg)
     if cfg.patch_ops:
         ds = ds.map_batches(_null_patch_derived, batch_format="pyarrow")
     if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
@@ -657,15 +687,21 @@ def replay(events_path: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     return lineage
 
 
-def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
-    """(max_seq, n_rows, readable segment paths) of a (possibly still-
-    growing) binlog segment dir, from parquet FOOTERS only. A segment
-    mid-write has no valid footer yet — it is skipped this poll (and kept
-    out of the ingest read set) and picked up on the next one."""
+def _log_extent(events_dir: str) \
+        -> "tuple[int, int, List[str], dict[str, tuple[int, int]]]":
+    """(max_seq, n_rows, readable segment paths, per-path seq extents) of a
+    (possibly still-growing) binlog segment dir, from parquet FOOTERS only.
+    A segment mid-write has no valid footer yet — it is skipped this poll
+    (and kept out of the ingest read set) and picked up on the next one.
+    The per-path (min_seq, max_seq) extents let the tail prune the READ SET
+    to the segments overlapping each epoch's band — without this, every
+    poll's ingest schedules one read task per segment EVER written, which
+    at 10^10 events is millions of tasks per micro-epoch."""
     import pyarrow.dataset as pads
 
     max_seq, n_rows = -1, 0
     paths: List[str] = []
+    extents: dict = {}
     try:
         dset = pads.dataset(events_dir, format="parquet")
         fragments = list(dset.get_fragments())
@@ -673,7 +709,7 @@ def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
         # dir missing, or schema inference hit a half-written FIRST segment
         # (pads.dataset reads the first fragment's footer to infer the
         # schema) — treat the whole poll as "nothing readable yet" and retry
-        return -1, 0, []
+        return -1, 0, [], {}
     for frag in fragments:
         try:
             meta = frag.metadata
@@ -683,11 +719,26 @@ def _log_extent(events_dir: str) -> "tuple[int, int, List[str]]":
         paths.append(frag.path)
         seq_idx = {meta.schema.column(i).name: i
                    for i in range(meta.num_columns)}["seq"]
+        lo, hi = None, None
         for rg in range(meta.num_row_groups):
             stats = meta.row_group(rg).column(seq_idx).statistics
             if stats is not None and stats.has_min_max:
                 max_seq = max(max_seq, stats.max)
-    return max_seq, n_rows, sorted(paths)
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+        # stats-less file (shouldn't happen — our writers emit them):
+        # conservative full-range extent keeps it in every epoch's read set
+        extents[frag.path] = (0 if lo is None else int(lo),
+                              2**62 if hi is None else int(hi))
+    return max_seq, n_rows, sorted(paths), extents
+
+
+def _paths_for_band(paths: List[str], extents: dict,
+                    lo: int, hi: int) -> List[str]:
+    """Segments whose seq extent overlaps [lo, hi) — the per-epoch read
+    set (footer-pruned; the parquet-level seq filter still applies)."""
+    return [p for p in paths
+            if extents[p][0] < hi and extents[p][1] >= lo]
 
 
 def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
@@ -763,7 +814,7 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
         # two calls are simply picked up as usual because stop only returns
         # once every epoch of the post-marker extent is done
         stopping = _os.path.exists(_os.path.join(events_dir, stop_marker))
-        max_seq, n_rows, paths = _log_extent(events_dir)
+        max_seq, n_rows, paths, extents = _log_extent(events_dir)
         dense = max_seq + 1 == n_rows
         epochs: List[int] = []
         if max_seq >= 0 and dense:
@@ -775,9 +826,13 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
         for e in epochs:
             if lake.is_epoch_done(lease.lake_epoch(e)):
                 continue
-            # pass the readable-segment list, not the dir: a producer's
-            # in-flight (footer-less) file must not enter the read set
-            lineage.extend(ingest_epoch(paths, lake, e, cfg,
+            # pass only the readable segments OVERLAPPING this epoch's seq
+            # band (footer-pruned): a producer's in-flight (footer-less)
+            # file must not enter the read set, and the read-task count
+            # stays O(epoch segments), not O(all segments ever written)
+            band = _paths_for_band(paths, extents, e * cfg.epoch_size,
+                                   (e + 1) * cfg.epoch_size)
+            lineage.extend(ingest_epoch(band, lake, e, cfg,
                                         commit_epoch=lease.lake_epoch(e)))
             lake.mark_epoch_done(lease.lake_epoch(e))
             _auto_compact(lake, cfg)
@@ -910,7 +965,7 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
         covered: List[float] = []   # epochs fully available per source
         total: List[int] = []       # epochs a STOPPED source drains to
         holes = False
-        for (mx, n_rows, _), stop_i in zip(extents, stops):
+        for (mx, n_rows, _, _), stop_i in zip(extents, stops):
             if mx < 0:  # nothing readable yet
                 covered.append(_math.inf if stop_i else 0)
                 total.append(0)
@@ -938,11 +993,14 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
                 continue
             lo, hi = e * size, (e + 1) * size
             parts = []
-            for i, (mx, _, paths) in enumerate(extents):
+            for i, (mx, _, paths, exts) in enumerate(extents):
                 if not paths or mx < lo:
                     continue  # source ended before this band
+                band_paths = _paths_for_band(paths, exts, lo, hi)
+                if not band_paths:
+                    continue  # no segment overlaps this band
                 d = ray.data.read_parquet(
-                    paths,
+                    band_paths,
                     filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi))
                 parts.append(d.map_batches(_FaninRemap(k, i),
                                            batch_format="pyarrow"))
