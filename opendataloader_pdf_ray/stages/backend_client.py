@@ -220,10 +220,17 @@ class HttpBackendClient:
 def make_client(spec, cfg: Optional[ExtractorConfig] = None,
                 degrade_every: int = 7):
     """Resolve a client spec: None/'stub' → StubBackendClient; an
-    'http://...' string → HttpBackendClient; an object implementing the
-    interface passes through (tests inject fakes this way)."""
+    'http://...' string → HttpBackendClient; 'docling:http://...' →
+    the schema-transforming client over the docling-serve wire shape
+    (stages/transformers.py); an object implementing the interface passes
+    through (tests inject fakes this way)."""
     if spec is None or spec == "stub":
         return StubBackendClient(cfg, degrade_every=degrade_every)
+    if isinstance(spec, str) and spec.startswith("docling:"):
+        from .transformers import DoclingHttpTransport, TransformingBackendClient
+
+        return TransformingBackendClient(
+            DoclingHttpTransport(spec[len("docling:"):]), cfg=cfg)
     if isinstance(spec, str):
         return HttpBackendClient(spec)
     return spec
