@@ -54,6 +54,13 @@ class ExtractorConfig:
     # --- invalid characters (TextProcessor.replaceUndefinedCharacters) ---
     replacement_text: str = " "              # what U+FFFD / control chars become
 
+    # --- parser (veraPDF-swap analog, DocumentProcessor.java:613-660) ---
+    # "stdlib" (html.parser, always available) or "lxml" (optional C fast
+    # path; round-3 profile put stdlib parse at 40% of extract wall).
+    # EXPLICIT opt-in only — auto-detection on a mixed cluster would break
+    # the byte-identical determinism invariant (dom.parse_html docstring).
+    parser: str = "stdlib"
+
     # --- sanitization (ContentSanitizer) ---
     sanitize: bool = False
     sanitization_rules: Tuple[SanitizationRule, ...] = DEFAULT_SANITIZATION_RULES

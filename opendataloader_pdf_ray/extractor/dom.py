@@ -180,15 +180,76 @@ class _TreeBuilder(HTMLParser):
                                     children=_NO_CHILDREN))
 
 
-def parse_html(html: str | bytes) -> Node:
+def parse_html(html: str | bytes, parser: str = "stdlib") -> Node:
     """Parse HTML into a Node tree. Invalid UTF-8 bytes become U+FFFD, which the
-    invalid-character step then measures/replaces (``TextProcessor.java:41-74``)."""
+    invalid-character step then measures/replaces (``TextProcessor.java:41-74``).
+
+    ``parser``: ``"stdlib"`` (default — html.parser, always available) or
+    ``"lxml"`` — the optional C fast path (the veraPDF-parse-swap analog,
+    ``DocumentProcessor.java:613-660``; round-3 profile: stdlib parse = 40%
+    of extract wall). lxml must be EXPLICITLY chosen, never auto-detected:
+    on a mixed cluster auto-pick would parse the same page differently on
+    different workers and break the byte-identical determinism invariant.
+    Raises ImportError with a clear message when lxml isn't installed; the
+    cross-parser byte-equality suite (tests/test_extractor.py, skipped
+    where lxml is absent) is the guard for enabling it."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
+    if parser == "lxml":
+        return _parse_html_lxml(html)
+    if parser != "stdlib":
+        raise ValueError(f"unknown parser {parser!r} — use 'stdlib' or "
+                         f"'lxml'")
     builder = _TreeBuilder()
     builder.feed(unescape_entities_safe(html))
     builder.close()
     return builder.root
+
+
+def _parse_html_lxml(html: str) -> Node:
+    """lxml.etree fast path building the SAME Node tree shape as the
+    stdlib builder: SKIP_TAGS subtrees dropped (tail text kept), text/tail
+    runs become ``#text`` leaves, attrs/style parsed identically. Only the
+    tokenizer differs — for well-formed pages both parsers yield identical
+    trees, pinned by the cross-parser equality suite."""
+    try:
+        from lxml import etree
+    except ImportError as exc:  # pragma: no cover - container has no lxml
+        raise ImportError(
+            "ExtractorConfig(parser='lxml') requires the lxml package — "
+            "install it, or use the default stdlib parser") from exc
+    lx_root = etree.fromstring(
+        html, etree.HTMLParser(recover=True, no_network=True))
+    root = Node(tag="#root")
+    if lx_root is None:  # empty / unparseable input
+        return root
+
+    def build(el, parent: Node) -> None:
+        if not isinstance(el.tag, str):  # comment / PI: drop, keep tail
+            return
+        tag = el.tag.lower()
+        if tag in SKIP_TAGS:
+            return
+        attrd = {k.lower(): (v or "") for k, v in el.attrib.items()} \
+            if el.attrib else _EMPTY_MAP
+        st = attrd.get("style")
+        node = Node(tag=tag, attrs=attrd,
+                    style=parse_style(st) if st else _EMPTY_MAP,
+                    parent=parent)
+        parent.children.append(node)
+        if el.text:
+            node.children.append(Node(tag="#text", text=el.text,
+                                      parent=node, children=_NO_CHILDREN))
+        for child in el:
+            build(child, node)
+            if child.tail:
+                # tail text belongs to THIS node (the child's parent) —
+                # and survives even when the child subtree was skipped
+                node.children.append(Node(tag="#text", text=child.tail,
+                                          parent=node,
+                                          children=_NO_CHILDREN))
+    build(lx_root, root)
+    return root
 
 
 def unescape_entities_safe(html: str) -> str:

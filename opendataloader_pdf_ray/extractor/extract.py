@@ -76,7 +76,7 @@ def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
         if is_sealed(html):
             html = unseal(html, cfg.password)
     stats = DocStats()
-    root = parse_html(html)
+    root = parse_html(html, parser=cfg.parser)
 
     # per-page loop 1+2 analog: filter + structure detection (DOM order);
     # --pages selection applied before any work (DocumentProcessor.java:220-253)
