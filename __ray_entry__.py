@@ -28,6 +28,16 @@ from opendataloader_pdf_ray.pipelines.flagship import run_flagship
 # so the 50-slot gate always contains each distinct operator exactly once
 # (all embeddings / hybrid / multimodal / WARC / sketch queries included).
 _GATE_TAIL = [
+    "doc_top_words_mg",        # Misra-Gries heavy hitters + certified
+                               # recount — the MG sketch machinery is also
+                               # exercised by doc_frequent_ngrams' MG
+                               # prefilter (tail, green r2) and the sketch
+                               # family stays in-gate via
+                               # events_distinct_users_kmv (KMV partials);
+                               # certification guards are pytest-pinned
+                               # (r4: slot freed for cdc_rename_column —
+                               # schema-evolution-by-rename through real
+                               # ingest with a lagging-producer converge)
     "cdc_asof_enrich",         # bucketed merge_asof(by=key) enrichment —
                                # cdc_temporal_join gates the as-of rule
                                # end-to-end against a genuine DuckDB ASOF

@@ -1446,6 +1446,23 @@ def cmd_drop_column(args) -> int:
     return 0
 
 
+def cmd_rename_column(args) -> int:
+    """Metadata-level column rename (Lake.rename_column): no file
+    rewrite — a persisted historical→current name map consulted at every
+    read, with lagging-producer events converged at apply time. No Ray
+    session needed."""
+    from .cdc import Lake
+
+    try:
+        rec = Lake(args.lake, args.partitions).rename_column(args.old,
+                                                             args.new)
+    except ValueError as exc:
+        print(json.dumps({"error": str(exc)}))
+        return 2
+    print(json.dumps({"op": "rename_column", **rec}))
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Named savepoint (Lake.set_tag): a human name for an epoch, pinned
     from vacuum like a branch fork point. No Ray session needed."""
@@ -1811,6 +1828,19 @@ def main(argv=None) -> int:
     dc.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     dc.set_defaults(fn=cmd_drop_column)
+
+    rc = sub.add_parser("rename-column",
+                        help="metadata-level column rename (Iceberg-style "
+                             "schema evolution by name map; no file "
+                             "rewrite; reads at any as_of present the "
+                             "current name; old-name events from lagging "
+                             "producers converge at apply time)")
+    rc.add_argument("lake")
+    rc.add_argument("old")
+    rc.add_argument("new")
+    rc.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    rc.set_defaults(fn=cmd_rename_column)
 
     bh = sub.add_parser("branch",
                         help="zero-copy branch of a lake at an epoch "

@@ -286,6 +286,10 @@ class ApplyPartition:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lake = Lake(self.lake_root, self.num_partitions)
+        # lagging producers may still emit a RENAMED column's old name —
+        # translate at apply time so events converge into the current
+        # column instead of forking a null-backfilled twin (lake.py rename)
+        group = lake.apply_renames(group)
         part = int(group["part"][0].as_py())
         events_consumed = int(pc.sum(group["n_events"]).as_py())
         seq_min = int(pc.min(group["seq_lo"]).as_py())
@@ -361,6 +365,7 @@ class ApplyPartitionBacklog:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lake = Lake(self.lake_root, self.num_partitions)
+        group = lake.apply_renames(group)  # lagging-producer rename conv.
         part = int(group["part"][0].as_py())
         out_rows: List[Lineage] = []
         merged = lake.read_partition(part, as_of=self.epochs[0] - 1,
@@ -444,6 +449,7 @@ class ApplyPartitionFinal:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         lake = Lake(self.lake_root, self.num_partitions)
+        group = lake.apply_renames(group)  # lagging-producer rename conv.
         part = int(group["part"][0].as_py())
         last = self.epochs[-1]
         events_consumed = int(pc.sum(group["n_events"]).as_py())

@@ -655,6 +655,152 @@ class Lake:
             epochs = [e for e in epochs if e <= as_of]
         return epochs[-1] if epochs else None
 
+    # ------------------------------------------------- column renames
+    # Metadata-level rename (Iceberg renames by column id; this engine is
+    # name-addressed, so the equivalent is a persisted historical→current
+    # name map consulted at every file read). No data file is rewritten:
+    # files keep the name current when they were written, and translation
+    # happens per file BEFORE the merge-on-read fold — so pre-rename
+    # snapshots and post-rename deltas fold into ONE column instead of
+    # forking into null-backfilled twins. Incoming binlog events still
+    # carrying the old name are translated at apply time (ingest
+    # ApplyPartition*), so lagging producers converge instead of forking.
+    # Reads at ANY as_of present the CURRENT name (Iceberg semantics:
+    # schema evolution is not versioned per snapshot here — documented).
+
+    def _renames_path(self) -> str:
+        return posixpath.join(self._commits_dir(), "renames.json")
+
+    def list_renames(self) -> List[Dict]:
+        try:
+            with self.fs.open(self._renames_path(), "rb") as f:
+                return json.loads(f.read().decode())["renames"]
+        except FileNotFoundError:
+            return []
+
+    def rename_map(self) -> Dict[str, str]:
+        """historical name → CURRENT name, chains resolved (a→b then b→c
+        yields {a: c, b: c}); identity cycles (a→b→a) drop out."""
+        cur: Dict[str, str] = {}
+        for r in self.list_renames():
+            frm, to = r["from"], r["to"]
+            for k, v in list(cur.items()):
+                if v == frm:
+                    cur[k] = to
+            cur[frm] = to
+        return {k: v for k, v in cur.items() if k != v}
+
+    def apply_renames(self, table: Optional[pa.Table],
+                      rmap: Optional[Dict[str, str]] = None
+                      ) -> Optional[pa.Table]:
+        """Translate historical column names to current ones on a table
+        read from (or bound for) this lake's files. Raises on a
+        translation collision (a file holding BOTH the old and new name
+        — only metadata damage can produce that)."""
+        if table is None:
+            return None
+        rmap = self.rename_map() if rmap is None else rmap
+        if not rmap:
+            return table
+        names = table.column_names
+        new = [rmap.get(n, n) for n in names]
+        if new == names:
+            return table
+        if len(set(new)) != len(new):
+            dup = sorted({n for n in new if new.count(n) > 1})
+            raise ValueError(
+                f"rename translation collision on columns {dup}: a file "
+                f"holds both a historical and the current name — fsck the "
+                f"rename map")
+        return table.rename_columns(new)
+
+    def _aliases(self, col: str,
+                 rmap: Optional[Dict[str, str]] = None) -> List[str]:
+        """All names (current + historical) that resolve to ``col``."""
+        rmap = self.rename_map() if rmap is None else rmap
+        return [col] + sorted(h for h, v in rmap.items() if v == col)
+
+    def rename_column(self, old: str, new: str) -> Dict:
+        """Rename a payload column — metadata only, no file rewrite
+        (module comment above). Guards mirror drop_column: version-key /
+        meta columns refused; a follower index over the column refused
+        (its keyspace is name-addressed); the target name must be free.
+        Renaming a previously-renamed column chains. An audit record
+        lands in the rename log; fsck validates the map."""
+        if old in self._MERGE_COLS or is_internal_col(old) or old == "op":
+            raise ValueError(f"rename_column: {old!r} is a version-key/"
+                             f"meta column")
+        if new in self._MERGE_COLS or is_internal_col(new) or new == "op":
+            raise ValueError(f"rename_column: target {new!r} is a "
+                             f"version-key/meta column")
+        if not new.isidentifier():
+            raise ValueError(f"rename_column: target {new!r} is not a "
+                             f"valid column name")
+        rmap = self.rename_map()
+        current = self._current_columns()
+        if old not in current:
+            raise ValueError(f"rename_column: {old!r} is not a current "
+                             f"column (have {sorted(current)})")
+        if new in current or new in rmap:
+            raise ValueError(f"rename_column: target {new!r} already "
+                             f"names a column (current or historical)")
+        self._guard_indexed_column(old, op="rename_column")
+        renames = self.list_renames()
+        newest = max((e for p in range(self.num_partitions)
+                      for e in self.committed_epochs(p)), default=-1)
+        renames.append({"from": old, "to": new, "at_epoch": newest})
+        self._write_small_atomic(
+            self._renames_path(),
+            json.dumps({"renames": renames}).encode())
+        return renames[-1]
+
+    def _current_columns(self) -> List[str]:
+        """Current user-facing column names: footer schemas across live
+        partitions, unified, translated through the rename map."""
+        _, target = self._unified_live()
+        if target is None:
+            return []
+        rmap = self.rename_map()
+        return [rmap.get(f.name, f.name) for f in target]
+
+    def _guard_indexed_column(self, col: str, op: str) -> None:
+        """Refuse ops on columns covered by a name-addressed follower
+        index (shared by drop_column and rename_column)."""
+        from .colindex import col_index_root
+        from .rangeindex import range_index_root
+        from .textindex import text_index_root
+        from .trigramindex import substr_index_root
+        from .vecindex import vec_index_root
+
+        for idx_root in (col_index_root(self.root, col),
+                         range_index_root(self.root, col)):
+            if self.fs.exists(idx_root):
+                raise ValueError(
+                    f"{op}: {col!r} has a follower index at {idx_root} — "
+                    f"delete the index first (it would silently go stale)")
+        for idx_root, covered in ((text_index_root(self.root), "text"),
+                                  (substr_index_root(self.root), "text")):
+            if col == covered and self.fs.exists(idx_root):
+                raise ValueError(
+                    f"{op}: {col!r} is covered by the follower index at "
+                    f"{idx_root} — delete the index first (it would "
+                    f"silently go stale)")
+        vroot = vec_index_root(self.root)
+        if self.fs.exists(vroot):
+            vcol = "vec"
+            try:
+                with self.fs.open(posixpath.join(vroot, "_vecconf.json"),
+                                  "rb") as f:
+                    vcol = json.loads(f.read().decode()).get("vec_col",
+                                                             "vec")
+            except FileNotFoundError:
+                pass
+            if col == vcol:
+                raise ValueError(
+                    f"{op}: {col!r} is the vector index's embedding "
+                    f"column ({vroot}) — delete the index first (it "
+                    f"would silently go stale)")
+
     # -------------------------------------------------------------------- read
     _MERGE_COLS = ("url", "warc_ts", "seq", "deleted")
 
@@ -702,13 +848,25 @@ class Lake:
         filters = None
         if url_filter is not None:
             filters = [("url", "in", list(url_filter))]
+        rmap = self.rename_map()
 
         def _read(fs, path: str) -> pa.Table:
-            cols = self._projection(
-                columns, pq.read_schema(path, filesystem=fs).names) \
-                if columns is not None else None
-            return pq.read_table(path, filesystem=fs, filters=filters,
-                                 columns=cols)
+            cols = None
+            if columns is not None:
+                names = pq.read_schema(path, filesystem=fs).names
+                want = columns
+                if rmap:
+                    # a pre-rename file holds the HISTORICAL name — read
+                    # whichever alias this file actually has
+                    want = [next((a for a in self._aliases(c, rmap)
+                                  if a in names), c) for c in columns]
+                cols = self._projection(want, names)
+            t = pq.read_table(path, filesystem=fs, filters=filters,
+                              columns=cols)
+            # translate BEFORE the fold: a pre-rename snapshot and a
+            # post-rename delta must merge into one column, not fork into
+            # null-backfilled twins
+            return self.apply_renames(t, rmap)
 
         epochs = self.committed_epochs(part)
         if as_of is not None:
@@ -742,6 +900,7 @@ class Lake:
         across every partition's parquet FOOTERS (bytes, not data)."""
         target: Optional[pa.Schema] = None
         live_parts: List[int] = []
+        rmap = self.rename_map()
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
             if as_of is not None:
@@ -754,6 +913,10 @@ class Lake:
                         has_any = True
                         rfs, rpath = res
                         sch = pq.read_schema(rpath, filesystem=rfs)
+                        if rmap:  # footer names → current names
+                            sch = pa.schema(
+                                [f.with_name(rmap.get(f.name, f.name))
+                                 for f in sch])
                         target = sch if target is None \
                             else unified_schema(target, sch)
             if has_any:
@@ -839,6 +1002,9 @@ class Lake:
         so it prunes. O(P·epochs) small-json reads on the driver — the
         same cost the windowed change feed accepts."""
         out: List[int] = []
+        # commit records keyed zone_maps by the name current at WRITE time
+        # — consult every alias of a renamed column
+        aliases = self._aliases(col)
         for part in range(self.num_partitions):
             epochs = self.committed_epochs(part)
             if as_of is not None:
@@ -848,7 +1014,7 @@ class Lake:
                 if maps is None:  # pre-feature record: may hold anything
                     out.append(part)
                     break
-                zm = maps.get(col)
+                zm = next((maps[a] for a in aliases if a in maps), None)
                 if zm is not None and zm[0] <= hi and zm[1] >= lo:
                     out.append(part)
                     break
@@ -1372,46 +1538,21 @@ class Lake:
         if col in self._MERGE_COLS or is_internal_col(col):
             raise ValueError(f"drop_column: {col!r} is a version-key/meta "
                              f"column — the merge cannot run without it")
-        from .colindex import col_index_root
-        from .rangeindex import range_index_root
-        from .textindex import text_index_root
-        from .trigramindex import substr_index_root
-        from .vecindex import vec_index_root
-
-        for idx_root in (col_index_root(self.root, col),
-                         range_index_root(self.root, col)):
-            if self.fs.exists(idx_root):
-                raise ValueError(
-                    f"drop_column: {col!r} has a follower index at "
-                    f"{idx_root} — delete the index first (it would "
-                    f"silently go stale)")
-        # text/trigram indexes cover the text column; the vector index
-        # covers its configured embedding column (persisted in
-        # _vecconf.json; pre-feature indexes default to 'vec'). Dropping a
-        # covered column would leave search/contains/vec-search verifying
-        # against a ghost column (ADVICE r3).
-        for idx_root, covered in ((text_index_root(self.root), "text"),
-                                  (substr_index_root(self.root), "text")):
-            if col == covered and self.fs.exists(idx_root):
-                raise ValueError(
-                    f"drop_column: {col!r} is covered by the follower "
-                    f"index at {idx_root} — delete the index first (it "
-                    f"would silently go stale)")
-        vroot = vec_index_root(self.root)
-        if self.fs.exists(vroot):
-            vcol = "vec"
-            try:
-                with self.fs.open(posixpath.join(vroot, "_vecconf.json"),
-                                  "rb") as f:
-                    vcol = json.loads(f.read().decode()).get("vec_col",
-                                                             "vec")
-            except FileNotFoundError:
-                pass
-            if col == vcol:
-                raise ValueError(
-                    f"drop_column: {col!r} is the vector index's embedding "
-                    f"column ({vroot}) — delete the index first (it would "
-                    f"silently go stale)")
+        # index guards incl. text/trigram/vector coverage (ADVICE r3) —
+        # shared with rename_column
+        self._guard_indexed_column(col, op="drop_column")
+        # dropping a RENAMED column must also drop its historical names
+        # (files keep the name current at write time) and retire the
+        # rename-log entries that resolve to it
+        rmap = self.rename_map()
+        aliases = set(self._aliases(col, rmap))
+        orig_renames = self.list_renames()
+        kept = [r for r in orig_renames
+                if rmap.get(r["from"], r["from"]) != col]
+        if len(kept) != len(orig_renames):
+            self._write_small_atomic(
+                self._renames_path(),
+                json.dumps({"renames": kept}).encode())
         files_rewritten = 0
         for part in range(self.num_partitions):
             try:
@@ -1424,10 +1565,12 @@ class Lake:
                 if not (name.startswith(("epoch=", "delta="))
                         and name.endswith(".parquet")):
                     continue
-                if col not in pq.read_schema(full, filesystem=self.fs).names:
+                fnames = pq.read_schema(full, filesystem=self.fs).names
+                hit = [a for a in aliases if a in fnames]
+                if not hit:
                     continue  # idempotence: untouched files stay stable
                 t = pq.read_table(full, filesystem=self.fs)
-                self._write_table_atomic(t.drop_columns([col]), full)
+                self._write_table_atomic(t.drop_columns(hit), full)
                 files_rewritten += 1
             if self.parent_root is not None:
                 # shadow parent history (purge convention): a local file
@@ -1444,13 +1587,15 @@ class Lake:
                         if res is None:
                             continue
                         rfs, rpath = res
-                        if col not in pq.read_schema(
-                                rpath, filesystem=rfs).names:
+                        rnames = pq.read_schema(rpath,
+                                                filesystem=rfs).names
+                        rhit = [a for a in aliases if a in rnames]
+                        if not rhit:
                             continue
                         t = pq.read_table(rpath, filesystem=rfs)
                         self.fs.makedirs(self._part_dir(part),
                                          exist_ok=True)
-                        self._write_table_atomic(t.drop_columns([col]),
+                        self._write_table_atomic(t.drop_columns(rhit),
                                                  local)
                         files_rewritten += 1
             # scrub stale zone-map entries naming the dropped column
@@ -1460,8 +1605,9 @@ class Lake:
                     continue  # delegated (branch) commit record
                 rec = self._read_commit(part, epoch)
                 zm = rec.get("zone_maps")
-                if zm and col in zm:
-                    del zm[col]
+                if zm and any(a in zm for a in aliases):
+                    for a in aliases:
+                        zm.pop(a, None)
                     self._write_small_atomic(cpath,
                                              json.dumps(rec).encode())
         audit = {"op": "drop_column", "column": col,
@@ -1807,6 +1953,13 @@ class Lake:
             if deep and snaps:
                 try:
                     sfs, spath = self.resolve_data(part, newest_snap, "snap")
+                    snames = pq.read_schema(spath, filesystem=sfs).names
+                    rmap = self.rename_map()
+                    translated = [rmap.get(n, n) for n in snames]
+                    if len(set(translated)) != len(translated):
+                        issues.append(
+                            f"part {part}: rename-map collision — snapshot "
+                            f"holds both a historical and the current name")
                     t = pq.read_table(spath, filesystem=sfs)
                     urls = t["url"].to_pylist()
                     if urls != sorted(urls):

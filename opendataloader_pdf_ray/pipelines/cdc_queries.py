@@ -3461,6 +3461,90 @@ def cdc_fanin_merge(sf_dir: str):
     return state
 
 
+def cdc_rename_column(sf_dir: str):
+    """Schema evolution by RENAME, gated end-to-end through the real
+    ingest machinery (cdc/lake.py rename_column — Iceberg-style name-map
+    evolution, no file rewrite): epoch 0 inserts every doc with payload
+    column ``lang``; the lake renames ``lang``→``language`` (metadata
+    only); epoch 1 updates doc_id%4==0 with events STILL carrying the old
+    name (a lagging producer) — apply-time translation converges them into
+    the current column instead of forking a null-backfilled twin. The
+    merged LWW state (url, seq, language, deleted) is certified against a
+    per-doc algebraic oracle."""
+    import shutil
+
+    from ..cdc.ingest import ingest_epoch
+    from ..cdc.lake import Lake
+    from ..config import CDCConfig
+    from ..fixtures.gen import BASE_TS_US, render_html
+
+    root = "/tmp/odl_ray_rename_q"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(docs_path).num_rows
+
+    def to_events(epoch: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if epoch == 1:
+                ids = ids[ids % 4 == 0]
+                seqs = n_docs + ids // 4
+                off, pfx, rev = 6, "m", 1
+            else:
+                seqs = ids
+                off, pfx, rev = 2, "l", 0
+            urls = [f"u{int(i):06d}" for i in ids]
+            return pa.table({
+                "op": pa.array(["U" if epoch else "I"] * len(ids)),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(BASE_TS_US + ids * 10 + off,
+                                    pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array([render_html(u, rev) for u in urls],
+                                 pa.binary()),
+                "lang": pa.array([f"{pfx}{int(i) % 7}" for i in ids]),
+                "seq": pa.array(seqs, pa.int64()),
+            })
+        return fn
+
+    for e in (0, 1):
+        (ray.data.read_parquet(docs_path, columns=["doc_id"])
+         .map_batches(to_events(e), batch_format="pyarrow")
+         .write_parquet(os.path.join(root, f"ev{e}")))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    cfg = CDCConfig(num_partitions=8, num_salts=2, epoch_size=n_docs,
+                    extract_batch_size=32,
+                    extract_concurrency=max(1, min(8, cpus - 1)))
+    lake = Lake(os.path.join(root, "lake"), cfg.num_partitions)
+    ingest_epoch(os.path.join(root, "ev0"), lake, 0, cfg)
+    lake.mark_epoch_done(0)
+    lake.rename_column("lang", "language")
+    ingest_epoch(os.path.join(root, "ev1"), lake, 1, cfg)
+    lake.mark_epoch_done(1)
+    return (lake.read_state(include_tombstones=True)
+            .select(["url", "seq", "language", "deleted"])
+            .sort_by([("url", "ascending")]))
+
+
+def _rename_column_sql() -> str:
+    return """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT printf('u%06d', doc_id) AS url,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN n.n_docs + doc_id // 4
+                 ELSE doc_id END AS BIGINT) AS seq,
+       CASE WHEN doc_id % 4 = 0 THEN 'm' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE 'l' || CAST(doc_id % 7 AS VARCHAR) END AS language,
+       FALSE AS deleted
+FROM documents, n
+ORDER BY url
+"""
+
+
 def _fanin_merge_sql() -> str:
     from ..fixtures.gen import BASE_TS_US
 
@@ -3538,6 +3622,7 @@ CDC_QUERIES = {
     "cdc_replay_flagship": cdc_replay_flagship,
     "cdc_temporal_join": cdc_temporal_join,
     "cdc_fanin_merge": cdc_fanin_merge,
+    "cdc_rename_column": cdc_rename_column,
     "cdc_patch_upsert": cdc_patch_upsert,
     "cdc_derived_lake": cdc_derived_lake,
     "cdc_substring_search": cdc_substring_search,
@@ -3586,6 +3671,7 @@ def _flagship_sql() -> str:
 
 CDC_ORACLE_SQL = {
     "cdc_replay_flagship": _flagship_sql(),
+    "cdc_rename_column": _rename_column_sql(),
     "cdc_changefeed": CDC_CHANGEFEED_SQL,
     "cdc_changefeed_before": CDC_CHANGEFEED_BEFORE_SQL,
     "cdc_changefeed_timewindow": CDC_CHANGEFEED_TIMEWINDOW_SQL,
