@@ -63,16 +63,9 @@ _GATE_TAIL = [
                                # doc_tfidf_top_terms gates the identical
                                # two-pass capped-vocab-broadcast machinery
                                # and corpus_clean_en the quality thresholds
-    "order_status_stats",      # groupby agg — q1_pricing_summary covers
-    "parts_by_brand",          # groupby agg — q1 covers
-    "distinct_segments",       # distinct — dedup_exact / union_key_counts
-    "top_orders",              # sort+limit — doc_top_per_source covers
-    "q6_forecast_revenue",     # filter+agg — q1/q5 cover
     "top_customers",           # join+topk — q3_shipping_priority covers
-    "doc_source_stats",        # per-source counts — quota sample covers
     "doc_fingerprints",        # rolling hash — doc_winnow_fingerprints
     "doc_adjacent_levenshtein",  # adjacent pair join — word_jaccard covers
-    "lang_id_accuracy",        # lang-ID — lang_quality covers
     "cdc_latest_state",        # plain ingest→LWW live state — a strict
                                # sub-pipeline of cdc_replicated_state
                                # (same final state gated through ingest +
@@ -90,16 +83,6 @@ _GATE_TAIL = [
                                # classifiers, thresholds and dedup fold;
                                # the funnel gates every stage's drop count
                                # individually) (r3: slot freed for it)
-    "cdc_first_seen",          # groupby min — cdc_latest_state covers
-    "cdc_op_stats",            # grouped counts — q1_pricing_summary covers
-    "cdc_epoch_windows",       # tumbling window — events_sliding_window
-                               # exercises the same partial→window machinery
-    "doc_token_stats",         # token counts — doc_repetition_stats covers
-    "doc_length_percentiles",  # quantiles — events_value_median_by_type
-    "events_user_running_total",  # window — events_sliding_window covers
-    "doc_split_stats",         # hash split — quota/weighted sample cover
-    "doc_passage_chunks",      # explode — doc_passage_dedup covers
-    "union_key_counts",        # union — exercised inside dedup_minhash_clusters
     "dedup_exact",             # exact dedup — cdc_dup_attribution gates the
                                # same FWW fold through the full index machinery
     "customers_without_orders",  # hash anti-join — parts_never_shipped_bloom
@@ -221,6 +204,37 @@ _GATE_TAIL = [
 ]
 
 
+# Bench-only queries (r3 verdict item #8): entries whose machinery is fully
+# covered by an in-gate or uniquely-justified query — kept OUT of queries()
+# so the operator map stays a map, not an archive, but still timed by
+# bench.py (they are cheap canonical shapes worth tracking for regressions).
+# Annotation = which retained query covers the machinery.
+_BENCH_ONLY = [
+    "order_status_stats",      # groupby agg — q1_pricing_summary covers
+    "parts_by_brand",          # groupby agg — q1 covers
+    "distinct_segments",       # distinct — dedup_exact covers
+    "top_orders",              # sort+limit — doc_top_per_source covers
+    "q6_forecast_revenue",     # filter+agg — q1/q5 cover
+    "doc_source_stats",        # per-source counts — quota sample covers
+    "lang_id_accuracy",        # lang-ID — lang_quality covers
+    "cdc_first_seen",          # groupby min — cdc_latest_state covers
+    "cdc_op_stats",            # grouped counts — q1 covers
+    "cdc_epoch_windows",       # tumbling window — events_sliding_window
+    "doc_token_stats",         # token counts — doc_repetition_stats covers
+    "doc_length_percentiles",  # quantiles — events_value_median_by_type
+    "events_user_running_total",  # window — events_sliding_window covers
+    "doc_split_stats",         # hash split — quota/weighted sample cover
+    "doc_passage_chunks",      # explode — doc_passage_dedup covers
+    "union_key_counts",        # union — inside dedup_minhash_clusters
+]
+
+
+def bench_only_queries() -> dict[str, Callable[[str], Any]]:
+    """Redundant-but-worth-timing shapes for bench.py; NOT part of the
+    queries() operator map (see _BENCH_ONLY)."""
+    return {k: v for k, v in _all_queries().items() if k in _BENCH_ONLY}
+
+
 def _gate_order(out: dict) -> dict:
     head = {k: v for k, v in out.items() if k not in _GATE_TAIL}
     tail = {k: out[k] for k in _GATE_TAIL if k in out}
@@ -233,6 +247,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    return _gate_order({k: v for k, v in _all_queries().items()
+                        if k not in _BENCH_ONLY})
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(CDC_QUERIES)
     try:
@@ -283,7 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(PACK_QUERIES)
     except ImportError:
         pass
-    return _gate_order(out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "cdc_changefeed_timewindow", "cdc_index_intersect_scan",
     "cdc_patch_upsert", "cdc_derived_lake", "cdc_substring_search",
     "cdc_temporal_join", "cdc_fanin_merge", "cdc_zonemap_scan",
-    "doc_pii_scrub_stats",
+    "doc_pii_scrub_stats", "cdc_rename_column",
 ]
 
 
@@ -143,7 +143,9 @@ def run_headline(num_cpus: int, tag: str = "") -> dict:
 def run_queries() -> dict:
     import __ray_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    # queries() is the driver's operator map; bench_only_queries() holds
+    # redundant-but-worth-timing shapes pruned from the map (r3 item #8)
+    queries = {**entry_mod.queries(), **entry_mod.bench_only_queries()}
     out = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
