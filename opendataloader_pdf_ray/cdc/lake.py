@@ -2049,6 +2049,9 @@ class Lake:
         tags = self.list_tags()
         if tags:
             extra["tags"] = tags
+        renames = self.list_renames()
+        if renames:
+            extra["renames"] = renames
         return {
             **extra,
             "partitions": self.num_partitions,
