@@ -73,6 +73,10 @@ class ExtractorConfig:
     detect_header_footer: bool = True        # repeated-across-pages boilerplate
     detect_aligned_columns: bool = True      # borderless whitespace-aligned tables
     detect_special_tables: bool = True       # Korean 수신/경유/제목 restructure
+    detect_toc: bool = False                 # TOC grouping (reference parity:
+                                             # its TableOfContentsProcessor is
+                                             # disabled in the pipeline too —
+                                             # DocumentProcessor.java:370-379)
     reading_order: bool = True               # XY-cut++ for absolutely positioned content
     merge_across_pages: bool = True          # table/list continuation over page breaks
     # reference --table-method: "default" (border/tag-based), "cluster"

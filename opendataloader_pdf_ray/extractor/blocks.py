@@ -25,6 +25,8 @@ CAPTION = "caption"
 IMAGE = "image"
 HEADER_FOOTER = "header/footer"
 TEXT_BLOCK = "text block"
+TOC = "toc"                         # JsonName.TOC_TYPE
+TOC_ITEM = "toc item"               # JsonName.TOC_ITEM_TYPE
 
 
 @dataclass

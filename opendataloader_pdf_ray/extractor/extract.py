@@ -25,6 +25,7 @@ from .structure import (
     build_page_blocks,
     detect_header_footer,
     detect_special_tables,
+    detect_toc,
     detect_style_headings,
     detect_text_captions,
     merge_neighbor_structures,
@@ -95,6 +96,8 @@ def extract(html: bytes | str, cfg: ExtractorConfig = ExtractorConfig(),
         assign_heading_levels(pages)
         detect_text_captions(pages, cfg)
         detect_header_footer(pages, cfg)
+        detect_toc(pages, cfg)  # after header/footer: 'Page 3 of 4' lines
+                                # are already wrapped, never TOC-matched
         if cfg.merge_across_pages:
             merge_neighbor_structures(pages, cfg)
 

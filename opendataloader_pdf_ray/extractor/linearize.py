@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 
 from ..config import ExtractorConfig
 from .blocks import (
+    TOC,
     CAPTION,
     HEADER_FOOTER,
     HEADING,
@@ -69,6 +70,11 @@ def _block_lines(b: Block, cfg: ExtractorConfig, level: int) -> List[str]:
         return lines
     if b.type == IMAGE:
         return []  # TextGenerator writes no image content
+    if b.type == TOC:
+        lines = []
+        for item in b.kids:
+            lines.extend(_indent_lines(item.text, cfg.indent, level))
+        return lines
     return _indent_lines(b.text, cfg.indent, level) if b.text else []
 
 
@@ -118,6 +124,8 @@ def _md_block(b: Block, cfg: ExtractorConfig, depth: int) -> List[str]:
     if b.type == IMAGE:
         href = b.src if cfg.markdown_with_images else ""
         return [f"![{b.text}]({href})"]
+    if b.type == TOC:
+        return [item.text.replace("\n", " ") for item in b.kids]
     if b.type == LIST:
         out = []
         for item in b.kids:

@@ -40,6 +40,8 @@ from .blocks import (
     TABLE_CELL,
     TABLE_ROW,
     TEXT_BLOCK,
+    TOC,
+    TOC_ITEM,
     Block,
 )
 from .dom import Node, style_px
@@ -527,6 +529,53 @@ def detect_special_tables(pages: List[List[Block]], cfg: ExtractorConfig) -> Non
                 i += 1
             else:
                 i += 1
+
+
+_TOC_PAGENUM_RE = re.compile(r".+[\s.]\d+$", re.S)
+_TOC_DECIMAL_RE = re.compile(r".*\d+\.\d+$", re.S)
+
+
+def detect_toc(pages: List[List[Block]], cfg: ExtractorConfig) -> None:
+    """Table-of-contents detection — ``TableOfContentsProcessor.java:30-221``
+    analog for flowed HTML: a run of ≥3 CONSECUTIVE single-line text blocks
+    whose text ends in a page number (digits preceded by whitespace or a
+    dot leader, ``hasPageNumber``'s regex pair — decimal endings like
+    '3.14' rejected) collapses into one ``toc`` block with one ``toc item``
+    kid per entry (JsonName.TOC_TYPE / TOC_ITEM_TYPE). The reference
+    additionally requires right-edge alignment within 0.3×font-size
+    (``isTwoTOCItemsOfOneTOC``) — per-line geometry flowed HTML doesn't
+    have, so the transferable rules are the suffix + run length. Mirrors
+    the reference's own default: its processor is DISABLED in the pipeline
+    (``DocumentProcessor.java:370-379``), so ``detect_toc`` defaults False
+    — which also keeps the byte-identical `text` surface stable for
+    existing corpora."""
+    if not cfg.detect_toc:
+        return
+    for blocks in pages:
+        out: List[Block] = []
+        run: List[Block] = []
+
+        def flush() -> None:
+            if len(run) >= 3:
+                toc = Block(type=TOC, page=run[0].page)
+                toc.kids = [Block(type=TOC_ITEM, text=b.text, page=b.page)
+                            for b in run]
+                out.append(toc)
+            else:
+                out.extend(run)
+            run.clear()
+
+        for b in blocks:
+            if (b.type in (PARAGRAPH, TEXT_BLOCK) and b.text
+                    and "\n" not in b.text
+                    and _TOC_PAGENUM_RE.match(b.text)
+                    and not _TOC_DECIMAL_RE.match(b.text)):
+                run.append(b)
+            else:
+                flush()
+                out.append(b)
+        flush()
+        blocks[:] = out
 
 
 def detect_text_captions(pages: List[List[Block]], cfg: ExtractorConfig) -> None:

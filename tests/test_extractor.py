@@ -323,3 +323,62 @@ class TestCrossPageContinuation:
                 b'width:100px;height:50px"><table><tr><td>3</td><td>4</td></tr>'
                 b'</table></div></div>')
         assert extract_text(html) == "1 | 2\n\n3 | 4"
+
+
+class TestTableOfContents:
+    """TOC detection (structure.detect_toc) — TableOfContentsProcessor.java
+    analog; disabled by default like the reference's own pipeline."""
+
+    TOC_HTML = (b'<div class="page"><h1>Report</h1>'
+                b'<p>Introduction . . . . 3</p>'
+                b'<p>Methods 7</p>'
+                b'<p>Results . . . . . 12</p>'
+                b'<p>pi is about 3.14</p>'
+                b'<p>Body text follows here.</p></div>')
+
+    def test_disabled_by_default(self):
+        from opendataloader_pdf_ray.extractor import extract
+
+        r = extract(self.TOC_HTML)
+        assert all(b.type != "toc"
+                   for page in r.pages for b in page)
+
+    def test_groups_run_of_three_items(self):
+        from opendataloader_pdf_ray.config import ExtractorConfig
+        from opendataloader_pdf_ray.extractor import extract
+
+        r = extract(self.TOC_HTML, ExtractorConfig(detect_toc=True))
+        tocs = [b for page in r.pages for b in page if b.type == "toc"]
+        assert len(tocs) == 1
+        items = tocs[0].kids
+        assert [i.type for i in items] == ["toc item"] * 3
+        assert items[0].text == "Introduction . . . . 3"
+        # decimal ending ('3.14') rejected, body paragraph untouched
+        texts = [b.text for page in r.pages for b in page]
+        assert "pi is about 3.14" in texts
+        # linearization prints TOC items as lines
+        assert r.text.splitlines()[1:4] == [
+            "Introduction . . . . 3", "Methods 7", "Results . . . . . 12"]
+
+    def test_short_run_not_grouped(self):
+        from opendataloader_pdf_ray.config import ExtractorConfig
+        from opendataloader_pdf_ray.extractor import extract
+
+        html = (b'<div class="page"><p>Introduction 3</p>'
+                b'<p>Methods 7</p><p>plain text</p></div>')
+        r = extract(html, ExtractorConfig(detect_toc=True))
+        assert all(b.type != "toc" for page in r.pages for b in page)
+
+    def test_json_and_markdown_carry_toc(self):
+        from opendataloader_pdf_ray.config import ExtractorConfig
+        from opendataloader_pdf_ray.extractor import extract
+
+        cfg = ExtractorConfig(detect_toc=True)
+        r = extract(self.TOC_HTML, cfg)
+        flat = r.flat_blocks()
+        assert {"toc", "toc item"} <= {b["type"] for b in flat}
+        # toc items point at the toc block as parent
+        toc_id = next(b["id"] for b in flat if b["type"] == "toc")
+        assert all(b["parent"] == toc_id for b in flat
+                   if b["type"] == "toc item")
+        assert "Methods 7" in r.markdown(cfg)
