@@ -370,6 +370,30 @@ def _call_lake_tags(a: Dict[str, Any]) -> str:
     return json.dumps({"tags": Lake(a["lake"]).list_tags()})
 
 
+_SCHEMA_TOOL = {
+    "name": "lake_schema",
+    "description": "A CDC lake's current user-facing columns plus its "
+                   "column-rename history (metadata-level schema "
+                   "evolution: historical->current name map). "
+                   "Metadata-only.",
+    "inputSchema": {
+        "type": "object",
+        "required": ["lake"],
+        "properties": {
+            "lake": {"type": "string", "description": "Lake root path."},
+        },
+    },
+}
+
+
+def _call_lake_schema(a: Dict[str, Any]) -> str:
+    from .cdc.lake import Lake
+
+    lake = Lake(a["lake"])
+    return json.dumps({"columns": lake._current_columns(),
+                       "renames": lake.list_renames()})
+
+
 _TOOLS = {
     "convert_html": (_TOOL_SCHEMA, _call_convert_html),
     "search_lake": (_SEARCH_TOOL, _call_search_lake),
@@ -379,6 +403,7 @@ _TOOLS = {
     "lookup_where_lake": (_LOOKUP_WHERE_TOOL, _call_lookup_where_lake),
     "zonemap_scan_lake": (_ZONEMAP_TOOL, _call_zonemap_scan_lake),
     "lake_tags": (_TAGS_TOOL, _call_lake_tags),
+    "lake_schema": (_SCHEMA_TOOL, _call_lake_schema),
 }
 
 

@@ -23,7 +23,8 @@ class TestProtocol:
         assert [t["name"] for t in tools] == [
             "convert_html", "search_lake", "ranked_search_lake",
             "semantic_search_lake", "range_scan_lake",
-            "lookup_where_lake", "zonemap_scan_lake", "lake_tags"]
+            "lookup_where_lake", "zonemap_scan_lake", "lake_tags",
+            "lake_schema"]
         assert "format" in tools[0]["inputSchema"]["properties"]
 
     def test_notification_is_silent(self):
@@ -302,3 +303,13 @@ class TestZoneMapAndTagsTools:
         assert resp["result"]["isError"] is False
         out = json.loads(resp["result"]["content"][0]["text"])
         assert out == {"tags": {"r1": 0}}
+
+    def test_lake_schema_tool(self, tmp_path):
+        root, lake = self._lake(tmp_path)
+        lake.rename_column("score", "points")
+        resp = _call("tools/call", {"name": "lake_schema",
+                                    "arguments": {"lake": root}})
+        assert resp["result"]["isError"] is False
+        out = json.loads(resp["result"]["content"][0]["text"])
+        assert "points" in out["columns"] and "score" not in out["columns"]
+        assert out["renames"][0]["from"] == "score"
