@@ -306,6 +306,13 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # bench-only queries are not part of the driver's operator map — their
+    # oracles leave with them (oracle keys ⊆ queries keys is the contract)
+    return {k: v for k, v in _oracle_sql_all().items()
+            if k not in _BENCH_ONLY}
+
+
+def _oracle_sql_all() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(CDC_ORACLE_SQL)
     try:

@@ -53,7 +53,10 @@ def oracle_con():
 def contract(ray_session):
     import __ray_entry__ as entry_mod
 
-    return entry_mod.queries(), entry_mod.oracle_sql()
+    # union in the bench-only registry: pruned from the driver's operator
+    # map (r3 item #8) but their oracle pins stay tested here
+    return ({**entry_mod.queries(), **entry_mod.bench_only_queries()},
+            entry_mod._oracle_sql_all())
 
 
 @pytest.mark.parametrize("name", SUBSET)
@@ -88,9 +91,14 @@ def test_incremental_view_epoch_invariant(contract):
 
 
 def test_all_oracle_keys_exist(contract):
+    import __ray_entry__ as entry
+
     queries, oracles = contract
     assert set(oracles) <= set(queries)
     assert len(queries) >= 20
+    # the DRIVER-visible contract is tighter: every oracle_sql() key is a
+    # queries() key (bench-only entries take their oracles with them)
+    assert set(entry.oracle_sql()) <= set(entry.queries())
 
 
 def test_driver_gate_covers_every_operator_family(contract):
@@ -100,8 +108,7 @@ def test_driver_gate_covers_every_operator_family(contract):
     each distinct operator family always sits inside the gate."""
     import __ray_entry__ as entry
 
-    queries, _ = contract
-    names = list(queries)
+    names = list(entry.queries())  # driver-visible map, not the test union
     beyond_gate = names[50:]
     assert set(beyond_gate) <= set(entry._GATE_TAIL), (
         "non-tail queries fell outside the driver's 50-slot gate: "

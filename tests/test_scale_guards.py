@@ -93,7 +93,8 @@ class TestNoDriverPayloadCollect:
 
         import __ray_entry__ as entry
 
-        out = entry.queries()[name](SF)
+        all_queries = {**entry.queries(), **entry.bench_only_queries()}
+        out = all_queries[name](SF)
         if isinstance(out, ray.data.Dataset):
             # consume the FINAL result by streaming (the one legitimate
             # driver materialization)
