@@ -243,7 +243,10 @@ def epoch_winners(lake: Lake, part: int, epoch: int,
     if res is not None:
         import pyarrow.parquet as pq
 
-        winners = pq.read_table(res[1], filesystem=res[0])
+        # translate renamed columns like read_partition does — a pre-rename
+        # delta folding against a translated pre-image must not fork twins
+        winners = lake.apply_renames(pq.read_table(res[1],
+                                                   filesystem=res[0]))
         if state is None or state.num_rows == 0:
             return winners
         post = merge_base_with_updates(state, winners)
@@ -253,7 +256,7 @@ def epoch_winners(lake: Lake, part: int, epoch: int,
     res = lake.resolve_data(part, epoch, "snap")
     if res is not None:
         import pyarrow.parquet as pq
-        snap = pq.read_table(res[1], filesystem=res[0])
+        snap = lake.apply_renames(pq.read_table(res[1], filesystem=res[0]))
         return _snapshot_diff(snap, state)
     raise ValueError(
         f"changefeed: partition {part} epoch {epoch} has neither delta "

@@ -92,7 +92,11 @@ def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
 
     res = lake.resolve_data(part, epoch, "delta")
     if res is not None:
-        winners = pq.read_table(res[1], filesystem=res[0])
+        # translate renamed columns like read_partition does (rename of an
+        # INDEXED column is refused, but pre-index renames must not leave
+        # the emitter reading a historical name as nulls)
+        winners = lake.apply_renames(pq.read_table(res[1],
+                                                   filesystem=res[0]))
         post = merge_base_with_updates(state, winners)
         if state is None or state.num_rows == 0:
             return post, post
@@ -103,7 +107,7 @@ def follower_epoch_candidates(lake: Lake, part: int, epoch: int,
         return _snapshot_diff(post.filter(touched), state), post
     res = lake.resolve_data(part, epoch, "snap")
     if res is not None:
-        snap = pq.read_table(res[1], filesystem=res[0])
+        snap = lake.apply_renames(pq.read_table(res[1], filesystem=res[0]))
         return snap, snap
     raise ValueError(
         f"follower: partition {part} epoch {epoch} has neither delta nor "

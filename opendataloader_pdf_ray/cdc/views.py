@@ -102,13 +102,15 @@ def _fold_partition(lake_root: str, num_partitions: int, part: int,
             prev_loaded = True
         dpath = lake._delta_path(part, epoch)
         if fs.exists(dpath):
-            winners = pq.read_table(dpath, filesystem=fs)
+            winners = lake.apply_renames(pq.read_table(dpath,
+                                                       filesystem=fs))
             post = merge_base_with_updates(prev, winners)
             changed = np.unique(
                 winners[MERGE_KEY].to_numpy(zero_copy_only=False))
         else:
             spath = lake._data_path(part, epoch)
-            post = (pq.read_table(spath, filesystem=fs) if fs.exists(spath)
+            post = (lake.apply_renames(pq.read_table(spath, filesystem=fs))
+                    if fs.exists(spath)
                     else lake.read_partition(part, as_of=epoch))
             if post is None:
                 # vacuum reclaimed this epoch's files and everything before

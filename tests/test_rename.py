@@ -186,6 +186,71 @@ class TestRenameColumn:
         assert "lang" not in state.column_names
         assert state.num_rows > 0
 
+    def test_changefeed_across_rename(self, tmp_path, ray_session):
+        """Feed rows spanning a rename present the CURRENT name, and
+        pre-rename delta files fold against the translated pre-image
+        without forking twin columns (epoch_winners translation)."""
+        from opendataloader_pdf_ray.cdc.changefeed import changes
+
+        lake = _lake(tmp_path, mode="delta")
+        lake.rename_column("score", "points")
+        t1 = pa.table({
+            "url": pa.array(["u0", "u1"]),
+            "warc_ts": pa.array([20, 20], pa.int64()),
+            "seq": pa.array([50, 51], pa.int64()),
+            "text": pa.array(["n0", "n1"]),
+            "points": pa.array([900, 901], pa.int64()),
+            "deleted": pa.array([False, False]),
+        })
+        _commit_table(lake, 1, t1, mode="delta")
+        feed = changes(lake, since=-1).to_pandas()
+        assert "points" in feed.columns and "score" not in feed.columns
+        e0 = feed[feed["epoch"] == 0]
+        e1 = feed[feed["epoch"] == 1]
+        assert set(e0["op"]) == {"insert"} and len(e0) == 10
+        assert set(e1["op"]) == {"update"}
+        assert sorted(e1["points"]) == [900, 901]
+        # pre-rename rows carry their values under the current name
+        assert e0.set_index("url")["points"]["u5"] == 105
+
+    def test_incremental_view_across_rename(self, tmp_path, ray_session):
+        """views.MaterializedView folds pre- and post-rename epochs into
+        the same (translated) columns."""
+        from opendataloader_pdf_ray.cdc.views import MaterializedView
+
+        lake = _lake(tmp_path, mode="delta")
+        lake.rename_column("text", "body")
+        t1 = pa.table({
+            "url": pa.array(["u0"]),
+            "warc_ts": pa.array([20], pa.int64()),
+            "seq": pa.array([50], pa.int64()),
+            "body": pa.array(["updated body zz"]),
+            "points": pa.array([900], pa.int64()),
+            "deleted": pa.array([False]),
+        })
+        # keep schema consistent with renamed current names
+        t1 = t1.rename_columns(
+            [c if c != "points" else "score" for c in t1.column_names])
+        _commit_table(lake, 1, t1, mode="delta")
+        def group_all(t):
+            return np.asarray(["g"] * t.num_rows, dtype=object)
+
+        def body_len(t):
+            vals = t["body"].to_pylist() if "body" in t.column_names \
+                else [None] * t.num_rows
+            return np.asarray([len(v) if v else 0 for v in vals],
+                              dtype=np.int64)
+
+        view = MaterializedView(lake, "len_stats", group_of=group_all,
+                                value_of=body_len)
+        view.refresh(parallel=False)
+        out = view.read().to_pydict()
+        assert sum(out["n_live"]) == 10  # all urls live, folded once
+        # the sum saw every row's body THROUGH the translation (pre-rename
+        # files included): 10 texts "t0".."t9" (2 chars) with u0 updated to
+        # the 15-char body
+        assert sum(out["sum_value"]) == 9 * 2 + len("updated body zz")
+
     def test_cli(self, tmp_path, capsys):
         from opendataloader_pdf_ray.__main__ import main
 
