@@ -960,10 +960,21 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
     _fanin_guard(lake, dirs, cfg.epoch_size)
     fence_tok = lake.acquire_writer(_writer_owner("fanin"))
     size = cfg.epoch_size
+    from .lease import LeaseState
+
+    lease = LeaseState(lake)  # cooperative maintenance (cdc/lease.py) —
+    # merged-epoch numbering shifts past granted maintenance epochs
+    # exactly like the single-source tail
     lineage: List[dict] = []
     idle = 0
     while True:
         lake.check_writer(fence_tok)
+        if lease.poll():
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                return lineage
+            _time.sleep(poll_interval)
+            continue
         # marker before extent per source: same TOCTOU contract as follow
         stops = [_os.path.exists(_os.path.join(d, stop_marker))
                  for d in dirs]
@@ -995,7 +1006,7 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
                 n_epochs = 0  # every source stopped empty
         progressed = False
         for e in range(n_epochs):
-            if lake.is_epoch_done(e):
+            if lake.is_epoch_done(lease.lake_epoch(e)):
                 continue
             lo, hi = e * size, (e + 1) * size
             parts = []
@@ -1011,18 +1022,26 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
                 parts.append(d.map_batches(_FaninRemap(k, i),
                                            batch_format="pyarrow"))
             if not parts:
-                lake.mark_epoch_done(e)  # provably empty band
+                lake.mark_epoch_done(lease.lake_epoch(e))  # provably empty
                 continue
             ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-            lineage.extend(ingest_epoch(ds, lake, e, cfg))
-            lake.mark_epoch_done(e)
+            lineage.extend(ingest_epoch(ds, lake, e, cfg,
+                                        commit_epoch=lease.lake_epoch(e)))
+            lake.mark_epoch_done(lease.lake_epoch(e))
             _auto_compact(lake, cfg)
             progressed = True
         if progressed:
             for f in (followers or []):
                 f.refresh(lake)
+        req = lease.want_grant()
+        if req is not None:
+            lease.grant(req)
+            idle = 0
+            _time.sleep(poll_interval)
+            continue
         if all_stopping and not holes \
-                and all(lake.is_epoch_done(e) for e in range(n_epochs)):
+                and all(lake.is_epoch_done(lease.lake_epoch(e))
+                        for e in range(n_epochs)):
             for f in (followers or []):
                 f.refresh(lake)  # heal a crash between commit and refresh
             return lineage

@@ -47,9 +47,10 @@ it (it re-adopts the grant and resumes its partition commits); the tail
 resumes the moment the epoch's marker lands. Visible-and-safe beats
 silently-ingesting-past-a-half-written-epoch.
 
-Scope: plain ``follow`` tails. ``follow_fanin`` keeps the fence-only path
-(its merged-epoch numbering is already a K-source remap; a lease there
-needs a per-source band reservation — future work, documented).
+Scope: plain ``follow`` tails AND ``follow_fanin`` (the merged-epoch
+numbering shifts past granted maintenance epochs identically — the
+K-source seq remap lives in the ``seq`` column and is untouched by lake
+epoch numbers).
 """
 
 from __future__ import annotations

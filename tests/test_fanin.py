@@ -167,3 +167,68 @@ class TestFanin:
         with pytest.raises(RuntimeError, match="non-dense"):
             follow_fanin([da, db], str(tmp_path / "lake"), CFG,
                          poll_interval=0.05, max_idle_polls=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFaninLease:
+    def test_cooperative_retention_under_fanin_tail(self, tmp_path):
+        """The cooperative maintenance lease works on fan-in tails too:
+        merged-epoch numbering shifts past the granted epoch, final state
+        equals the quiesced sequence, no fence exception."""
+        from opendataloader_pdf_ray.cdc.lease import (read_offsets,
+                                                      request_lease)
+        from opendataloader_pdf_ray.cdc.retention import apply_retention
+
+        ev_a = gen_events(120, 30, seed=41)
+        ev_b = gen_events(120, 30, seed=42)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(ev_a, da, 0, 60)
+        _write_segments(ev_b, db, 0, 60)
+        lake_root = str(tmp_path / "lake")
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05,
+                     max_idle_polls=2)
+        lake = Lake(lake_root)
+        assert lake.is_epoch_done(0)
+
+        ts = sorted(lake.read_state()["warc_ts"].cast(pa.int64())
+                    .to_pylist())
+        cutoff = ts[len(ts) // 2] + 1
+        request_lease(lake, f"retention:{cutoff}")
+        # the fanin tail services the request: grants merged epoch 1
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05,
+                     max_idle_polls=2)
+        assert read_offsets(lake) == [(1, 1)]
+        lineage = apply_retention(lake, cutoff, cooperative=True,
+                                  lease_timeout=5)
+        assert lineage and all(l["epoch"] == 1 for l in lineage)
+
+        # second merged binlog epoch lands at lake epoch 2
+        _write_segments(ev_a, da, 60, 120)
+        _write_segments(ev_b, db, 60, 120)
+        _stop(da)
+        _stop(db)
+        follow_fanin([da, db], lake_root, CFG, poll_interval=0.05)
+        assert lake.is_epoch_done(2)
+        assert lake.verify(deep=True)["ok"]
+        # sequential oracle: quiesced fanin epoch 0 → retention(1) →
+        # fanin epoch 1 at lake epoch 2 — replicate via a second run
+        da2, db2 = str(tmp_path / "a2"), str(tmp_path / "b2")
+        _write_segments(ev_a, da2, 0, 60)
+        _write_segments(ev_b, db2, 0, 60)
+        oracle_root = str(tmp_path / "oracle")
+        follow_fanin([da2, db2], oracle_root, CFG, poll_interval=0.05,
+                     max_idle_polls=2)
+        oracle = Lake(oracle_root)
+        apply_retention(oracle, cutoff, epoch=1)
+        from opendataloader_pdf_ray.cdc.lease import repair_offsets
+
+        repair_offsets(oracle, [],
+                       {"from_binlog": 1, "offset": 1, "id": "x"})
+        _write_segments(ev_a, da2, 60, 120)
+        _write_segments(ev_b, db2, 60, 120)
+        _stop(da2)
+        _stop(db2)
+        follow_fanin([da2, db2], oracle_root, CFG, poll_interval=0.05)
+        got = lake.read_state(include_tombstones=True)
+        want = oracle.read_state(include_tombstones=True)
+        assert got.equals(want)
