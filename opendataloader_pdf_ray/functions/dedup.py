@@ -454,7 +454,14 @@ def _normalized_chunks(ds: "ray.data.Dataset", id_col: str, emb_col: str,
 
     def normalize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        # zero-copy-ish staging: flatten the list<float> child values and
+        # reshape (r3 nit: np.array(to_pylist) round-tripped every float
+        # through Python objects)
+        col = batch[emb_col].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        mat = flat.astype(np.float64).reshape(n, -1) if n and flat.size \
+            else np.empty((0, 0))
         if mat.size:
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         dim = mat.shape[1] if mat.ndim == 2 and mat.size else 1

@@ -8,14 +8,14 @@ resolution between two variants of the same row.
 
 Distributed shape: tag + union the two sources, hash-bucket the key (one task
 per bucket, NOT one tiny group per key — bucket count scales with the
-cluster), per-bucket resolve with a pandas split. Same skeleton as the LWW
-merge but with a content-aware resolver instead of a version comparison."""
+cluster), per-bucket resolve with a vectorized two-side alignment (Arrow format,
+sort+searchsorted). Same skeleton as the LWW merge but with a
+content-aware resolver instead of a version comparison."""
 
 from __future__ import annotations
 
 from typing import Optional
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -49,28 +49,57 @@ def reconcile_variants(local_ds: "ray.data.Dataset", backend_ds: "ray.data.Datas
     both = local_ds.map_batches(tag("local"), batch_format="pyarrow").union(
         backend_ds.map_batches(tag("backend"), batch_format="pyarrow"))
 
-    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        loc = df[df["variant"] == "local"].set_index(key)[text_col]
-        back = df[df["variant"] == "backend"].set_index(key)[text_col]
-        out_key, out_text, out_src, out_sim = [], [], [], []
-        for k in sorted(set(loc.index) | set(back.index)):
-            lt = loc.get(k)
-            bt = back.get(k)
-            if lt is not None and bt is not None:
-                sim = similarity(lt or "", bt or "")
-                if sim >= trust_threshold:
-                    text, source = lt, "local"
-                else:
-                    text, source = bt, "backend"
-            elif lt is not None:
-                text, source, sim = lt, "local", 1.0
-            else:
-                text, source, sim = bt, "backend", 0.0
-            out_key.append(k)
-            out_text.append(text)
-            out_src.append(source)
-            out_sim.append(round(sim, 6))
-        return pd.DataFrame({key: out_key, text_col: out_text,
-                             "source": out_src, "sim": out_sim})
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized two-side alignment (sort + searchsorted; no pandas,
+        no per-key dict probing). The ONLY per-pair Python is the
+        edit-distance call itself — inherent to a per-pair DP, and the
+        kernel is numpy-rowwise (text_sim.levenshtein). A side whose text
+        is null counts as ABSENT (original semantics: the other variant
+        wins outright)."""
+        import numpy as np
 
-    return both.groupby("bucket").map_groups(resolve_bucket, batch_format="pandas")
+        var = group["variant"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(group[key].to_pylist(), dtype=object)
+        texts = np.asarray(group[text_col].to_pylist(), dtype=object)
+        present = np.array([t is not None for t in texts], bool)
+        lmask = (var == "local") & present
+        bmask = (var == "backend") & present
+        lk, lt = keys[lmask], texts[lmask]
+        bk, bt = keys[bmask], texts[bmask]
+        lo = np.argsort(lk)
+        bo = np.argsort(bk)
+        lk, lt = lk[lo], lt[lo]
+        bk, bt = bk[bo], bt[bo]
+        all_keys = np.union1d(lk, bk) if len(lk) or len(bk) \
+            else np.array([], dtype=object)
+
+        def align(sk, sv):
+            """value per all_keys position, None where the side lacks it."""
+            out = np.full(len(all_keys), None, dtype=object)
+            if len(sk):
+                pos = np.searchsorted(sk, all_keys)
+                pos_c = np.minimum(pos, len(sk) - 1)
+                hit = sk[pos_c] == all_keys
+                out[hit] = sv[pos_c[hit]]
+            return out
+
+        la, ba = align(lk, lt), align(bk, bt)
+        has_l = np.array([v is not None for v in la], bool)
+        has_b = np.array([v is not None for v in ba], bool)
+        sim = np.where(has_l & ~has_b, 1.0, 0.0)
+        text = np.where(has_l, la, ba)
+        source = np.where(has_l, "local", "backend").astype(object)
+        for i in np.flatnonzero(has_l & has_b):
+            s = similarity(la[i], ba[i])
+            sim[i] = s
+            if s < trust_threshold:
+                text[i], source[i] = ba[i], "backend"
+        return pa.table({
+            key: pa.array(all_keys, pa.string()),
+            text_col: pa.array(text, pa.string()),
+            "source": pa.array(source, pa.string()),
+            "sim": pa.array(np.round(sim, 6), pa.float64()),
+        })
+
+    return both.groupby("bucket").map_groups(resolve_bucket,
+                                             batch_format="pyarrow")
