@@ -159,6 +159,58 @@ class TestLeaseProtocol:
         want = oracle.read_state(include_tombstones=True)
         assert got.equals(want)
 
+    def test_cli_follow_with_cli_cooperative_retention(self, tmp_path,
+                                                       capsys):
+        """End-to-end through the CLI surfaces: `ingest --mode follow`
+        tails in a background thread while `retention --cooperative` runs —
+        no fence exception, the tail drains to .end normally, the
+        maintenance epoch sits between the binlog epochs."""
+        from opendataloader_pdf_ray.__main__ import main
+
+        events = gen_events(180, 40, seed=24)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+        _write_segments(events, seg_dir, 0, 60)
+
+        rcs, errors = [], []
+
+        def tail():
+            try:
+                rcs.append(main(["ingest", seg_dir, lake_root,
+                                 "--mode", "follow",
+                                 "--poll-interval", "0.05",
+                                 "--epoch-size", "60",
+                                 "--partitions", "4"]))
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+
+        t = threading.Thread(target=tail, daemon=True)
+        t.start()
+        lake = None
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                lake = Lake(lake_root)
+                if lake.is_epoch_done(0):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.05)
+        assert lake is not None and lake.is_epoch_done(0)
+        cutoff = _cutoff(lake)
+        assert main(["retention", lake_root, str(cutoff),
+                     "--cooperative", "--lease-timeout", "30"]) == 0
+        _write_segments(events, seg_dir, 60, 180)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        t.join(timeout=120)
+        assert not t.is_alive() and errors == [] and rcs == [0]
+        # binlog epochs 0, (maint 1), 1→2, partial 2→3
+        assert lake.read_lineage(
+            next(p for p in range(4) if lake.is_committed(p, 1)), 1
+        ).kind == "retention"
+        assert lake.is_epoch_done(2) and lake.is_epoch_done(3)
+        assert lake.verify(deep=True)["ok"]
+
     def test_grant_without_tail_times_out_and_unwedges(self, tmp_path):
         events = gen_events(60, 20, seed=23)
         seg_dir = str(tmp_path / "segs")
