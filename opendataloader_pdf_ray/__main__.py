@@ -1086,6 +1086,22 @@ def cmd_pack(args) -> int:
     from .cdc.pack import pack_lake
 
     lake = Lake(args.lake, args.partitions)
+    if args.follow:
+        from .cdc.pack import follow_pack
+
+        written = follow_pack(lake, args.out, budget=args.budget,
+                              text_col=args.text_col,
+                              poll_interval=args.poll_interval,
+                              max_idle_polls=args.idle_stop)
+        print(json.dumps({
+            "out": args.out, "budget": args.budget, "follow": True,
+            "partitions_refreshed": len(written),
+            "sequences": int(sum(s["sequences"] for s in written)),
+            "tokens": int(sum(s["tokens"] for s in written)),
+        }))
+        if started_ray:
+            ray.shutdown()
+        return 0
     summary = pack_lake(lake, args.out, budget=args.budget,
                         text_col=args.text_col, as_of=args.as_of)
     written = [s for s in summary if not s["skipped"]]
@@ -2193,6 +2209,14 @@ def main(argv=None) -> int:
     pk.add_argument("--as-of", type=int, default=None)
     pk.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
+    pk.add_argument("--follow", action="store_true",
+                    help="TAIL the lake's epoch watermark: keep the shards "
+                         "fresh as a tail ingests (incremental per the "
+                         "tip-epoch stamps; stops after --idle-stop idle "
+                         "polls)")
+    pk.add_argument("--poll-interval", type=float, default=0.5,
+                    dest="poll_interval")
+    pk.add_argument("--idle-stop", type=int, default=None, dest="idle_stop")
     pk.set_defaults(fn=cmd_pack)
 
     vw = sub.add_parser("view",

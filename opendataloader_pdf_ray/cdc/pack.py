@@ -153,3 +153,43 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
     parts_ds = _rd.from_items([{"part": p} for p in live_parts])
     return parts_ds.map_batches(task, batch_format="pyarrow",
                                 batch_size=1).take_all()  # ≤ P rows
+
+
+def follow_pack(lake: Lake, out: str, budget: int = 2048,
+                text_col: str = "text", poll_interval: float = 0.5,
+                max_idle_polls: "Optional[int]" = None) -> List[Dict]:
+    """TAIL the lake's epoch watermark and keep the training-shard
+    manifests FRESH as the tail ingests — the pack analog of the
+    changefeed/replication followers: each poll re-runs :func:`pack_lake`
+    pinned to the current feed head (the unbroken run of complete epochs —
+    a half-committed epoch never leaks into a shard), and the tip-epoch
+    stamps make the refresh incremental (only churned partitions rewrite;
+    the others are one footer read each). Stops after ``max_idle_polls``
+    polls with no watermark advance (None = poll forever — the serving
+    deployment shape). Crash/restart resumes from the stamps alone.
+
+    Returns the summaries of every NON-skipped refresh (≤P rows per
+    advanced epoch — nothing shard-sized transits the driver)."""
+    import time as _time
+
+    from .changefeed import feed_head
+
+    done_head = -1
+    refreshed: List[Dict] = []
+    idle = 0
+    while True:
+        head = feed_head(lake)
+        # head < 0 = no COMPLETE epoch yet: nothing is packable (packing
+        # the raw committed state would leak half-committed epochs into
+        # training shards — the exact hazard the watermark pin exists for)
+        if head > done_head and head >= 0:
+            out_rows = pack_lake(lake, out, budget=budget,
+                                 text_col=text_col, as_of=head)
+            refreshed.extend(r for r in out_rows if not r["skipped"])
+            done_head = head
+            idle = 0
+        else:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                return refreshed
+        _time.sleep(poll_interval)
