@@ -72,13 +72,25 @@ class _ExtractBatch:
         return HtmlExtractor(**self.kwargs)(batch)
 
 
-def _extract_stage(ds: "ray.data.Dataset", cfg: CDCConfig) -> "ray.data.Dataset":
+def _extract_stage(ds: "ray.data.Dataset", cfg: CDCConfig,
+                   pool=None) -> "ray.data.Dataset":
     """The extractor stage, per ``cfg.extract_mode``: ``"actors"`` (default
-    — stateful pool, setup once per actor) or ``"tasks"`` (stateless
-    map_batches; tail micro-epochs where pool spin-up dominates)."""
+    — stateful pool, setup once per actor), ``"tasks"`` (stateless
+    map_batches; tail micro-epochs where pool spin-up dominates), or
+    ``"pool"`` (PERSISTENT named-actor pool shared across pipelines —
+    tail micro-epochs with a model-backed extractor; see
+    stages/extract_pool.py)."""
     if cfg.extract_mode == "tasks":
         return ds.map_batches(_ExtractBatch(cfg), batch_format="pyarrow",
                               batch_size=cfg.extract_batch_size)
+    if cfg.extract_mode == "pool":
+        from ..stages.extract_pool import PoolRouter, _pool_names
+        names = pool.names if pool is not None else _pool_names(cfg, "")
+        # router tasks are near-free waiters: the CPU work happens in the
+        # long-lived pool actors (which hold their own reservation)
+        return ds.map_batches(PoolRouter(names), batch_format="pyarrow",
+                              batch_size=cfg.extract_batch_size,
+                              num_cpus=0.1)
     return ds.map_batches(
         HtmlExtractor,
         fn_constructor_kwargs={"cfg": cfg.extractor,
@@ -513,7 +525,8 @@ def num_epochs_in(events_path: str, epoch_size: int) -> int:
 
 def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
                  override_parallelism: Optional[int] = None,
-                 commit_epoch: Optional[int] = None) -> List[dict]:
+                 commit_epoch: Optional[int] = None,
+                 pool=None) -> List[dict]:
     """Run one epoch's micro-batch pipeline; returns lineage dicts.
     ``events_path``: a file/dir path or an explicit list of segment files
     (``follow`` passes the readable set so in-flight segments stay out),
@@ -534,11 +547,24 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
     else:
         lo, hi = epoch * cfg.epoch_size, (epoch + 1) * cfg.epoch_size
         if isinstance(events_path, (list, tuple)):
-            n_input_blocks = len(events_path)
+            # Estimate the read's block count from BYTES, not file count:
+            # ray.data.read_parquet splits large files into multiple blocks,
+            # so a few big segments gated on len(paths) alone would skip the
+            # coalesce and feed many blocks into the partition groupby — the
+            # exact pitfall the ~32-block coalesce exists to avoid (ADVICE
+            # r4). 64 MB/block is conservative vs the 128 MB default
+            # target_max_block_size (parquet→Arrow inflates).
+            import os as _os
+            try:
+                _bytes = sum(_os.path.getsize(p) for p in events_path)
+                n_input_blocks = max(len(events_path),
+                                     -(-_bytes // (64 << 20)))
+            except OSError:
+                n_input_blocks = None  # unknown size → keep the coalesce
         ds = ray.data.read_parquet(
             events_path,
             filter=(pc.field("seq") >= lo) & (pc.field("seq") < hi))
-    ds = _extract_stage(ds, cfg)
+    ds = _extract_stage(ds, cfg, pool=pool)
     if cfg.patch_ops:
         ds = ds.map_batches(_null_patch_derived, batch_format="pyarrow")
     if cfg.derive is not None:  # extract-time derived columns (e.g. embed)
@@ -773,6 +799,10 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     never became readable), which raises instead of reporting a clean drain
     that silently skipped data. Without ``max_idle_polls`` a post-stop hole
     keeps the tailer polling (visible to operators), never lying.
+    Lease-paused polls (cooperative maintenance in flight) do NOT count
+    toward ``max_idle_polls`` — they have their own 4× bound so a bounded
+    drain cannot abandon a grant it just issued on the ordinary idle
+    budget; the stop marker is ignored while paused.
 
     Single-writer FENCING: the tail acquires the lake's writer token at
     start and re-checks it at every poll, so a zombie tail (wedged, then
@@ -788,11 +818,33 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     epoch commit and its index refresh is healed by the catch-up refresh
     on the next poll (and on the stop path), so tail + followers resume
     consistently from any interruption.
+
+    ``cfg.extract_mode == "pool"``: the tail owns a PERSISTENT extractor
+    actor pool (stages/extract_pool.py) — constructed once here, reused by
+    every epoch pipeline across polls (no per-pipeline spin-up), killed on
+    exit. A restarted tail re-adopts its pool by name.
     """
+    cfg = cfg or CDCConfig()
+    pool = None
+    if cfg.extract_mode == "pool":
+        from ..stages.extract_pool import ExtractPool
+
+        pool = ExtractPool(cfg, lake_root)
+    try:
+        return _follow_impl(events_dir, lake_root, cfg, poll_interval,
+                            stop_marker, max_idle_polls, followers, pool)
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+
+def _follow_impl(events_dir: str, lake_root: str, cfg: CDCConfig,
+                 poll_interval: float, stop_marker: str,
+                 max_idle_polls: Optional[int],
+                 followers: Optional[List], pool) -> List[dict]:
     import os as _os
     import time as _time
 
-    cfg = cfg or CDCConfig()
     lake = Lake(lake_root, cfg.num_partitions)
     # fencing token: a restarted tail (or a non-cooperative maintenance op)
     # bumps the generation, and THIS process dies loudly at its next poll
@@ -803,16 +855,38 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
     lease = LeaseState(lake)  # cooperative-maintenance servicing (lease.py)
     lineage: List[dict] = []
     idle = 0
+    paused_polls = 0
+    was_paused = False
     while True:
         lake.check_writer(fence_tok)
         if lease.poll():
             # cooperative maintenance holds the next lake epoch: stay
-            # alive, ingest nothing until its .maint marker lands
-            idle += 1
-            if max_idle_polls is not None and idle >= max_idle_polls:
+            # alive, ingest nothing until its .maint marker lands.
+            # Lease-paused polls do NOT count toward max_idle_polls
+            # (ADVICE r4: a bounded-idle tail exiting mid-grant would
+            # abandon the maintenance handshake it just granted) — they
+            # get their own 4× bound so a deliberate bounded drain still
+            # terminates; an unbounded tail stays paused forever. The
+            # stop marker is likewise ignored while paused: stop is
+            # serviced only at an epoch boundary the tail owns.
+            was_paused = True
+            paused_polls += 1
+            if max_idle_polls is not None \
+                    and paused_polls >= 4 * max_idle_polls:
                 return lineage
             _time.sleep(poll_interval)
             continue
+        paused_polls = 0
+        if was_paused:
+            # resume-from-pause: a granted maintenance epoch just
+            # completed. Refresh followers NOW — on an idle stream the
+            # next binlog epoch may never come, and the maintenance
+            # epoch (e.g. a cooperative embed backfill) must not stay
+            # invisible to attached indexes (ADVICE r4).
+            for f in (followers or []):
+                f.refresh(lake)
+            was_paused = False
+            idle = 0
         # marker BEFORE extent (TOCTOU guard): the producer contract is
         # "write all segments, then the marker", so sampling the marker
         # first guarantees the extent read afterwards covers everything
@@ -839,7 +913,8 @@ def follow(events_dir: str, lake_root: str, cfg: Optional[CDCConfig] = None,
             band = _paths_for_band(paths, extents, e * cfg.epoch_size,
                                    (e + 1) * cfg.epoch_size)
             lineage.extend(ingest_epoch(band, lake, e, cfg,
-                                        commit_epoch=lease.lake_epoch(e)))
+                                        commit_epoch=lease.lake_epoch(e),
+                                        pool=pool))
             lake.mark_epoch_done(lease.lake_epoch(e))
             _auto_compact(lake, cfg)
             progressed = True
@@ -945,13 +1020,32 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
     warc_ts) races resolve by (source-local seq, then source index). The (K, source order,
     epoch_size) identity is persisted in ``_commits/fanin.json`` and
     verified on resume. Fencing, epoch-done markers, follower refresh,
-    straggler-hole refusal: exactly as in :func:`follow`.
+    straggler-hole refusal: exactly as in :func:`follow` — including
+    persistent-pool extract (``cfg.extract_mode == "pool"``).
     """
+    cfg = cfg or CDCConfig()
+    pool = None
+    if cfg.extract_mode == "pool":
+        from ..stages.extract_pool import ExtractPool
+
+        pool = ExtractPool(cfg, lake_root)
+    try:
+        return _follow_fanin_impl(events_dirs, lake_root, cfg,
+                                  poll_interval, stop_marker,
+                                  max_idle_polls, followers, pool)
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+
+def _follow_fanin_impl(events_dirs: List[str], lake_root: str,
+                       cfg: CDCConfig, poll_interval: float,
+                       stop_marker: str, max_idle_polls: Optional[int],
+                       followers: Optional[List], pool) -> List[dict]:
     import math as _math
     import os as _os
     import time as _time
 
-    cfg = cfg or CDCConfig()
     dirs = sorted(events_dirs)
     if not dirs:
         raise ValueError("follow_fanin: no source directories")
@@ -967,14 +1061,27 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
     # exactly like the single-source tail
     lineage: List[dict] = []
     idle = 0
+    paused_polls = 0
+    was_paused = False
     while True:
         lake.check_writer(fence_tok)
         if lease.poll():
-            idle += 1
-            if max_idle_polls is not None and idle >= max_idle_polls:
+            # paused polls never count toward max_idle_polls (own 4×
+            # bound) and the stop markers are ignored while paused —
+            # same contract as `follow`
+            was_paused = True
+            paused_polls += 1
+            if max_idle_polls is not None \
+                    and paused_polls >= 4 * max_idle_polls:
                 return lineage
             _time.sleep(poll_interval)
             continue
+        paused_polls = 0
+        if was_paused:
+            for f in (followers or []):
+                f.refresh(lake)  # maintenance epoch → index, even if idle
+            was_paused = False
+            idle = 0
         # marker before extent per source: same TOCTOU contract as follow
         stops = [_os.path.exists(_os.path.join(d, stop_marker))
                  for d in dirs]
@@ -1026,7 +1133,8 @@ def follow_fanin(events_dirs: List[str], lake_root: str,
                 continue
             ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
             lineage.extend(ingest_epoch(ds, lake, e, cfg,
-                                        commit_epoch=lease.lake_epoch(e)))
+                                        commit_epoch=lease.lake_epoch(e),
+                                        pool=pool))
             lake.mark_epoch_done(lease.lake_epoch(e))
             _auto_compact(lake, cfg)
             progressed = True

@@ -1549,10 +1549,13 @@ class Lake:
         orig_renames = self.list_renames()
         kept = [r for r in orig_renames
                 if rmap.get(r["from"], r["from"]) != col]
-        if len(kept) != len(orig_renames):
-            self._write_small_atomic(
-                self._renames_path(),
-                json.dumps({"renames": kept}).encode())
+        # NOTE: the pruned renames.json is written AFTER the rewrite loops
+        # below (ADVICE r4): scrubbing the translation map first would, on a
+        # crash mid-rewrite, leave surviving files holding a historical name
+        # the resumed run can no longer alias — the old name would resurrect
+        # as a null-backfilled twin column forever. The rewrite is idempotent
+        # (files without the column stay byte-stable), so resuming with the
+        # intact map is always safe.
         files_rewritten = 0
         for part in range(self.num_partitions):
             try:
@@ -1610,6 +1613,12 @@ class Lake:
                         zm.pop(a, None)
                     self._write_small_atomic(cpath,
                                              json.dumps(rec).encode())
+        # all alias-aware rewrites + zone-map scrubs done: NOW retire the
+        # rename-log entries that resolved to the dropped column
+        if len(kept) != len(orig_renames):
+            self._write_small_atomic(
+                self._renames_path(),
+                json.dumps({"renames": kept}).encode())
         audit = {"op": "drop_column", "column": col,
                  "files_rewritten": files_rewritten}
         batch_id = hashlib.sha256(col.encode()).hexdigest()[:16]

@@ -137,6 +137,22 @@ def request_lease(lake: Lake, name: str) -> dict:
         raise ValueError(
             f"maintenance lease busy: {cur.get('name')!r} has a pending "
             f"request on {lake.root} — finish or release it first")
+    # Orphan-grant re-adoption (ADVICE r4): await_grant's timeout deletes
+    # the request, racing the tail's want_grant→grant write. If the grant
+    # landed just after the delete, the tail is paused on an incomplete
+    # grant no request matches and a fresh id (#gen+1) would never match
+    # it. A same-NAME re-run adopts the orphan grant's id instead: the
+    # request is re-posted with that id, await_grant returns immediately,
+    # and the op runs in the already-reserved epoch.
+    grant = _read_json(lake, _GRANT)
+    if grant is not None:
+        gid = str(grant.get("id", ""))
+        if (gid.rsplit("#", 1)[0] == name
+                and not lake.is_epoch_complete(int(grant["epoch"]))):
+            req = {"id": gid, "name": name}
+            lake._write_small_atomic(_path(lake, _REQUEST),
+                                     json.dumps(req).encode())
+            return req
     gen = current_offset(read_offsets(lake)) + 1
     req = {"id": f"{name}#{gen}", "name": name}
     lake._write_small_atomic(_path(lake, _REQUEST),

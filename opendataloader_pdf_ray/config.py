@@ -191,6 +191,11 @@ class CDCConfig:
     #       in ~0.6 ms, so a streaming tail's micro-epochs (one short
     #       pipeline per poll) are ~1.5× faster end-to-end in tasks mode;
     #       output is byte-identical either way.
+    #   "pool" — PERSISTENT named-actor pool shared across pipelines
+    #       (stages/extract_pool.py): tails with a model-backed extractor
+    #       get tasks-mode per-epoch latency while keeping actor state
+    #       alive between polls. Owned by follow/follow_fanin (or an
+    #       explicit ExtractPool context for backlog use).
     extract_mode: str = "actors"
     # Two-phase merge. Phase 1 (local) is ALWAYS the per-batch combiner
     # (≤1 row per (url, epoch) per block); phase 2 (global) is the partition

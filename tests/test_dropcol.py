@@ -135,6 +135,45 @@ class TestDropColumn:
         # the parent keeps the column — branch drop must not leak up
         assert "score" in lake.read_state().column_names
 
+    def test_crash_mid_rewrite_of_renamed_column_heals_on_rerun(
+            self, tmp_path, monkeypatch):
+        """ADVICE r4 (lake.py drop_column ordering): the pruned
+        renames.json must be written AFTER the alias-aware rewrites. A
+        crash mid-rewrite of a previously-renamed column must leave the
+        translation map intact, so the re-run still aliases the
+        historical name — otherwise surviving files' old name resurrects
+        as a null-backfilled twin column forever."""
+        lake = _lake(tmp_path)          # epochs 0-1 carry 'score'
+        lake.rename_column("score", "points")
+        _commit(lake, 2, [("u0", 30, 100, "t2-0", 300, False)])
+        # files from epoch 2 use... the metadata rename means old files
+        # still say 'score'; drop 'points' must rewrite those via alias
+
+        calls = {"n": 0}
+        real = Lake._write_table_atomic
+
+        def explode_after_first(self, table, path):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash mid-rewrite")
+            return real(self, table, path)
+
+        monkeypatch.setattr(Lake, "_write_table_atomic",
+                            explode_after_first)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            lake.drop_column("points")
+        monkeypatch.setattr(Lake, "_write_table_atomic", real)
+
+        # the fix: translation map survives the crash
+        assert lake.rename_map().get("score") == "points"
+        # re-run heals completely: no twin column at any as_of
+        lake.drop_column("points")
+        assert lake.rename_map() == {}
+        for as_of in (0, 1, 2):
+            cols = lake.read_state(as_of=as_of).column_names
+            assert "score" not in cols and "points" not in cols
+        assert lake.verify()["ok"]
+
     def test_cli(self, tmp_path, capsys):
         from opendataloader_pdf_ray.__main__ import main
 

@@ -1,0 +1,135 @@
+"""Persistent extractor actor pool (stages/extract_pool.py) — r4 verdict
+item #1: a model-backed tail must keep extractor state alive BETWEEN epoch
+pipelines instead of paying per-pipeline actor-pool spin-up. Verifies the
+pool mode is byte-identical to tasks/actors mode, that the pool actors
+survive across epochs within one tail run, and the lifecycle contract."""
+
+import os
+
+import pytest
+
+import ray
+
+from opendataloader_pdf_ray.cdc import Lake
+from opendataloader_pdf_ray.cdc.ingest import CDCConfig, follow, ingest_epoch
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+
+CFG_KW = dict(num_partitions=4, num_salts=2, epoch_size=60,
+              extract_batch_size=16, extract_concurrency=2,
+              extract_num_cpus=0.5)
+
+
+def _write_segments(table, out_dir, shard=30):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    for s in range(0, n, shard):
+        chunk = table.filter((pc.field("seq") >= s)
+                             & (pc.field("seq") < s + shard))
+        if chunk.num_rows:
+            pq.write_table(chunk, f"{out_dir}/seg-{s:06d}.parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractPool:
+    def test_pool_mode_byte_identical_to_tasks(self, tmp_path):
+        """Same segments through a pool-mode tail and a tasks-mode tail →
+        byte-equal lake state (routing is load-balancing metadata only)."""
+        events = gen_events(180, 40, seed=31)
+        seg_dir = str(tmp_path / "segs")
+        _write_segments(events, seg_dir)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+
+        lakes = {}
+        for mode in ("tasks", "pool"):
+            cfg = CDCConfig(extract_mode=mode, **CFG_KW)
+            root = str(tmp_path / f"lake_{mode}")
+            lineage = follow(seg_dir, root, cfg, poll_interval=0.05)
+            assert lineage
+            lakes[mode] = Lake(root)
+        got = lakes["pool"].read_state(include_tombstones=True)
+        want = lakes["tasks"].read_state(include_tombstones=True)
+        assert got.equals(want)
+
+    def test_pool_survives_across_epochs_and_dies_on_exit(self, tmp_path):
+        """The pool actors are created ONCE per tail run (named,
+        discoverable while the tail is live) and killed when the tail
+        exits — no reservation leak into later pipelines."""
+        import threading
+        import time
+
+        from opendataloader_pdf_ray.stages.extract_pool import _pool_names
+
+        events = gen_events(120, 30, seed=32)
+        seg_dir = str(tmp_path / "segs")
+        _write_segments(events, seg_dir)
+        cfg = CDCConfig(extract_mode="pool", **CFG_KW)
+        root = str(tmp_path / "lake")
+        names = _pool_names(cfg, root)
+
+        t = threading.Thread(
+            target=follow, args=(seg_dir, root, cfg),
+            kwargs=dict(poll_interval=0.05, max_idle_polls=200),
+            daemon=True)
+        t.start()
+        # while the tail is live, its named actors are discoverable
+        seen = False
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not seen:
+            try:
+                ray.get_actor(names[0])
+                seen = True
+            except ValueError:
+                time.sleep(0.05)
+        assert seen, "pool actor never appeared during the tail run"
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        t.join(timeout=120)
+        assert not t.is_alive()
+        # pool shut down with the tail
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            try:
+                ray.get_actor(names[0])
+                time.sleep(0.05)
+            except ValueError:
+                break
+        with pytest.raises(ValueError):
+            ray.get_actor(names[0])
+        assert Lake(root).is_epoch_done(0)
+
+    def test_router_without_pool_raises_helpfully(self, tmp_path):
+        """Standalone ingest in pool mode without an owning tail or an
+        ExtractPool context fails loudly with guidance, not a hang."""
+        import pyarrow.parquet as pq
+
+        events = gen_events(60, 20, seed=33)
+        seg = str(tmp_path / "seg.parquet")
+        pq.write_table(events, seg)
+        cfg = CDCConfig(extract_mode="pool", **CFG_KW)
+        lake = Lake(str(tmp_path / "lake"), cfg.num_partitions)
+        with pytest.raises(Exception) as ei:
+            ingest_epoch([seg], lake, 0, cfg)
+        assert "extract_mode='pool'" in str(ei.value)
+
+    def test_explicit_pool_context_for_backlog(self, tmp_path):
+        """Library users can own the pool via the ExtractPool context for
+        backlog (non-tail) ingest."""
+        import pyarrow.parquet as pq
+
+        from opendataloader_pdf_ray.stages.extract_pool import ExtractPool
+
+        events = gen_events(60, 20, seed=34)
+        seg = str(tmp_path / "seg.parquet")
+        pq.write_table(events, seg)
+        cfg = CDCConfig(extract_mode="pool", **CFG_KW)
+        root = str(tmp_path / "lake")
+        lake = Lake(root, cfg.num_partitions)
+        with ExtractPool(cfg) as pool:
+            lineage = ingest_epoch([seg], lake, 0, cfg, pool=pool)
+        assert lineage
+        cfg2 = CDCConfig(extract_mode="tasks", **CFG_KW)
+        lake2 = Lake(str(tmp_path / "lake2"), cfg2.num_partitions)
+        ingest_epoch([seg], lake2, 0, cfg2)
+        assert lake.read_state().equals(lake2.read_state())

@@ -264,3 +264,127 @@ class TestLeaseProtocol:
         steps = [(2, 1), (5, 2)]
         assert [lake_epoch(e, steps) for e in range(7)] == \
             [0, 1, 3, 4, 5, 7, 8]
+
+    def test_orphan_grant_readopted_after_timeout_race(self, tmp_path):
+        """ADVICE r4 (lease.py await_grant race): the timeout deletes the
+        request, racing the tail's grant write. If the grant lands just
+        after the delete, a same-name re-run must RE-ADOPT the orphan
+        grant (same id, same reserved epoch) instead of minting a fresh
+        id that never matches — otherwise the tail pauses forever."""
+        events = gen_events(240, 40, seed=25)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+        _write_segments(events, seg_dir, 0, 120)
+        follow(seg_dir, lake_root, CFG, poll_interval=0.05,
+               max_idle_polls=2)
+        lake = Lake(lake_root)
+        cutoff = _cutoff(lake)
+        name = f"retention:{cutoff}"
+        req = request_lease(lake, name)
+        # tail services the request: grant lands, tail pauses then exits
+        follow(seg_dir, lake_root, CFG, poll_interval=0.05,
+               max_idle_polls=2)
+        # simulate the race's aftermath: request deleted (await_grant
+        # timeout) AFTER the grant landed
+        lake.fs.rm_file(os.path.join(lake._commits_dir(),
+                                     "maint_request.json"))
+        # same-name re-run adopts the orphan grant instantly
+        epoch, req2 = acquire_maint_epoch(lake, name, timeout=2,
+                                          poll_interval=0.05)
+        assert req2["id"] == req["id"] and epoch == 2
+        # and the op completes normally through the adopted lease
+        lineage = apply_retention(lake, cutoff, cooperative=True,
+                                  lease_timeout=5)
+        assert lineage and all(l["epoch"] == 2 for l in lineage)
+        assert lake.is_epoch_complete(2)
+        # resume the tail through the remaining binlog epochs
+        _write_segments(events, seg_dir, 120, 240)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        follow(seg_dir, lake_root, CFG, poll_interval=0.05)
+        lake2 = Lake(lake_root)
+        assert lake2.is_epoch_done(3) and lake2.is_epoch_done(4)
+        oracle = _oracle(tmp_path, events, seg_dir, cutoff)
+        assert lake2.read_state(include_tombstones=True).equals(
+            oracle.read_state(include_tombstones=True))
+
+    def test_paused_polls_do_not_consume_idle_budget(self, tmp_path):
+        """ADVICE r4 (ingest.py): lease-paused polls must not count
+        toward max_idle_polls (a bounded drain abandoning a grant it just
+        issued), but the separate 4× paused bound still terminates a
+        deliberate bounded drain."""
+        import time as _t
+
+        events = gen_events(120, 30, seed=26)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+        _write_segments(events, seg_dir, 0, 120)
+        follow(seg_dir, lake_root, CFG, poll_interval=0.05,
+               max_idle_polls=2)
+        lake = Lake(lake_root)
+        request_lease(lake, "retention:999")
+        t0 = _t.monotonic()
+        follow(seg_dir, lake_root, CFG, poll_interval=0.05,
+               max_idle_polls=2)
+        elapsed = _t.monotonic() - t0
+        # exited via the 4× paused bound (8 paused polls), not the
+        # ordinary idle budget (2): the grant was issued first, so the
+        # run must have stayed ≥ 8 × 0.05 s in the paused state
+        from opendataloader_pdf_ray.cdc.lease import _read_json
+
+        assert _read_json(lake, "maint_grant.json") is not None
+        assert elapsed >= 8 * 0.05
+        # cleanup: release so the lake is not wedged for later asserts
+        release_lease(lake, {"id": "ignored"})
+
+    def test_follower_refresh_fires_on_resume_from_pause(self, tmp_path):
+        """ADVICE r4 (ingest.py): after a cooperative maintenance epoch
+        completes, attached followers must refresh on RESUME — an idle
+        stream may never produce another binlog epoch to trigger it."""
+        events = gen_events(120, 30, seed=27)
+        seg_dir = str(tmp_path / "segs")
+        lake_root = str(tmp_path / "lake")
+        _write_segments(events, seg_dir, 0, 120)
+
+        class _Rec:
+            def __init__(self):
+                self.calls = []
+
+            def refresh(self, lk):
+                self.calls.append(lk.is_epoch_complete(2))
+
+        rec = _Rec()
+        errors = []
+
+        def tail():
+            try:
+                follow(seg_dir, lake_root, CFG, poll_interval=0.05,
+                       max_idle_polls=600, followers=[rec])
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+
+        t = threading.Thread(target=tail, daemon=True)
+        t.start()
+        lake = None
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                lake = Lake(lake_root)
+                if lake.is_epoch_done(0) and lake.is_epoch_done(1):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.05)
+        assert lake is not None and lake.is_epoch_done(1)
+        n_before = len(rec.calls)
+        cutoff = _cutoff(lake)
+        apply_retention(lake, cutoff, cooperative=True, lease_timeout=30)
+        # NO new segments: the refresh must come from resume-from-pause
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and len(rec.calls) == n_before:
+            time.sleep(0.05)
+        assert len(rec.calls) > n_before, \
+            "follower refresh never fired after the maintenance epoch"
+        assert rec.calls[-1] is True  # maintenance epoch visible to it
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        t.join(timeout=120)
+        assert not t.is_alive() and errors == []
