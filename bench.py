@@ -288,6 +288,9 @@ def follow_bench() -> None:
     n_epochs = {"sf0.001": 4, "sf0.01": 6}.get(sf_name, 16)
     tasks = run_follow(NUM_CPUS, "tasks", n_epochs)
     actors = run_follow(NUM_CPUS, "actors", n_epochs)
+    # persistent named-actor pool (r4 verdict item #1): actor-state
+    # latency with tasks-mode per-epoch cost — the model-backed tail mode
+    pool = run_follow(NUM_CPUS, "pool", n_epochs)
     print(json.dumps({
         "metric": "cdc_follow_tail",
         "unit": "sec",
@@ -295,9 +298,13 @@ def follow_bench() -> None:
         "num_cpus": NUM_CPUS,
         "tasks": tasks,
         "actor_pool": actors,
+        "persistent_pool": pool,
         "tail_speedup_tasks_vs_actor_pool": round(
             tasks["sustained_events_per_sec"]
             / actors["sustained_events_per_sec"], 3),
+        "pool_p50_vs_tasks_p50": round(
+            pool["epoch_latency_p50_sec"]
+            / tasks["epoch_latency_p50_sec"], 3),
     }))
     ray.shutdown()
 

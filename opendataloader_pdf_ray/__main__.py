@@ -1092,7 +1092,8 @@ def cmd_pack(args) -> int:
         written = follow_pack(lake, args.out, budget=args.budget,
                               text_col=args.text_col,
                               poll_interval=args.poll_interval,
-                              max_idle_polls=args.idle_stop)
+                              max_idle_polls=args.idle_stop,
+                              tokenizer=args.tokenizer)
         print(json.dumps({
             "out": args.out, "budget": args.budget, "follow": True,
             "partitions_refreshed": len(written),
@@ -1103,7 +1104,8 @@ def cmd_pack(args) -> int:
             ray.shutdown()
         return 0
     summary = pack_lake(lake, args.out, budget=args.budget,
-                        text_col=args.text_col, as_of=args.as_of)
+                        text_col=args.text_col, as_of=args.as_of,
+                        tokenizer=args.tokenizer)
     written = [s for s in summary if not s["skipped"]]
     print(json.dumps({
         "out": args.out, "budget": args.budget,
@@ -2206,6 +2208,13 @@ def main(argv=None) -> int:
     pk.add_argument("--budget", type=int, default=2048,
                     help="tokens per sequence")
     pk.add_argument("--text-col", default="text")
+    pk.add_argument("--tokenizer", default="whitespace",
+                    choices=["whitespace", "bpe"],
+                    help="sequence-budget token counter: whitespace "
+                         "(default) or the deterministic vendored "
+                         "byte-level BPE (functions/bpe.py); the choice "
+                         "is stamped into each shard, so refreshing "
+                         "under a different tokenizer rewrites")
     pk.add_argument("--as-of", type=int, default=None)
     pk.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")

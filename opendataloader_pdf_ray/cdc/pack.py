@@ -42,16 +42,24 @@ from .lake import Lake
 from .merge import live_view
 
 _STAMP = b"odl_pack_epoch"
+_TOK_STAMP = b"odl_pack_tokenizer"
 
 
 def _pack_partition(state: pa.Table, part: int, budget: int,
-                    text_col: str) -> pa.Table:
-    """Sequence manifest for ONE partition's live rows (already merged)."""
+                    text_col: str,
+                    tokenizer: str = "whitespace") -> pa.Table:
+    """Sequence manifest for ONE partition's live rows (already merged).
+    ``tokenizer``: "whitespace" (default) or "bpe" — the deterministic
+    vendored byte-level BPE (functions/bpe.py; r4 verdict item #3: real
+    training shards budget by subword tokens, not whitespace)."""
+    from ..functions.bpe import make_counter
+
+    count = make_counter(tokenizer)
     state = state.sort_by([("url", "ascending")])
     urls = state["url"].to_numpy(zero_copy_only=False)
     texts = state[text_col].to_pylist()
     toks = np.fromiter(
-        (len(t.split()) if isinstance(t, str) else 0 for t in texts),
+        (count(t) if isinstance(t, str) else 0 for t in texts),
         np.int64, count=len(texts))
     keep = toks > 0
     urls, toks = urls[keep], toks[keep]
@@ -77,7 +85,8 @@ def _pack_partition(state: pa.Table, part: int, budget: int,
 
 def pack_lake(lake: Lake, out: str, budget: int = 2048,
               text_col: str = "text",
-              as_of: Optional[int] = None) -> List[Dict]:
+              as_of: Optional[int] = None,
+              tokenizer: str = "whitespace") -> List[Dict]:
     """Write one sequence-manifest shard per live partition (module
     docstring). Returns ≤P summary dicts (part, rows, sequences, tokens,
     tip_epoch, skipped)."""
@@ -103,8 +112,10 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
                 meta = pq.read_metadata(path, filesystem=ofs)
                 kv = meta.metadata or {}
                 stamped = kv.get(_STAMP)
+                stamped_tok = (kv.get(_TOK_STAMP) or b"whitespace").decode()
                 if stamped is not None and tip is not None \
-                        and int(stamped) == tip:
+                        and int(stamped) == tip \
+                        and stamped_tok == tokenizer:
                     res["part"].append(part)
                     res["rows"].append(meta.num_rows)
                     res["sequences"].append(-1)  # not recounted on skip
@@ -119,10 +130,12 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
             if t is None:
                 continue
             t = live_view(t)
-            manifest = _pack_partition(t, part, budget, text_col)
+            manifest = _pack_partition(t, part, budget, text_col,
+                                       tokenizer)
             manifest = manifest.replace_schema_metadata(
                 {**(manifest.schema.metadata or {}),
-                 _STAMP: str(tip).encode()})
+                 _STAMP: str(tip).encode(),
+                 _TOK_STAMP: tokenizer.encode()})
             ofs.makedirs(out, exist_ok=True)
             if is_local:
                 tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -157,7 +170,8 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
 
 def follow_pack(lake: Lake, out: str, budget: int = 2048,
                 text_col: str = "text", poll_interval: float = 0.5,
-                max_idle_polls: "Optional[int]" = None) -> List[Dict]:
+                max_idle_polls: "Optional[int]" = None,
+                tokenizer: str = "whitespace") -> List[Dict]:
     """TAIL the lake's epoch watermark and keep the training-shard
     manifests FRESH as the tail ingests — the pack analog of the
     changefeed/replication followers: each poll re-runs :func:`pack_lake`
@@ -184,7 +198,8 @@ def follow_pack(lake: Lake, out: str, budget: int = 2048,
         # training shards — the exact hazard the watermark pin exists for)
         if head > done_head and head >= 0:
             out_rows = pack_lake(lake, out, budget=budget,
-                                 text_col=text_col, as_of=head)
+                                 text_col=text_col, as_of=head,
+                                 tokenizer=tokenizer)
             refreshed.extend(r for r in out_rows if not r["skipped"])
             done_head = head
             idle = 0
