@@ -231,6 +231,69 @@ def make_client(spec, cfg: Optional[ExtractorConfig] = None,
 
         return TransformingBackendClient(
             DoclingHttpTransport(spec[len("docling:"):]), cfg=cfg)
+    if isinstance(spec, str) and spec.startswith("hancom-ai:"):
+        from .hancom import HancomAITransformer
+        from .transformers import TransformingBackendClient
+
+        return TransformingBackendClient(
+            HancomAIHttpTransport(spec[len("hancom-ai:"):]),
+            transformer=HancomAITransformer(), cfg=cfg)
+    if isinstance(spec, str) and spec.startswith("hancom:"):
+        from .hancom import HancomTransformer
+        from .transformers import TransformingBackendClient
+
+        return TransformingBackendClient(
+            HancomHttpTransport(spec[len("hancom:"):]),
+            transformer=HancomTransformer(), cfg=cfg)
     if isinstance(spec, str):
         return HttpBackendClient(spec)
     return spec
+
+
+class HancomHttpTransport:
+    """Hancom Document-AI wire shape (``HancomClient.java:57-59``):
+    upload → visualinfo → delete, collapsed over the engine's persistent
+    connection. Authenticated in production; this sandbox has no server,
+    so tests go through canned-response fakes (module contract is the
+    transformer, not the transport)."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self._http = HttpBackendClient(base_url, timeout=timeout)
+
+    def health(self) -> bool:
+        return self._http.health()
+
+    def convert(self, url: str, html: bytes):
+        import json as _json
+
+        status, payload = self._http._request(
+            "POST", "/v1/dl/files/upload", html)
+        if status != 200:
+            raise BackendUnavailable(f"hancom upload HTTP {status}")
+        file_id = _json.loads(payload).get("fileId")
+        status, payload = self._http._request(
+            "GET", f"/v1/dl/files/{file_id}/visualinfo", b"")
+        if status != 200:
+            raise BackendUnavailable(f"hancom visualinfo HTTP {status}")
+        doc = _json.loads(payload)
+        self._http._request("DELETE", f"/v1/dl/files/{file_id}", b"")
+        return doc
+
+
+class HancomAIHttpTransport:
+    """Hancom-AI OCR-SDK wire shape (``HancomAIClient.java:67``):
+    ``POST /hocr/sdk`` with the document, merged module JSON back."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self._http = HttpBackendClient(base_url, timeout=timeout)
+
+    def health(self) -> bool:
+        return self._http.health()
+
+    def convert(self, url: str, html: bytes):
+        import json as _json
+
+        status, payload = self._http._request("POST", "/hocr/sdk", html)
+        if status != 200:
+            raise BackendUnavailable(f"hancom-ai sdk HTTP {status}")
+        return _json.loads(payload)

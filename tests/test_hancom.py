@@ -1,0 +1,386 @@
+"""Hancom / Hancom-AI schema transformers (stages/hancom.py) — the second
+and third transformer instances proving the interface generalizes beyond
+Docling (r4 verdict item #4), incl. the OCR word-info exposure, cell-word
+bbox matching, and the trustStream-vs-OCR merge path (reference:
+core/hybrid/HancomSchemaTransformer.java, HancomAISchemaTransformer.java,
+OcrWordInfo.java, processors/HybridDocumentProcessor.java:1111-1290)."""
+
+import pytest
+
+from opendataloader_pdf_ray.extractor.blocks import (
+    CAPTION,
+    HEADING,
+    IMAGE,
+    LIST,
+    LIST_ITEM,
+    PARAGRAPH,
+    TABLE,
+)
+from opendataloader_pdf_ray.stages.hancom import (
+    PIXEL_TO_POINT,
+    HancomAITransformer,
+    HancomTransformer,
+    StreamChunk,
+    merge_trust_stream,
+    ocr_fill_text,
+)
+
+
+def canned_hancom_doc() -> dict:
+    """VisualInfoDto-shaped response: every element type, furniture,
+    TOPLEFT (left, top, width, height) bboxes, a table with a spanning
+    cell keyed by rowspan/colspan index arrays."""
+    return {
+        "pageSizes": [{"width": 595, "height": 842},
+                      {"width": 595, "height": 842}],
+        "elements": [
+            {"category": {"type": "PAGE_HEADER"}, "pageIndex": 0,
+             "bbox": {"left": 10, "top": 10, "width": 200, "height": 12},
+             "content": {"text": "RUNNING HEAD"}},
+            {"category": {"type": "HEADING"}, "pageIndex": 0,
+             "bbox": {"left": 20, "top": 40, "width": 300, "height": 20},
+             "content": {"text": "제목"}},
+            {"category": {"type": "PARAGRAPH"}, "pageIndex": 0,
+             "bbox": {"left": 20, "top": 80, "width": 400, "height": 30},
+             "content": {"text": "본문 단락입니다."}},
+            {"category": {"type": "LIST_ITEM"}, "pageIndex": 0,
+             "bbox": {"left": 30, "top": 120, "width": 300, "height": 14},
+             "content": {"text": "첫 항목"}},
+            {"category": {"type": "FORMULA"}, "pageIndex": 0,
+             "bbox": {"left": 40, "top": 150, "width": 100, "height": 16},
+             "content": {"text": "E = mc^2"}},
+            {"category": {"type": "FIGURE"}, "pageIndex": 1,
+             "bbox": {"left": 50, "top": 60, "width": 200, "height": 150}},
+            {"category": {"type": "TABLE"}, "pageIndex": 1,
+             "bbox": {"left": 20, "top": 300, "width": 400, "height": 90},
+             "content": {"table": {"cells": [
+                 {"cellId": "0", "rowspan": [0], "colspan": [0, 1],
+                  "text": "wide header"},
+                 {"cellId": "1", "rowspan": [0], "colspan": [2],
+                  "text": "h3"},
+                 {"cellId": "2", "rowspan": [1], "colspan": [0],
+                  "text": "a"},
+                 {"cellId": "3", "rowspan": [1], "colspan": [1],
+                  "text": "b"},
+                 {"cellId": "4", "rowspan": [1], "colspan": [2],
+                  "text": "c"},
+             ]}}},
+            {"category": {"type": "PAGE_FOOTER"}, "pageIndex": 1,
+             "bbox": {"left": 10, "top": 820, "width": 100, "height": 10},
+             "content": {"text": "page 2"}},
+        ],
+    }
+
+
+def canned_hancom_ai_doc() -> dict:
+    """DLA+OCR-shaped response: integer labels, 300-DPI pixel bboxes,
+    word arrays (4-pt and 8-pt polygon), heading-height levels, figure
+    caption lookup, a TSR table with crop-origin cell bboxes whose text
+    comes from cell-word matching, and a regionlist region covered by the
+    TSR bbox (table-first skip)."""
+    return {
+        "DOCUMENT_LAYOUT_WITH_OCR": [[{
+            "page_number": 0,
+            "image_height": 3508,
+            "objects": [
+                {"label": 0, "bbox": [100, 100, 2000, 220],
+                 "ocrtext": "Document Title", "confidence": 0.99,
+                 "object_id": 1},
+                # two heading heights → tallest H2, shorter H3
+                {"label": 1, "bbox": [100, 300, 1200, 400],
+                 "ocrtext": "Big Section", "object_id": 2},
+                {"label": 4, "bbox": [100, 500, 1000, 560],
+                 "ocrtext": "Small Region", "object_id": 3},
+                {"label": 2, "bbox": [100, 700, 2200, 820],
+                 "ocrtext": "Body text paragraph.", "object_id": 4,
+                 "words": [
+                     {"text": "Body", "bbox": [100, 700, 400, 820]},
+                     {"text": "text",
+                      "bbox": [420, 700, 700, 700, 700, 820, 420, 820]},
+                     {"text": "paragraph.", "bbox": [720, 700, 1400, 820]},
+                 ]},
+                {"label": 3, "bbox": [120, 900, 1500, 960],
+                 "ocrtext": "first item", "object_id": 5},
+                {"label": 13, "bbox": [100, 3300, 1500, 3350],
+                 "ocrtext": "a footnote", "object_id": 6},
+                {"label": 10, "bbox": [1600, 900, 2300, 1500],
+                 "object_id": 7},
+                {"label": 14, "bbox": [100, 40, 500, 80],
+                 "ocrtext": "furniture header", "object_id": 8},
+                {"label": 17, "bbox": [1200, 3400, 1300, 3440],
+                 "ocrtext": "3", "object_id": 9},
+                # regionlist fully covered by the TSR table below → skipped
+                {"label": 7, "bbox": [200, 2000, 2200, 2600],
+                 "ocrtext": "r1\nr2", "object_id": 10},
+                # table-region words land inside TSR cells
+                {"label": 9, "bbox": [200, 2000, 2200, 2600],
+                 "ocrtext": "cellA cellB", "object_id": 11,
+                 "words": [
+                     {"text": "cellA", "bbox": [250, 2050, 1100, 2250]},
+                     {"text": "cellB", "bbox": [1300, 2050, 2100, 2250]},
+                 ]},
+            ],
+        }]],
+        "TABLE_STRUCTURE_RECOGNITION": [{
+            "page_number": 0,
+            "object_id": 11,
+            "confidence": 0.9,
+            "dla_bbox": [200, 2000, 2200, 2600],
+            "tsr": {
+                "table_bbox": [0, 0, 2000, 600],
+                "num_cells": 4,
+                "cells": [
+                    {"rowspan": [0], "colspan": [0],
+                     "bbox": [0, 0, 1000, 300], "text": "tsrA"},
+                    {"rowspan": [0], "colspan": [1],
+                     "bbox": [1000, 0, 2000, 300], "text": "tsrB"},
+                    {"rowspan": [1], "colspan": [0, 1],
+                     "bbox": [0, 300, 2000, 600], "text": "span"},
+                ],
+            },
+        }],
+        "FIGURE_CAPTIONS": [
+            {"page_number": 0, "object_id": 7, "caption": "a nice chart"},
+        ],
+    }
+
+
+class TestHancomTransformer:
+    def test_element_mapping_furniture_and_coords(self):
+        pages = HancomTransformer().transform(canned_hancom_doc())
+        assert len(pages) == 2
+        texts = {(b.type, b.text) for b in pages[0]}
+        assert (HEADING, "제목") in texts
+        assert (PARAGRAPH, "본문 단락입니다.") in texts
+        assert (PARAGRAPH, "첫 항목") in texts  # LIST_ITEM → paragraph
+        assert all(b.text != "RUNNING HEAD" for b in pages[0])
+        formula = next(b for b in pages[0] if b.label == "formula")
+        assert formula.text == "E = mc^2"
+        # TOPLEFT (l, t, w, h) maps directly to [l, t, r, b]
+        head = next(b for b in pages[0] if b.type == HEADING)
+        assert head.bbox == [20.0, 40.0, 320.0, 60.0]
+
+    def test_table_grid_and_span_backfill(self):
+        pages = HancomTransformer().transform(canned_hancom_doc())
+        table = next(b for b in pages[1] if b.type == TABLE)
+        assert len(table.kids) == 2  # 2 rows
+        r0 = table.kids[0].kids
+        assert [c.text for c in r0] == ["wide header", "h3"]
+        assert r0[0].col_span == 2 and r0[0].is_header
+        r1 = table.kids[1].kids
+        assert [c.text for c in r1] == ["a", "b", "c"]
+        assert not r1[0].is_header
+
+    def test_picture_and_empty_inputs(self):
+        tr = HancomTransformer()
+        pages = tr.transform(canned_hancom_doc())
+        pic = next(b for b in pages[1] if b.type == IMAGE)
+        assert pic.label == "picture[1]"
+        assert tr.transform(None) == []
+        assert tr.transform({}) == []
+
+
+class TestHancomAITransformer:
+    def test_label_routing_and_furniture(self):
+        tr = HancomAITransformer()
+        pages = tr.transform(canned_hancom_ai_doc())
+        assert len(pages) == 1
+        blocks = pages[0]
+        texts = [b.text for b in blocks]
+        assert "furniture header" not in texts and "3" not in texts
+        title = next(b for b in blocks if b.text == "Document Title")
+        assert title.type == HEADING and title.level == 1
+        foot = next(b for b in blocks if b.text == "a footnote")
+        assert foot.type == PARAGRAPH and foot.label == "footnote"
+        item = next(b for b in blocks if b.text == "first item")
+        assert item.type == LIST_ITEM
+
+    def test_heading_height_levels(self):
+        pages = HancomAITransformer().transform(canned_hancom_ai_doc())
+        big = next(b for b in pages[0] if b.text == "Big Section")
+        small = next(b for b in pages[0] if b.text == "Small Region")
+        assert big.level == 2 and small.level == 3  # taller → H2
+
+    def test_pixel_to_point_conversion(self):
+        pages = HancomAITransformer().transform(canned_hancom_ai_doc())
+        title = next(b for b in pages[0] if b.text == "Document Title")
+        assert title.bbox == pytest.approx(
+            [100 * PIXEL_TO_POINT, 100 * PIXEL_TO_POINT,
+             2000 * PIXEL_TO_POINT, 220 * PIXEL_TO_POINT])
+
+    def test_figure_caption_lookup(self):
+        pages = HancomAITransformer().transform(canned_hancom_ai_doc())
+        pic = next(b for b in pages[0] if b.type == IMAGE)
+        assert pic.text == "a nice chart"
+
+    def test_tsr_table_cell_word_matching(self):
+        """Cell text comes from the DLA words whose bbox sits in the
+        cell (crop-origin offset applied); the spanning bottom cell has
+        no matching words → TSR text fallback."""
+        pages = HancomAITransformer().transform(canned_hancom_ai_doc())
+        table = next(b for b in pages[0] if b.type == TABLE)
+        r0 = table.kids[0].kids
+        assert [c.text for c in r0] == ["cellA", "cellB"]
+        r1 = table.kids[1].kids
+        assert [c.text for c in r1] == ["span"]  # fallback, spans 2 cols
+        assert r1[0].col_span == 2
+
+    def test_regionlist_table_first_vs_list_only(self):
+        doc = canned_hancom_ai_doc()
+        pages = HancomAITransformer().transform(doc)
+        # table-first: the region is >50% covered by the TSR bbox → no list
+        assert not any(b.type == LIST for b in pages[0])
+        pages2 = HancomAITransformer(
+            regionlist_strategy="list-only").transform(doc)
+        lst = next(b for b in pages2[0] if b.type == LIST)
+        assert [k.text for k in lst.kids] == ["r1", "r2"]
+
+    def test_ocr_words_exposed(self):
+        tr = HancomAITransformer()
+        tr.transform(canned_hancom_ai_doc())
+        words = tr.ocr_words_by_page[0]
+        assert {w.text for w in words} >= {"Body", "text", "paragraph.",
+                                           "cellA", "cellB"}
+        # 8-point polygon hull == the 4-point equivalent
+        w8 = next(w for w in words if w.text == "text")
+        assert w8.bbox == pytest.approx(
+            [420 * PIXEL_TO_POINT, 700 * PIXEL_TO_POINT,
+             700 * PIXEL_TO_POINT, 820 * PIXEL_TO_POINT])
+        assert "furniture" not in " ".join(w.text for w in words)
+
+    def test_legacy_tsr_format(self):
+        doc = canned_hancom_ai_doc()
+        doc["TABLE_STRUCTURE_RECOGNITION"] = [[{
+            "page_number": 0,
+            "table_bbox": [200, 2000, 2200, 2600],
+            "cells": [
+                {"rowspan": [0], "colspan": [0], "text": "only"},
+            ],
+        }]]
+        pages = HancomAITransformer().transform(doc)
+        table = next(b for b in pages[0] if b.type == TABLE)
+        # reference parity quirk: the legacy wrapper feeds table_bbox in
+        # as BOTH crop origin (dla_bbox) and crop-relative extent
+        # (tsr.table_bbox) — HancomAISchemaTransformer.java:245-262 does
+        # the same — so word matching misses the offset grid and the
+        # cell keeps the TSR text fallback
+        assert table.kids[0].kids[0].text == "only"
+
+
+class TestTrustStreamMerge:
+    def test_stream_wins_when_similar(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+
+        pages = [[Block(type=PARAGRAPH, text="Helo wrold", page=0,
+                        bbox=[0, 0, 100, 20])]]
+        stream = {0: [StreamChunk("Hello world", [10, 5, 60, 15])]}
+        dec = merge_trust_stream(pages, stream, ocr_mode="auto")
+        assert pages[0][0].text == "Hello world"
+        assert dec[0]["source"] == "stream" and dec[0]["similarity"] > 0.5
+
+    def test_ocr_kept_when_stream_corrupt(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+
+        pages = [[Block(type=PARAGRAPH, text="실제 한국어 텍스트", page=0,
+                        bbox=[0, 0, 100, 20])]]
+        stream = {0: [StreamChunk("□□□□ □□", [10, 5, 60, 15])]}
+        dec = merge_trust_stream(pages, stream, ocr_mode="auto")
+        assert pages[0][0].text == "실제 한국어 텍스트"  # unchanged
+        assert dec[0]["source"] == "ocr"
+
+    def test_force_and_fallback_modes(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+
+        pages = [[Block(type=PARAGRAPH, text="ocr text", page=0,
+                        bbox=[0, 0, 100, 20])]]
+        dec = merge_trust_stream(
+            pages, {0: [StreamChunk("stream", [10, 5, 60, 15])]},
+            ocr_mode="force")
+        assert dec[0]["source"] == "ocr" and pages[0][0].text == "ocr text"
+        # no chunk in range → ocr-fallback
+        pages2 = [[Block(type=PARAGRAPH, text="x", page=0,
+                         bbox=[0, 0, 50, 20])]]
+        dec2 = merge_trust_stream(
+            pages2, {0: [StreamChunk("far", [500, 500, 600, 520])]},
+            ocr_mode="auto")
+        assert dec2[0]["source"] == "ocr-fallback"
+
+    def test_scanned_page_marks_all_ocr(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+
+        pages = [[Block(type=PARAGRAPH, text="scan", page=0,
+                        bbox=[0, 0, 50, 20])]]
+        dec = merge_trust_stream(pages, {}, ocr_mode="auto")
+        assert dec == [{"page": 0, "block": 0, "source": "ocr",
+                        "similarity": None}]
+
+    def test_chunks_consumed_once_and_table_recursion(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+
+        cell = Block(type="table cell", text="bad", page=0,
+                     bbox=[0, 0, 50, 20], row=0, col=0)
+        row = Block(type="table row", page=0)
+        row.kids.append(cell)
+        table = Block(type=TABLE, page=0, bbox=[0, 0, 100, 40])
+        table.kids.append(row)
+        para = Block(type=PARAGRAPH, text="bad", page=0,
+                     bbox=[0, 0, 50, 20])
+        pages = [[table, para]]
+        stream = {0: [StreamChunk("good", [10, 5, 40, 15])]}
+        dec = merge_trust_stream(pages, stream, ocr_mode="off")
+        # the one chunk is consumed by the FIRST matching node (the cell);
+        # the overlapping paragraph then has nothing left → fallback
+        sources = [d["source"] for d in dec]
+        assert sources.count("stream") == 1
+        assert "ocr-fallback" in sources
+        assert cell.text == "good" and para.text == "bad"
+
+    def test_ocr_fill_text(self):
+        from opendataloader_pdf_ray.extractor.blocks import Block
+        from opendataloader_pdf_ray.stages.hancom import OcrWord
+
+        pages = [[Block(type=PARAGRAPH, text="", page=0,
+                        bbox=[0, 0, 100, 20])]]
+        words = {0: [OcrWord("filled", [10, 2, 40, 18]),
+                     OcrWord("in", [45, 2, 60, 18])]}
+        assert ocr_fill_text(pages, words) == 1
+        assert pages[0][0].text == "filled in"
+
+
+class TestHancomRoundTrip:
+    def test_transforming_client_with_canned_transport(self):
+        """TransformingBackendClient over a canned Hancom-AI response:
+        same record shape as every other backend client."""
+        from opendataloader_pdf_ray.stages.transformers import (
+            TransformingBackendClient,
+        )
+
+        class FakeTransport:
+            def health(self):
+                return True
+
+            def convert(self, url, html):
+                return canned_hancom_ai_doc()
+
+        client = TransformingBackendClient(
+            FakeTransport(), transformer=HancomAITransformer())
+        recs = client.extract_pages(["http://a", "http://b"],
+                                    [b"<html>x</html>", None])
+        assert recs[0]["text"] and "Document Title" in recs[0]["text"]
+        assert recs[0]["formulas"] == []
+        assert any("a nice chart" in p for p in recs[0]["pictures"])
+        assert recs[0]["footnotes"] == ["a footnote"]
+        assert recs[1]["text"] is None  # tombstone passthrough
+
+    def test_make_client_specs(self):
+        from opendataloader_pdf_ray.stages.backend_client import make_client
+        from opendataloader_pdf_ray.stages.transformers import (
+            TransformingBackendClient,
+        )
+
+        c1 = make_client("hancom:http://localhost:1")
+        c2 = make_client("hancom-ai:http://localhost:1")
+        assert isinstance(c1, TransformingBackendClient)
+        assert isinstance(c2, TransformingBackendClient)
+        assert c1.transformer.backend_type == "hancom"
+        assert c2.transformer.backend_type == "hancom-ai"
