@@ -36,7 +36,8 @@ import ray
 import ray.data
 
 from ..config import CDCConfig
-from ..stages.extract_stage import HtmlExtractor
+from ..stages.extract_stage import (HtmlExtractor, pack_blocks,
+                                    unpack_blocks)
 from .lake import Lake, Lineage
 from .merge import (
     DELETED_COL,
@@ -309,10 +310,10 @@ class ApplyPartition:
         updates = group.drop_columns([c for c in _HELPER_COLS if c in group.column_names])
         patched = "op" in updates.column_names
         if patched:
-            winners = fold_events(updates)
+            winners = unpack_blocks(fold_events(updates))
             rows_upserted, rows_deleted = _patch_lineage_counts(winners)
         else:
-            winners = latest_per_key(updates)
+            winners = unpack_blocks(latest_per_key(updates))
             rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
             rows_upserted = winners.num_rows - rows_deleted
         lineage = Lineage(
@@ -419,11 +420,11 @@ class ApplyPartitionBacklog:
             updates = sub.drop_columns(
                 [c for c in _HELPER_COLS + ["epoch"] if c in sub.column_names])
             if "op" in updates.column_names:
-                winners = fold_events(updates)
+                winners = unpack_blocks(fold_events(updates))
                 rows_upserted, rows_deleted = _patch_lineage_counts(winners)
                 merged = merge_base_with_updates_patch(merged, winners)
             else:
-                winners = latest_per_key(updates)
+                winners = unpack_blocks(latest_per_key(updates))
                 rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
                 rows_upserted = winners.num_rows - rows_deleted
                 merged = merge_base_with_updates(merged, winners)
@@ -479,11 +480,11 @@ class ApplyPartitionFinal:
             # idempotence makes any overlap with the updates harmless)
             base = lake.read_partition(part, as_of=last, internal=True)
             if "op" in updates.column_names:
-                winners = fold_events(updates)
+                winners = unpack_blocks(fold_events(updates))
                 rows_upserted, rows_deleted = _patch_lineage_counts(winners)
                 merged = merge_base_with_updates_patch(base, winners)
             else:
-                winners = latest_per_key(updates)
+                winners = unpack_blocks(latest_per_key(updates))
                 rows_deleted = int(pc.sum(winners[DELETED_COL].cast(pa.int64())).as_py() or 0)
                 rows_upserted = winners.num_rows - rows_deleted
                 merged = merge_base_with_updates(base, winners)
@@ -584,6 +585,10 @@ def ingest_epoch(events_path, lake: Lake, epoch: int, cfg: CDCConfig,
             _maintain_dup_index(ds, lake, ce, cfg)
         if cfg.maintain_near_index:
             _maintain_near_index(ds, lake, ce, cfg)
+    if cfg.pack_blocks:
+        # transit narrowing: wide struct → per-row zstd'd IPC cell; the
+        # apply classes unpack WINNERS before the merge fold (config.py)
+        ds = ds.map_batches(pack_blocks, batch_format="pyarrow")
     ds = ds.map_batches(_add_keys(cfg), batch_format="pyarrow")
     ds = ds.map_batches(_combine, batch_format="pyarrow")
     if cfg.salted_merge:

@@ -197,6 +197,14 @@ class CDCConfig:
     #       alive between polls. Owned by follow/follow_fanin (or an
     #       explicit ExtractPool context for backlog use).
     extract_mode: str = "actors"
+    # Transit-segment row narrowing (r4 verdict item #5): carry the wide
+    # blocks list<struct> (measured 68% of post-extract row bytes) as a
+    # per-row zstd'd Arrow-IPC binary cell through combine + both
+    # shuffles; ApplyPartition unpacks the LWW WINNERS before the merge
+    # fold, so lake bytes are identical either way and only surviving
+    # rows pay the decode. Default off — see BASELINE.md round-5 A/B for
+    # the measured trade on this box.
+    pack_blocks: bool = False
     # Two-phase merge. Phase 1 (local) is ALWAYS the per-batch combiner
     # (≤1 row per (url, epoch) per block); phase 2 (global) is the partition
     # groupby. Extra phase-1 flavors for heavier skew:

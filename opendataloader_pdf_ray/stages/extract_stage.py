@@ -234,3 +234,71 @@ class MarkdownGenerator:
             batch.append_column("markdown", pa.array(mds, pa.string()))
             .append_column("json", pa.array(jsons, pa.string()))
         )
+
+
+# ---------------------------------------------------- packed blocks column
+#
+# The blocks list<struct> is the widest thing crossing the combine + both
+# shuffles: measured 8.7 KB/row vs 4 KB of text at sf0.01 (68% of the
+# post-extract row). ``CDCConfig.pack_blocks`` swaps it for a per-row
+# zstd-compressed Arrow-IPC binary cell (~2.5 KB/row) for the TRANSIT
+# segment only — ApplyPartition* unpacks the LWW winners before the merge
+# fold, so lake bytes are identical with the flag on or off and only
+# surviving rows pay the decode. Pack ≈0.08 ms/row, unpack ≈0.15 ms/row
+# (BASELINE.md round-5 A/B records whether that trade wins on this box).
+
+_PACKED_COL = "blocks_bin"
+
+
+def _pack_schema() -> pa.Schema:
+    return pa.schema([("b", BLOCKS_TYPE)])
+
+
+def pack_blocks(batch: pa.Table) -> pa.Table:
+    """blocks list<struct> → blocks_bin binary (per-row, null-preserving)."""
+    import io
+
+    import pyarrow.ipc as ipc
+
+    if "blocks" not in batch.column_names:
+        return batch
+    codec = pa.Codec("zstd", compression_level=1)
+    col = pa.table({"b": batch["blocks"]})
+    out = []
+    for i in range(batch.num_rows):
+        if not col["b"][i].is_valid:
+            out.append(None)
+            continue
+        row = col.slice(i, 1)
+        buf = io.BytesIO()
+        with ipc.new_stream(buf, row.schema) as w:
+            w.write_table(row)
+        raw = buf.getvalue()
+        out.append(len(raw).to_bytes(4, "little")
+                   + codec.compress(raw, asbytes=True))
+    idx = batch.column_names.index("blocks")
+    return batch.remove_column(idx).add_column(
+        idx, _PACKED_COL, pa.array(out, pa.binary()))
+
+
+def unpack_blocks(batch: pa.Table) -> pa.Table:
+    """blocks_bin → blocks, byte-identical to the never-packed column."""
+    import pyarrow.ipc as ipc
+
+    if _PACKED_COL not in batch.column_names:
+        return batch
+    codec = pa.Codec("zstd", compression_level=1)
+    chunks = []
+    for cell in batch[_PACKED_COL]:
+        blob = cell.as_py()
+        if blob is None:
+            chunks.append(pa.table({"b": pa.array([None], BLOCKS_TYPE)}))
+            continue
+        rawlen = int.from_bytes(blob[:4], "little")
+        raw = codec.decompress(blob[4:], decompressed_size=rawlen,
+                               asbytes=True)
+        chunks.append(ipc.open_stream(raw).read_all())
+    col = (pa.concat_tables(chunks)["b"].combine_chunks()
+           if chunks else pa.array([], BLOCKS_TYPE))
+    idx = batch.column_names.index(_PACKED_COL)
+    return batch.remove_column(idx).add_column(idx, "blocks", col)
