@@ -124,10 +124,11 @@ def run_headline(num_cpus: int, tag: str = "") -> dict:
         # of headroom even at num_cpus=4, symmetric across cluster sizes
         extract_concurrency=num_cpus,
         extract_num_cpus=0.75,
-        # A/B hook (r4 verdict item #5): ODL_PACK_BLOCKS=1 narrows the
-        # transit rows (blocks struct → per-row zstd'd IPC cell); lake
-        # bytes identical either way — see BASELINE.md round-5
-        pack_blocks=os.environ.get("ODL_PACK_BLOCKS", "") == "1",
+        # Transit narrowing ON for the headline (r4 verdict item #5):
+        # measured +6% ev/s at both widths and extract-phase efficiency
+        # 0.767→0.805 at 4→16 with byte-identical lake state (BASELINE.md
+        # round-5 A/B). ODL_PACK_BLOCKS=0 reverts for A/B.
+        pack_blocks=os.environ.get("ODL_PACK_BLOCKS", "1") == "1",
     )
     t0 = time.time()
     lineage = replay(events_path, lake_root, cfg)
