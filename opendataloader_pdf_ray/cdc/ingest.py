@@ -90,7 +90,7 @@ def _extract_stage(ds: "ray.data.Dataset", cfg: CDCConfig,
         # router tasks are near-free waiters: the CPU work happens in the
         # long-lived pool actors (which hold their own reservation)
         return ds.map_batches(PoolRouter(names), batch_format="pyarrow",
-                              batch_size=cfg.extract_batch_size,
+                              batch_size=cfg.pool_call_batch_size,
                               num_cpus=0.1)
     return ds.map_batches(
         HtmlExtractor,

@@ -197,6 +197,13 @@ class CDCConfig:
     #       alive between polls. Owned by follow/follow_fanin (or an
     #       explicit ExtractPool context for backlog use).
     extract_mode: str = "actors"
+    # Rows per pool-actor CALL in pool mode. Each call is a task→actor
+    # object-store round trip, so pool mode wants BIGGER batches than the
+    # in-actor extract_batch_size: measured at sf0.1/32cpus, 128-row calls
+    # ran the tail at 2,813 ev/s (p50 7.0 s) vs 3,888 ev/s (p50 4.9 s —
+    # within 1.12× of tasks mode) at 512. Output bytes are batch-size
+    # independent (determinism invariant).
+    pool_call_batch_size: int = 512
     # Transit-segment row narrowing (r4 verdict item #5): carry the wide
     # blocks list<struct> (measured 68% of post-extract row bytes) as a
     # per-row zstd'd Arrow-IPC binary cell through combine + both

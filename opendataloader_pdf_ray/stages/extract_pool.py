@@ -102,23 +102,37 @@ class ExtractPool:
         self.shutdown()
 
 
+_WORKER_RR = None  # module-global: persists across tasks in one worker
+
+
+def _next_rr() -> int:
+    """Per-worker-process round-robin. A PoolRouter instance deserializes
+    FRESH per map_batches task, so instance state would restart at the
+    same actor for every task a reused worker runs — measured to starve
+    most of the pool at 32 actors. The module-global counter survives
+    task boundaries within a worker, so successive tasks walk the pool."""
+    global _WORKER_RR
+    if _WORKER_RR is None:
+        import itertools
+        import os
+
+        _WORKER_RR = itertools.count(os.getpid())
+    return next(_WORKER_RR)
+
+
 class PoolRouter:
     """The map_batches callable for pool mode: stateless, constructs
-    instantly, forwards each batch to one pool actor. Round-robin start is
-    derived from the worker pid so concurrent router tasks spread across
-    the pool without coordination (routing never affects output bytes)."""
+    instantly, forwards each batch to one pool actor. Round-robin is a
+    per-worker module-global (see :func:`_next_rr`) so concurrent router
+    tasks spread across the pool without coordination (routing never
+    affects output bytes)."""
 
     def __init__(self, names: List[str]):
         self.names = names
         self._handles: dict = {}
-        self._rr: Optional[int] = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._rr is None:
-            import os
-            self._rr = os.getpid() % len(self.names)
-        name = self.names[self._rr]
-        self._rr = (self._rr + 1) % len(self.names)
+        name = self.names[_next_rr() % len(self.names)]
         actor = self._handles.get(name)
         if actor is None:
             try:
