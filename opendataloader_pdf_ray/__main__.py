@@ -169,6 +169,8 @@ def cmd_ingest(args) -> int:
                     auto_compact_chain=args.auto_compact_chain,
                     derive=derive,
                     patch_ops=args.patch_ops,
+                    extract_mode=args.extract_mode,
+                    pack_blocks=args.pack_blocks,
                     extract_concurrency=max(1, min(8, cpus - 1)))
     followers = []
     if args.text_index:
@@ -1724,6 +1726,20 @@ def main(argv=None) -> int:
                           "(stops when <events>/.end appears)")
     ing.add_argument("--poll-interval", type=float, default=0.5,
                      dest="poll_interval")
+    ing.add_argument("--extract-mode", default="actors",
+                     choices=["actors", "tasks", "pool"],
+                     dest="extract_mode",
+                     help="extractor scheduling: per-pipeline actor pool "
+                          "(default), stateless tasks (micro-epoch tails, "
+                          "no pool spin-up), or the PERSISTENT named-actor "
+                          "pool shared across polls (model-backed tails; "
+                          "stages/extract_pool.py)")
+    ing.add_argument("--pack-blocks", action="store_true",
+                     dest="pack_blocks",
+                     help="narrow transit rows: carry the blocks struct "
+                          "through combine+shuffles as per-row zstd'd IPC "
+                          "cells, unpacked before the lake write (lake "
+                          "bytes identical; ~+6%% ev/s measured)")
     ing.add_argument("--commit-mode", default="snapshot",
                      choices=["snapshot", "delta"],
                      help="epoch-mode commits: full CoW snapshots or "

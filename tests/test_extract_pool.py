@@ -113,6 +113,30 @@ class TestExtractPool:
             ingest_epoch([seg], lake, 0, cfg)
         assert "extract_mode='pool'" in str(ei.value)
 
+    def test_cli_follow_pool_with_pack_blocks(self, tmp_path):
+        """CLI wiring: `ingest --mode follow --extract-mode pool
+        --pack-blocks` produces the same lake as a plain tasks-mode CLI
+        run (transit options never change lake bytes)."""
+        from opendataloader_pdf_ray.__main__ import main
+
+        events = gen_events(120, 30, seed=35)
+        seg_dir = str(tmp_path / "segs")
+        _write_segments(events, seg_dir)
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        roots = {}
+        for mode, extra in (("tasks", []),
+                            ("pool", ["--pack-blocks"])):
+            root = str(tmp_path / f"lake_cli_{mode}")
+            rc = main(["ingest", seg_dir, root, "--mode", "follow",
+                       "--epoch-size", "60", "--partitions", "4",
+                       "--poll-interval", "0.05",
+                       "--extract-mode", mode, *extra])
+            assert rc == 0
+            roots[mode] = root
+        got = Lake(roots["pool"]).read_state(include_tombstones=True)
+        want = Lake(roots["tasks"]).read_state(include_tombstones=True)
+        assert got.equals(want)
+
     def test_explicit_pool_context_for_backlog(self, tmp_path):
         """Library users can own the pool via the ExtractPool context for
         backlog (non-tail) ingest."""
