@@ -231,13 +231,24 @@ def make_client(spec, cfg: Optional[ExtractorConfig] = None,
 
         return TransformingBackendClient(
             DoclingHttpTransport(spec[len("docling:"):]), cfg=cfg)
-    if isinstance(spec, str) and spec.startswith("hancom-ai:"):
+    if isinstance(spec, str) and spec.startswith("hancom-ai"):
+        # option family parity (reference --hybrid-hancom-ai-regionlist-
+        # strategy): "hancom-ai:<url>" (table-first default) or
+        # "hancom-ai[list-only]:<url>"
         from .hancom import HancomAITransformer
         from .transformers import TransformingBackendClient
 
+        rest = spec[len("hancom-ai"):]
+        strategy = "table-first"
+        if rest.startswith("[") and "]" in rest:
+            strategy, rest = rest[1:].split("]", 1)
+        if not rest.startswith(":"):
+            raise ValueError(f"bad hancom-ai spec {spec!r} (expected "
+                             f"hancom-ai[:strategy]:<url>)")
         return TransformingBackendClient(
-            HancomAIHttpTransport(spec[len("hancom-ai:"):]),
-            transformer=HancomAITransformer(), cfg=cfg)
+            HancomAIHttpTransport(rest[1:]),
+            transformer=HancomAITransformer(regionlist_strategy=strategy),
+            cfg=cfg)
     if isinstance(spec, str) and spec.startswith("hancom:"):
         from .hancom import HancomTransformer
         from .transformers import TransformingBackendClient

@@ -384,3 +384,9 @@ class TestHancomRoundTrip:
         assert isinstance(c2, TransformingBackendClient)
         assert c1.transformer.backend_type == "hancom"
         assert c2.transformer.backend_type == "hancom-ai"
+        assert c2.transformer.regionlist_strategy == "table-first"
+        # option family (reference --hybrid-hancom-ai-regionlist-strategy)
+        c3 = make_client("hancom-ai[list-only]:http://localhost:1")
+        assert c3.transformer.regionlist_strategy == "list-only"
+        with pytest.raises(ValueError, match="bad hancom-ai spec"):
+            make_client("hancom-ai[list-only]http://x")
