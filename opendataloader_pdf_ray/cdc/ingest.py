@@ -656,6 +656,9 @@ def ingest_epochs(events_path: str, lake: Lake, epochs: List[int],
     # intermediate snapshots to preserve) → ~K× less shuffle payload
     final_mode = cfg.backlog_snapshots == "final"
     combine_fn = _combine if final_mode else _combine_by_epoch
+    if cfg.pack_blocks:
+        # transit narrowing, backlog path (same contract as ingest_epoch)
+        ds = ds.map_batches(pack_blocks, batch_format="pyarrow")
     ds = ds.map_batches(_add_keys(cfg, with_epoch=not final_mode),
                         batch_format="pyarrow")
     ds = ds.map_batches(combine_fn, batch_format="pyarrow")

@@ -62,3 +62,30 @@ class TestPackedIngest:
         assert got.column_names == want.column_names
         assert "blocks" in got.column_names
         assert got.equals(want)
+
+    @pytest.mark.parametrize("snapshots", ["per-epoch", "final"])
+    def test_backlog_replay_byte_identical(self, tmp_path, snapshots):
+        """The backlog path (replay → ingest_epochs → ApplyPartition
+        Backlog/Final) must honor pack_blocks identically — this is the
+        bench headline's code path."""
+        import os
+
+        from opendataloader_pdf_ray.cdc.ingest import replay
+
+        events = gen_events(120, 30, seed=53)
+        seg_dir = str(tmp_path / "segs")
+        os.makedirs(seg_dir)
+        pq.write_table(events, f"{seg_dir}/seg-000000.parquet")
+        kw = dict(num_partitions=4, num_salts=2, epoch_size=60,
+                  extract_batch_size=16, extract_concurrency=2,
+                  backlog_snapshots=snapshots)
+        lakes = {}
+        for packed in (False, True):
+            cfg = CDCConfig(pack_blocks=packed, **kw)
+            root = str(tmp_path / f"bl_{packed}_{snapshots}")
+            replay(seg_dir, root, cfg)
+            lakes[packed] = Lake(root)
+        got = lakes[True].read_state(include_tombstones=True)
+        want = lakes[False].read_state(include_tombstones=True)
+        assert "blocks" in got.column_names
+        assert got.equals(want)
