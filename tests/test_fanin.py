@@ -232,3 +232,38 @@ class TestFaninLease:
         got = lake.read_state(include_tombstones=True)
         want = oracle.read_state(include_tombstones=True)
         assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFaninPoolMode:
+    def test_pool_extract_matches_tasks(self, tmp_path):
+        """follow_fanin owns the persistent pool exactly like follow:
+        pool-mode merge state == tasks-mode merge state (and the pool
+        dies with the tail — no reservation leak)."""
+        import dataclasses
+
+        import ray as _ray
+
+        from opendataloader_pdf_ray.stages.extract_pool import _pool_names
+
+        a = gen_events(120, 30, seed=61)
+        b = gen_events(90, 30, seed=62)
+        da, db = str(tmp_path / "a"), str(tmp_path / "b")
+        _write_segments(a, da, 0, 120)
+        _write_segments(b, db, 0, 90)
+        _stop(da)
+        _stop(db)
+        lakes = {}
+        for mode in ("tasks", "pool"):
+            cfg = dataclasses.replace(CFG, extract_mode=mode,
+                                      extract_num_cpus=0.5)
+            root = str(tmp_path / f"lake_{mode}")
+            follow_fanin([da, db], root, cfg, poll_interval=0.05)
+            lakes[mode] = Lake(root)
+            if mode == "pool":
+                name = _pool_names(cfg, root)[0]
+                with pytest.raises(ValueError):
+                    _ray.get_actor(name)  # shut down with the tail
+        got = lakes["pool"].read_state(include_tombstones=True)
+        want = lakes["tasks"].read_state(include_tombstones=True)
+        assert got.equals(want)
