@@ -194,6 +194,16 @@ _GATE_TAIL = [
                                # groupby by doc_tfidf_top_terms; green
                                # driver row in r02 (r3: slot freed for
                                # cdc_zonemap_scan)
+    "doc_dsir_importance",     # DSIR importance resampling (r5) — its
+                               # machinery is gated in-slot piecewise:
+                               # two-pass capped-histogram broadcast by
+                               # doc_tfidf_top_terms, ln()-parity scoring
+                               # by doc_unigram_logprob's precedent, the
+                               # md5-bucket trick by
+                               # doc_winnow_fingerprints, local-top-k
+                               # bounded merge by doc_ranked_search; own
+                               # bit-exact DuckDB oracle verified in the
+                               # local sweep
     "hybrid_routed_extract",   # rows-only smoke (reconcile output is not
                                # SQL-expressible): pytest + in-query
                                # invariant assertions gate it; its triage

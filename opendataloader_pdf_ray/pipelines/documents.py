@@ -1722,6 +1722,143 @@ FROM per GROUP BY lang ORDER BY lang
 """
 
 
+
+
+def doc_dsir_importance(sf_dir: str, n_buckets: int = 1024,
+                        target_source: str = "src0", k: int = 50):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method): score
+    every raw document by how much its hashed-n-gram distribution looks
+    like a TARGET domain (here: source == ``target_source`` as the
+    high-quality stand-in), then keep the top-k. The training-data
+    curation operator that upweights target-like web text.
+
+    Features: unigrams + bigrams over whitespace tokens, hashed into
+    ``n_buckets`` buckets with the engine's DuckDB-reproducible
+    ``md5_number_lower`` (functions/sketches.py) — the oracle recomputes
+    every bucket id bit-exactly. Importance weight per doc:
+    ``logw = Σ_features ln p̂_target(b) − ln q̂_raw(b)`` with add-one
+    smoothing over the bucket histograms.
+
+    100-TB shape: two one-pass bucket histograms (per-batch Counter
+    pre-aggregation → ≤n_buckets-row groupby each — the shuffle carries
+    bucket ids, never text), both broadcast to the scoring pass as plain
+    float arrays; per-doc scoring is a local dot product. Selection is
+    per-batch local top-k → ≤k·batches rows to the driver (the same
+    bounded-merge pattern as knn_bruteforce). Deterministic: ties broken
+    by doc_id; scores rounded to 6 decimals BEFORE the cut in both
+    engines (doc_unigram_logprob precedent for ln() parity)."""
+    import math
+
+    import numpy as np
+
+    from ..functions.sketches import md5_number_lower
+    from .common import round_half_away
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+
+    def bucket_counts(batch: pa.Table, *, only_target: bool) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text, source in zip(batch["text"].to_pylist(),
+                                batch["source"].to_pylist()):
+            if only_target and source != target_source:
+                continue
+            ws = text.split(" ")
+            for g in ws:
+                c[md5_number_lower(g) % n_buckets] += 1
+            for i in range(len(ws) - 1):
+                c[md5_number_lower(ws[i] + " " + ws[i + 1]) % n_buckets] += 1
+        return pa.table({"b": pa.array(list(c.keys()), pa.int64()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    def histogram(only_target: bool) -> "np.ndarray":
+        def fn(batch: pa.Table, _t=only_target) -> pa.Table:
+            return bucket_counts(batch, only_target=_t)
+
+        rows = (ds.map_batches(fn, batch_format="pyarrow")
+                  .groupby("b").aggregate(Sum("c", alias_name="c"))
+                  .take_all())  # ≤ n_buckets rows
+        h = np.zeros(n_buckets, np.int64)
+        for r in rows:
+            h[int(r["b"])] = int(r["c"])
+        return h
+
+    target_h = histogram(only_target=True)
+    raw_h = histogram(only_target=False)
+    # add-one smoothed log-ratio per bucket (float64; ln() parity with the
+    # DuckDB oracle per the doc_unigram_logprob precedent)
+    t_tot = float(target_h.sum() + n_buckets)
+    r_tot = float(raw_h.sum() + n_buckets)
+    log_ratio = np.array(
+        [math.log((int(target_h[b]) + 1) / t_tot)
+         - math.log((int(raw_h[b]) + 1) / r_tot)
+         for b in range(n_buckets)], np.float64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, nf, ws_out = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            ws = text.split(" ")
+            cnt = np.zeros(n_buckets, np.int64)
+            for g in ws:
+                cnt[md5_number_lower(g) % n_buckets] += 1
+            for i in range(len(ws) - 1):
+                cnt[md5_number_lower(ws[i] + " " + ws[i + 1])
+                    % n_buckets] += 1
+            ids.append(did)
+            nf.append(int(cnt.sum()))
+            ws_out.append(float(cnt @ log_ratio))
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_feats": pa.array(nf, pa.int64()),
+            "logw": pa.array(round_half_away(
+                np.array(ws_out, np.float64), 6)),
+        })
+        # local top-k: ≤ k rows leave each batch
+        return (t.sort_by([("logw", "descending"),
+                           ("doc_id", "ascending")]).slice(0, k))
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    # global cut over ≤ k·batches rows, then canonical doc_id order
+    rows = out.sort(["logw", "doc_id"], descending=[True, False]) \
+              .limit(k)
+    return rows.sort("doc_id")
+
+
+# DuckDB oracle: same md5 bucket ids (md5_number_lower % B), same add-one
+# smoothed log-ratio, same rounded-then-cut selection. Bigrams via the
+# unnest(range(...)) position trick (range cannot be laterally correlated).
+DOC_DSIR_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+uni AS (SELECT doc_id, source, unnest(ws) AS g FROM w),
+pos AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM w),
+big AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS g FROM pos),
+feats AS (SELECT doc_id, source,
+                 CAST(md5_number_lower(g) % 1024 AS BIGINT) AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+tcnt AS (SELECT b, count(*) AS c FROM feats
+         WHERE source = 'src0' GROUP BY b),
+tt AS (SELECT CAST(count(*) AS DOUBLE) + 1024 AS T FROM feats
+       WHERE source = 'src0'),
+rcnt AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+rt AS (SELECT CAST(count(*) AS DOUBLE) + 1024 AS R FROM feats),
+lr AS (SELECT rcnt.b,
+              ln((COALESCE(tcnt.c, 0) + 1) / tt.T)
+              - ln((rcnt.c + 1) / rt.R) AS ratio
+       FROM rcnt LEFT JOIN tcnt USING (b) CROSS JOIN tt CROSS JOIN rt),
+scored AS (SELECT feats.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_feats,
+                  round(sum(lr.ratio), 6) AS logw
+           FROM feats JOIN lr USING (b) GROUP BY feats.doc_id),
+cut AS (SELECT * FROM scored ORDER BY logw DESC, doc_id LIMIT 50)
+SELECT doc_id, n_feats, logw FROM cut ORDER BY doc_id
+"""
+
+
 DOC_QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
@@ -1747,6 +1884,7 @@ DOC_QUERIES = {
     "doc_pii_scrub_stats": doc_pii_scrub_stats,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_dsir_importance": doc_dsir_importance,
     "doc_passage_chunks": doc_passage_chunks,
     "doc_source_quota_sample": doc_source_quota_sample,
     "doc_top_per_source": doc_top_per_source,
@@ -1781,6 +1919,7 @@ DOC_ORACLE_SQL = {
     "doc_pii_scrub_stats": DOC_PII_SCRUB_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
+    "doc_dsir_importance": DOC_DSIR_SQL,
     "doc_passage_chunks": DOC_PASSAGE_CHUNKS_SQL,
     "doc_source_quota_sample": DOC_SOURCE_QUOTA_SQL,
     "doc_top_per_source": DOC_TOP_PER_SOURCE_SQL,
