@@ -194,6 +194,15 @@ _GATE_TAIL = [
                                # groupby by doc_tfidf_top_terms; green
                                # driver row in r02 (r3: slot freed for
                                # cdc_zonemap_scan)
+    "embedding_semdedup",      # SemDeDup semantic pruning (r5) — its
+                               # machinery is gated in-slot piecewise: the
+                               # integer-exact Lloyd fit by
+                               # embedding_kmeans_stats (same chain), the
+                               # planted-dup cosine verify by
+                               # embedding_dup_pairs_lsh, the grouped
+                               # per-cluster kernel by dedup_minhash_
+                               # clusters; own bit-exact chained-CTE
+                               # oracle verified in the local sweep
     "doc_dsir_importance",     # DSIR importance resampling (r5) — its
                                # machinery is gated in-slot piecewise:
                                # two-pass capped-histogram broadcast by

@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "cdc_patch_upsert", "cdc_derived_lake", "cdc_substring_search",
     "cdc_temporal_join", "cdc_fanin_merge", "cdc_zonemap_scan",
     "doc_pii_scrub_stats", "cdc_rename_column",
-    "doc_dsir_importance",
+    "doc_dsir_importance", "embedding_semdedup",
 ]
 
 

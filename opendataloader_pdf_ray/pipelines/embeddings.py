@@ -379,6 +379,147 @@ SELECT cluster AS cluster_id, count(*) AS n,
 FROM fin GROUP BY cluster ORDER BY cluster""")
 
 
+
+
+def embedding_semdedup(sf_dir: str, k: int = 8, iters: int = 3,
+                       threshold: float = 0.95):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): k-means
+    cluster the embedding space, then deduplicate WITHIN clusters by
+    cosine — the semantic near-dup pruner that removes re-encoded /
+    templated copies exact hashing can't see. Run over the corpus
+    augmented with the deterministically planted near-duplicates
+    (``_augment_planted`` — the raw synthetic table has no cosine ≥ 0.95
+    pairs, exactly like ``embedding_dup_pairs_lsh``).
+
+    Decision rule (deterministic, greedy-by-id — the paper keeps one
+    point per semantic group; lowest vec_id here): a vector is a dup iff
+    some LOWER-id vector in the SAME cluster has cosine ≥ threshold;
+    ``dup_of`` = the smallest such id. Output: one row per vector
+    (vec_id, cluster_id, is_dup, dup_of), vec_id order.
+
+    100-TB shape: the integer-exact distributed Lloyd fit
+    (functions/clustering.py — bit-identical at any batch size), one
+    assignment pass with broadcast centroids (embeddings packed to binary
+    through the cluster shuffle — list<> payloads stay out of the
+    exchange), and per-cluster O(m²) cosine inside map_groups. SemDeDup's
+    own design keeps m bounded: k scales with corpus size (k ≈ N/10³),
+    so the quadratic term is per-cluster, never global.
+
+    Oracle: ``semdedup_sql`` replays the SAME Lloyd chain (kmeans_sql
+    arithmetic), assignment tie-break, and dup rule in DuckDB —
+    bit-exact, threshold far from any data cosine (≈0.995 planted vs
+    ≤~0.6 natural)."""
+    from ..functions import clustering as cl
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    aug = ds.map_batches(_augment_planted,
+                         batch_format="pyarrow").materialize()
+    seeds = cl.seed_centroids(path, k)  # vec_id < k (plants sit at +1e6)
+    centroids = cl.kmeans_fit(aug, seeds, iters)
+    c_ref = ray.put(centroids)
+
+    def assign_pack(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        x = np.array(batch["embedding"].to_pylist(), np.float64)
+        a, _ = cl._assign(x, c)
+        packed = [row.tobytes() for row in x]  # f64-LE, dim fixed
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster_id": pa.array(a.astype(np.int64)),
+            "emb": pa.array(packed, pa.binary()),
+        })
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack([np.frombuffer(b, np.float64)
+                      for b in g["emb"].to_pylist()])[order]
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sim = Xn @ Xn.T
+        m = len(ids)
+        tri = np.tril(sim >= threshold, k=-1)  # j < i candidates
+        is_dup = tri.any(axis=1)
+        first = np.argmax(tri, axis=1)  # smallest id (ids ascend)
+        dup_of = np.where(is_dup, ids[first], -1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(
+                np.full(m, int(g["cluster_id"][0].as_py()), np.int64)),
+            "is_dup": pa.array(is_dup),
+            "dup_of": pa.array(
+                [int(d) if d >= 0 else None for d in dup_of],
+                pa.int64()),
+        })
+
+    out = (aug.map_batches(assign_pack, batch_format="pyarrow")
+              .groupby("cluster_id")
+              .map_groups(dedup_group, batch_format="pyarrow"))
+    return out.sort("vec_id")
+
+
+def semdedup_sql(k: int = 8, iters: int = 3,
+                 threshold: float = 0.95) -> str:
+    """DuckDB mirror of ``embedding_semdedup``: the augmented corpus, the
+    identical unrolled Lloyd chain (same integer-scaled arithmetic and
+    tie-breaks as ``kmeans_sql``), the final assignment, and the
+    greedy-by-id within-cluster dup rule."""
+    scale = "1048576.0"  # 2^20 — clustering._SCALE
+    parts = [
+        """aug AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_prepend(CAST(embedding[1] AS DOUBLE) + 0.1,
+                        CAST(embedding[2:] AS DOUBLE[]))
+    FROM embeddings WHERE vec_id % 10 = 0)""",
+        "emb AS (SELECT vec_id, e FROM aug)",
+        f"c0 AS (SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, e, cluster FROM (
+    SELECT emb.vec_id, emb.e, c.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+             (-2.0 * list_dot_product(emb.e, c.c) + list_dot_product(c.c, c.c)) ASC,
+             c.cluster ASC) AS rn
+    FROM emb, c{i} c) WHERE rn = 1)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT cluster, list(s / (n * {scale}) ORDER BY d) AS c
+  FROM (SELECT cluster, d,
+               sum(CAST(round_even(v * {scale}, 0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM (SELECT cluster, unnest(e) AS v, generate_subscripts(e, 1) AS d
+              FROM a{i})
+        GROUP BY cluster, d)
+  GROUP BY cluster
+  UNION ALL
+  SELECT cluster, c FROM c{i}
+  WHERE cluster NOT IN (SELECT DISTINCT cluster FROM a{i}))""")
+    parts.append(f"""assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT emb.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+             (-2.0 * list_dot_product(emb.e, c.c) + list_dot_product(c.c, c.c)) ASC,
+             c.cluster ASC) AS rn
+    FROM emb, c{iters} c) WHERE rn = 1)""")
+    parts.append(f"""dups AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN aug ea ON ea.vec_id = a.vec_id
+  JOIN aug eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}
+  GROUP BY b.vec_id)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT assign.vec_id, CAST(assign.cluster AS BIGINT) AS cluster_id,
+       dups.vec_id IS NOT NULL AS is_dup, dups.dup_of
+FROM assign LEFT JOIN dups USING (vec_id)
+ORDER BY assign.vec_id""")
+
+
 EMB_QUERIES = {
     "embedding_kmeans_stats": embedding_kmeans_stats,
     "knn_bruteforce": knn_bruteforce,
@@ -388,6 +529,7 @@ EMB_QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
     "semantic_dup_cross_source": semantic_dup_cross_source,
+    "embedding_semdedup": embedding_semdedup,
 }
 
 EMB_ORACLE_SQL = {
@@ -399,4 +541,5 @@ EMB_ORACLE_SQL = {
     "knn_lsh": knn_lsh_sql(),
     "embedding_kmeans_stats": kmeans_sql(),
     "semantic_dup_cross_source": SEMANTIC_CROSS_SOURCE_SQL,
+    "embedding_semdedup": semdedup_sql(),
 }
