@@ -62,6 +62,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="extractor actor-pool size; 0 = size from "
                         "ray.cluster_resources() at attach time")
     p.add_argument("--extract-num-cpus", type=float, default=0.75)
+    p.add_argument("--pack-blocks", action="store_true", dest="pack_blocks",
+                   help="narrow transit rows (blocks struct -> per-row "
+                        "zstd'd IPC cells through the shuffles; lake bytes "
+                        "identical — the cross-node-transfer lever)")
     p.add_argument("--idle-stop", type=int, default=None,
                    help="follow mode: stop after N idle polls (default: "
                         "run until EVENTS/.end appears)")
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
         backlog_snapshots="final" if args.mode == "backlog" else "every_epoch",
         extract_concurrency=extract_conc,
         extract_num_cpus=args.extract_num_cpus,
+        pack_blocks=args.pack_blocks,
     )
     t0 = time.time()
     if args.mode == "follow":

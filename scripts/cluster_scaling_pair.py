@@ -57,12 +57,12 @@ def cpu_probe(nproc: int, secs: float = 3.0) -> float:
     return sum(int(p.communicate()[0]) for p in procs) / secs
 
 
-def submit(events, lake, partitions, epoch_size):
+def submit(events, lake, partitions, epoch_size, extra=()):
     env = dict(os.environ, RAY_ADDRESS=HEAD, PYTHONPATH=str(REPO))
     r = sh([sys.executable, str(REPO / "jobs" / "replay_job.py"),
             "--events", str(events), "--lake", str(lake),
             "--partitions", str(partitions),
-            "--epoch-size", str(epoch_size)],
+            "--epoch-size", str(epoch_size), *extra],
            env=env, cwd=str(REPO))
     if r.returncode != 0:
         print(r.stderr[-2000:], file=sys.stderr)
@@ -93,6 +93,8 @@ def main() -> int:
                     help="CPUs per raylet (pair is C vs 2xC)")
     ap.add_argument("--events", type=int, default=48_000)
     ap.add_argument("--urls", type=int, default=8_000)
+    ap.add_argument("--pack-blocks", action="store_true",
+                    dest="pack_blocks")
     args = ap.parse_args()
 
     shutil.rmtree(WORK, ignore_errors=True)
@@ -109,8 +111,9 @@ def main() -> int:
     partitions = 8 * args.cpus          # fixed for both widths
     epoch_size = args.events // 4
 
+    extra = ["--pack-blocks"] if args.pack_blocks else []
     out = {"metric": "cluster_scaling_pair", "events": args.events,
-           "cpus_per_raylet": args.cpus}
+           "cpus_per_raylet": args.cpus, "pack_blocks": args.pack_blocks}
     try:
         r = sh(["ray", "start", "--head", f"--port={PORT}",
                 "--num-cpus", str(args.cpus), "--include-dashboard",
@@ -120,7 +123,7 @@ def main() -> int:
 
         # --- width 1 raylet ------------------------------------------
         probe_lo = cpu_probe(args.cpus)
-        j1 = submit(events, WORK / "lake_1n", partitions, epoch_size)
+        j1 = submit(events, WORK / "lake_1n", partitions, epoch_size, extra)
         assert j1["cluster_cpus"] == args.cpus, j1
         assert j1["events_applied"] == args.events, j1
         out["nodes_lo"], out["events_per_sec_lo"] = 1, j1["events_per_sec"]
@@ -132,7 +135,7 @@ def main() -> int:
         assert r.returncode == 0, r.stderr[-800:]
         time.sleep(2)
         probe_hi = cpu_probe(2 * args.cpus)
-        j2 = submit(events, WORK / "lake_2n", partitions, epoch_size)
+        j2 = submit(events, WORK / "lake_2n", partitions, epoch_size, extra)
         assert j2["cluster_cpus"] == 2 * args.cpus, j2
         assert j2["events_applied"] == args.events, j2
         out["nodes_hi"], out["events_per_sec_hi"] = 2, j2["events_per_sec"]
