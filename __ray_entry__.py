@@ -194,6 +194,13 @@ _GATE_TAIL = [
                                # groupby by doc_tfidf_top_terms; green
                                # driver row in r02 (r3: slot freed for
                                # cdc_zonemap_scan)
+    "doc_winnow_overlap_pairs",  # verbatim-span overlap pairs (r5) —
+                               # composes the in-gate winnowing kernel
+                               # (doc_winnow_fingerprints, bit-exact) with
+                               # the fp-bucketed pair machinery gated by
+                               # dedup_minhash_clusters; own bit-exact
+                               # oracle (shared-fp self-join) in the
+                               # local sweep
     "embedding_semdedup",      # SemDeDup semantic pruning (r5) — its
                                # machinery is gated in-slot piecewise: the
                                # integer-exact Lloyd fit by

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "cdc_temporal_join", "cdc_fanin_merge", "cdc_zonemap_scan",
     "doc_pii_scrub_stats", "cdc_rename_column",
     "doc_dsir_importance", "embedding_semdedup",
+    "doc_winnow_overlap_pairs",
 ]
 
 

@@ -1859,6 +1859,88 @@ SELECT doc_id, n_feats, logw FROM cut ORDER BY doc_id
 """
 
 
+
+
+def doc_winnow_overlap_pairs(sf_dir: str, min_shared: int = 3,
+                             max_bucket: int = 64):
+    """Cross-document verbatim-span overlap via shared winnowing
+    fingerprints — the approximate exact-substring duplicate detector
+    (winnowing guarantees any shared run ≥ window+gram−1 tokens leaves at
+    least one common fingerprint; Schleimer et al. SIGMOD 2003, the
+    Lee et al. 2022 "dedup training data" use case): pairs of docs
+    sharing ≥ ``min_shared`` DISTINCT fingerprints, with the shared
+    count. Composes the gated winnowing kernel
+    (``doc_winnow_fingerprints``) with the fp-bucketed pair machinery.
+
+    100-TB shape: the shuffle carries (doc_id, fp) rows — 16 bytes, never
+    text; pairs are enumerated per fp bucket (O(bucket²)), with
+    boilerplate suppression: an fp shared by > ``max_bucket`` docs is a
+    template artifact, not a copying signal, and is dropped in BOTH
+    engines (mirrored HAVING in the oracle) — the standard hot-key cap,
+    here a semantic one. Per-doc fingerprint sets are built whole-doc in
+    one batch, so per-batch distinct == global distinct (no cross-batch
+    dedup pass needed)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = ds.map_batches(ts.WinnowFingerprinter, batch_format="pyarrow",
+                         concurrency=stage_concurrency())
+
+    def distinct_doc_fp(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hv = batch["fp"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([ids.astype(np.int64),
+                                   hv.astype(np.uint64).view(np.int64)],
+                                  axis=1), axis=0)
+        return pa.table({"doc_id": pa.array(uniq[:, 0], pa.int64()),
+                         "fp": pa.array(uniq[:, 1].view(np.uint64),
+                                        pa.uint64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(docs) < 2 or len(docs) > max_bucket:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pa.table({"id_a": pa.array(docs[ia], pa.int64()),
+                         "id_b": pa.array(docs[ib], pa.int64()),
+                         "n": pa.array(np.ones(len(ia), np.int64))})
+
+    pairs = (fps.map_batches(distinct_doc_fp, batch_format="pyarrow")
+                .groupby("fp").map_groups(bucket_pairs,
+                                          batch_format="pyarrow")
+                .groupby(["id_a", "id_b"])
+                .aggregate(_Sum("n", alias_name="shared_fps")))
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch["shared_fps"],
+                                     pa.scalar(min_shared)))
+
+    return pairs.map_batches(cut, batch_format="pyarrow") \
+                .sort(["id_a", "id_b"])
+
+
+DOC_WINNOW_OVERLAP_SQL = ("""
+WITH sel AS (""" + DOC_WINNOW_SQL.strip() + """),
+df AS (SELECT DISTINCT doc_id, fp FROM sel),
+sz AS (SELECT fp, count(*) AS n FROM df GROUP BY fp),
+keep AS (SELECT fp FROM sz WHERE n BETWEEN 2 AND 64),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM df a JOIN df b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN keep ON keep.fp = a.fp
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, shared_fps FROM pairs
+WHERE shared_fps >= 3 ORDER BY id_a, id_b
+""")
+
+
 DOC_QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_adjacent_levenshtein": doc_adjacent_levenshtein,
@@ -1874,6 +1956,7 @@ DOC_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "doc_passage_dedup": doc_passage_dedup,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "doc_winnow_overlap_pairs": doc_winnow_overlap_pairs,
     "corpus_clean_en": corpus_clean_en,
     "corpus_filter_funnel": corpus_filter_funnel,
     "url_canonical_dedup": url_canonical_dedup,
@@ -1907,6 +1990,7 @@ DOC_ORACLE_SQL = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
     "doc_winnow_fingerprints": DOC_WINNOW_SQL,
+    "doc_winnow_overlap_pairs": DOC_WINNOW_OVERLAP_SQL,
     "corpus_clean_en": CORPUS_CLEAN_EN_SQL,
     "corpus_filter_funnel": CORPUS_FILTER_FUNNEL_SQL,
     "url_canonical_dedup": URL_CANONICAL_SQL,

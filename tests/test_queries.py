@@ -39,7 +39,8 @@ SUBSET = ["q1_pricing_summary", "q6_forecast_revenue", "top_orders",
           "doc_ranked_search", "cdc_changefeed_before",
           "cdc_branch_divergence", "cdc_column_index_scan",
           "corpus_filter_funnel", "cdc_zonemap_scan", "doc_pii_scrub_stats",
-          "doc_dsir_importance", "embedding_semdedup"]
+          "doc_dsir_importance", "embedding_semdedup",
+          "doc_winnow_overlap_pairs"]
 
 
 @pytest.fixture(scope="module")
