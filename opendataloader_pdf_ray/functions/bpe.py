@@ -201,10 +201,18 @@ class BpeTokenizer:
             pair: EOW + 1 + i for i, pair in enumerate(table)}
         self._word_cache: Dict[str, List[int]] = {}
 
+    # cache bound: Zipf means a few hundred thousand distinct words cover
+    # natural text; an unbounded cache on a 100-TB stream of hashes/URLs
+    # would grow without limit inside a long-lived pack task — clear and
+    # rebuild past the cap (cheap; hit rate recovers immediately)
+    _CACHE_CAP = 1_000_000
+
     def _encode_word(self, word: str) -> List[int]:
         cached = self._word_cache.get(word)
         if cached is not None:
             return cached
+        if len(self._word_cache) >= self._CACHE_CAP:
+            self._word_cache.clear()
         seq: List[int] = list(word.encode("utf-8")) + [EOW]
         ranks, ids = self.ranks, self.ids
         while len(seq) > 1:

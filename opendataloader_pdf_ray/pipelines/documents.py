@@ -1755,8 +1755,11 @@ def doc_dsir_importance(sf_dir: str, n_buckets: int = 1024,
     from ..functions.sketches import md5_number_lower
     from .common import round_half_away
 
+    # slim projection materialized ONCE: the two histogram passes + the
+    # scoring pass hit the object store, not 3 storage scans (the
+    # embedding_kmeans_stats pattern; at 100 TB the store spills)
     ds = read_table(sf_dir, "documents",
-                    columns=["doc_id", "text", "source"])
+                    columns=["doc_id", "text", "source"]).materialize()
 
     def bucket_counts(batch: pa.Table, *, only_target: bool) -> pa.Table:
         from collections import Counter
