@@ -45,11 +45,16 @@ from .extract_stage import HtmlExtractor
 
 
 def _pool_names(cfg: CDCConfig, scope: str) -> List[str]:
-    """Stable actor names: scope (e.g. lake root) + config identity, so a
-    restarted tail re-adopts ITS pool and two tails on different lakes
-    never collide."""
-    key = hashlib.sha256(f"{scope}|{cfg.extract_concurrency}|"
-                         f"{cfg.extract_num_cpus}".encode()).hexdigest()[:12]
+    """Stable actor names: scope (e.g. lake root) + FULL extractor-config
+    identity, so a restarted tail re-adopts ITS pool, two tails on
+    different lakes never collide, and — critically — a restart with a
+    CHANGED config (quarantine flipped, new sanitizer rules) can never
+    silently re-adopt actors built with the old config: the name differs,
+    fresh actors are created, the stale ones die with their session."""
+    ident = (f"{scope}|{cfg.extract_concurrency}|{cfg.extract_num_cpus}|"
+             f"{cfg.drop_html_after_extract}|{cfg.quarantine_errors}|"
+             f"{repr(cfg.extractor)}")
+    key = hashlib.sha256(ident.encode()).hexdigest()[:12]
     return [f"odl-xpool-{key}-{i}" for i in range(cfg.extract_concurrency)]
 
 

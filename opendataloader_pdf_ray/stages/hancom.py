@@ -675,7 +675,10 @@ def ocr_fill_text(pages: List[List[Block]],
         for b in blocks:
             if b.kids:
                 walk(b.kids, words)
-            if b.type == IMAGE or b.bbox is None or b.text:
+            if b.type in (IMAGE, TABLE, TABLE_ROW, LIST) \
+                    or b.bbox is None or b.text:
+                # containers carry no text of their own — filling a
+                # table's bbox would smear every cell's words into one
                 continue
             text = HancomAITransformer._match_words(b.bbox, words)
             if text:
