@@ -79,3 +79,62 @@ class TestOperatorProperties:
     def test_simhash_stable_across_instances(self, text):
         from opendataloader_pdf_ray.functions.dedup import SimHasher
         assert SimHasher().sig(text) == SimHasher().sig(text)
+
+
+class TestBpeProperties:
+    """Byte-level BPE (functions/bpe.py): total on arbitrary text,
+    deterministic, word-compositional, never under-counts whitespace."""
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def test_total_deterministic_compositional(self, text):
+        from opendataloader_pdf_ray.functions.bpe import BpeTokenizer
+
+        t1, t2 = BpeTokenizer(), BpeTokenizer()
+        ids = t1.encode(text)
+        assert ids == t2.encode(text)          # instance-independent
+        assert len(ids) == t1.count(text)      # count == encode length
+        assert t1.count(text) >= len(text.split())  # never under-fills
+        # EOW-terminated merges: per-word encodes concatenate exactly
+        per_word = [tok for w in text.split() for tok in t2.encode(w)]
+        assert per_word == ids
+
+    @given(st.text(alphabet=st.characters(codec="utf-8"), max_size=80))
+    @settings(max_examples=100, deadline=None)
+    def test_any_unicode_tokenizes(self, word):
+        from opendataloader_pdf_ray.functions.bpe import EOW, BpeTokenizer
+
+        toks = BpeTokenizer().encode(word)
+        if word.split():
+            assert toks  # byte-level: no OOV path, something always comes out
+
+
+class TestPackBlocksProperty:
+    """pack_blocks/unpack_blocks round-trip byte-identically on whatever
+    the extractor produces from arbitrary soup (nulls included)."""
+
+    @given(st.lists(html_soup(), min_size=1, max_size=6),
+           st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, soups, with_null):
+        import pyarrow as pa
+
+        from opendataloader_pdf_ray.stages.extract_stage import (
+            HtmlExtractor,
+            pack_blocks,
+            unpack_blocks,
+        )
+
+        htmls = [s.encode("utf-8", "ignore") for s in soups]
+        if with_null:
+            htmls.append(None)  # tombstone payload → null blocks
+        n = len(htmls)
+        batch = pa.table({
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+        out = HtmlExtractor()(batch)
+        restored = unpack_blocks(pack_blocks(out))
+        assert restored.column_names == out.column_names
+        assert restored["blocks"].combine_chunks().equals(
+            out["blocks"].combine_chunks())
