@@ -933,8 +933,15 @@ def cmd_backfill(args) -> int:
         "embed": text_stats.embed_text,  # hashed-token vec → vec-index
     }
     lake = Lake(args.lake, args.partitions)
-    lineage = backfill(lake, transforms[args.transform],
-                       name=args.transform)
+    if args.transform == "dsir-score":
+        # corpus-global transform: the two-histogram pre-pass streams the
+        # live lake once, then the scorer is a broadcast dot product
+        from .functions.dsir import make_lake_scorer
+
+        fn = make_lake_scorer(lake, target_lang=args.dsir_target_lang)
+    else:
+        fn = transforms[args.transform]
+    lineage = backfill(lake, fn, name=args.transform)
     print(json.dumps({
         "transform": args.transform,
         "epoch": lineage[0]["epoch"] if lineage else None,
@@ -2057,7 +2064,13 @@ def main(argv=None) -> int:
     bf.add_argument("--partitions", type=int, default=None,
                     help="override only for pre-metadata lakes")
     bf.add_argument("--transform", default="token-stats",
-                    choices=("token-stats", "quality-score", "embed"))
+                    choices=("token-stats", "quality-score", "embed",
+                             "dsir-score"))
+    bf.add_argument("--dsir-target-lang", default="en",
+                    dest="dsir_target_lang",
+                    help="dsir-score: the lang value defining the TARGET "
+                         "domain (rows to look like); histograms stream "
+                         "the live lake once before the rewrite")
     bf.set_defaults(fn=cmd_backfill)
 
     rt = sub.add_parser("retention",

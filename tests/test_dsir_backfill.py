@@ -1,0 +1,97 @@
+"""DSIR scoring on the CDC plane (functions/dsir.py + `backfill
+--transform dsir-score`): the lake-wide importance-scoring rewrite as one
+exactly-once epoch — values match an offline recompute, tombstones stay
+null, and the rewrite rides the standard backfill machinery."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from opendataloader_pdf_ray.cdc import Lake
+from opendataloader_pdf_ray.cdc.ingest import CDCConfig, ingest_epoch
+from opendataloader_pdf_ray.fixtures.gen import gen_events
+from opendataloader_pdf_ray.functions.dsir import (
+    lake_histograms,
+    log_ratio,
+    make_lake_scorer,
+    text_bucket_vector,
+)
+
+CFG = CDCConfig(num_partitions=4, num_salts=2, epoch_size=120,
+                extract_batch_size=16, extract_concurrency=2)
+
+
+def _seed(tmp_path):
+    events = gen_events(120, 40, seed=81)
+    seg = str(tmp_path / "seg.parquet")
+    pq.write_table(events, seg)
+    lake = Lake(str(tmp_path / "lake"), CFG.num_partitions)
+    ingest_epoch([seg], lake, 0, CFG)
+    return lake
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirBackfill:
+    def test_scores_match_offline_recompute(self, tmp_path):
+        from opendataloader_pdf_ray.cdc import backfill
+
+        lake = _seed(tmp_path)
+        fn = make_lake_scorer(lake, target_lang="en")
+        lineage = backfill(lake, fn, name="dsir-score")
+        assert lineage and all(not l["skipped"] for l in lineage)
+
+        state = lake.read_state(include_tombstones=True)
+        assert "dsir_logw" in state.column_names
+        # offline recompute from the PRE-backfill live text (epoch 0)
+        pre = lake.read_state(as_of=0, include_tombstones=True)
+        th, rh = lake_histograms(lake, "en", as_of=0)
+        lr = log_ratio(th, rh)
+        want = {}
+        for url, text in zip(pre["url"].to_pylist(),
+                             pre["text"].to_pylist()):
+            if not isinstance(text, str) or not text:
+                want[url] = None
+            else:
+                want[url] = round(float(
+                    text_bucket_vector(text, 1024) @ lr), 6)
+        got = dict(zip(state["url"].to_pylist(),
+                       state["dsir_logw"].to_pylist()))
+        assert set(got) == set(want)
+        for u in want:
+            if want[u] is None:
+                assert got[u] is None
+            else:
+                assert got[u] == pytest.approx(want[u], abs=1e-6)
+        # target-likeness sanity: en rows score higher on average
+        langs = dict(zip(state["url"].to_pylist(),
+                         state["lang"].to_pylist()))
+        en = [got[u] for u in got if langs[u] == "en"
+              and got[u] is not None]
+        other = [got[u] for u in got if langs[u] != "en"
+                 and got[u] is not None]
+        if en and other:
+            assert np.mean(en) > np.mean(other)
+        # time travel across the rewrite preserved
+        assert "dsir_logw" not in lake.read_state(as_of=0).column_names
+
+    def test_cli(self, tmp_path, capsys):
+        from opendataloader_pdf_ray.__main__ import main
+
+        lake = _seed(tmp_path)
+        assert main(["backfill", lake.root,
+                     "--transform", "dsir-score"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["transform"] == "dsir-score"
+        assert rep["rows_rewritten"] > 0
+        assert "dsir_logw" in lake.read_state().column_names
+
+    def test_missing_lang_refused(self, tmp_path):
+        from test_backfill import seed_lake
+
+        lake = seed_lake(tmp_path / "plain")
+        with pytest.raises(Exception, match="lang"):
+            make_lake_scorer(lake)
