@@ -115,7 +115,11 @@ def make_lake_scorer(lake, target_lang: str = "en",
     """Build the ``backfill``-contract transform: runs the two-histogram
     pre-pass NOW (driver side, streaming), returns a per-batch callable
     that adds/overwrites ``dsir_logw`` (float64, 6 decimals; null for
-    tombstones / empty text). Row count and key order untouched."""
+    tombstones / empty text) AND ``dsir_logw_scaled`` (int64, ×10⁶ —
+    zone maps and the range index cover int columns only, so the scaled
+    sibling is what makes the scored lake SLICEABLE:
+    ``read_range("dsir_logw_scaled", lo, hi)`` / ``export --range`` /
+    ``range-index`` prune on it). Row count and key order untouched."""
     from ..pipelines.common import round_half_away
 
     th, rh = lake_histograms(lake, target_lang, n_buckets, as_of)
@@ -129,15 +133,21 @@ def make_lake_scorer(lake, target_lang: str = "en",
                 continue
             cnt = text_bucket_vector(text, n_buckets)
             out.append(float(cnt @ lr))
-        vals = pa.array(
-            [None if v is None
-             else float(round_half_away(np.array([v]), 6)[0])
-             for v in out], pa.float64())
-        if "dsir_logw" in table.column_names:
-            idx = table.column_names.index("dsir_logw")
-            return table.remove_column(idx).add_column(
-                idx, "dsir_logw", vals)
-        return table.append_column("dsir_logw", vals)
+        rounded = [None if v is None
+                   else float(round_half_away(np.array([v]), 6)[0])
+                   for v in out]
+        vals = pa.array(rounded, pa.float64())
+        scaled = pa.array(
+            [None if v is None else int(round(v * 1_000_000))
+             for v in rounded], pa.int64())
+        for name, col in (("dsir_logw", vals),
+                          ("dsir_logw_scaled", scaled)):
+            if name in table.column_names:
+                idx = table.column_names.index(name)
+                table = table.remove_column(idx).add_column(idx, name, col)
+            else:
+                table = table.append_column(name, col)
+        return table
 
     score.__name__ = "dsir_score"
     return score

@@ -77,6 +77,18 @@ class TestDsirBackfill:
             assert np.mean(en) > np.mean(other)
         # time travel across the rewrite preserved
         assert "dsir_logw" not in lake.read_state(as_of=0).column_names
+        # the scaled sibling makes the scored lake SLICEABLE: zone-map
+        # pruned range read returns exactly the rows in the score band
+        scaled = {u: (None if v is None else int(round(v * 1_000_000)))
+                  for u, v in got.items()}
+        vals = sorted(v for v in scaled.values() if v is not None)
+        lo, hi = vals[len(vals) // 4], vals[3 * len(vals) // 4]
+        ranged = lake.read_range("dsir_logw_scaled", lo, hi).to_pandas()
+        want_urls = {u for u, v in scaled.items()
+                     if v is not None and lo <= v <= hi}
+        live = lake.read_state()
+        live_urls = set(live["url"].to_pylist())
+        assert set(ranged["url"]) == want_urls & live_urls
 
     def test_cli(self, tmp_path, capsys):
         from opendataloader_pdf_ray.__main__ import main
