@@ -1095,6 +1095,10 @@ def cmd_pack(args) -> int:
     from .cdc.pack import pack_lake
 
     lake = Lake(args.lake, args.partitions)
+    rng = None
+    if args.pack_range:
+        col, lo, hi = args.pack_range.rsplit(":", 2)
+        rng = (col, int(lo), int(hi))
     if args.follow:
         from .cdc.pack import follow_pack
 
@@ -1102,7 +1106,8 @@ def cmd_pack(args) -> int:
                               text_col=args.text_col,
                               poll_interval=args.poll_interval,
                               max_idle_polls=args.idle_stop,
-                              tokenizer=args.tokenizer)
+                              tokenizer=args.tokenizer,
+                              range_filter=rng)
         print(json.dumps({
             "out": args.out, "budget": args.budget, "follow": True,
             "partitions_refreshed": len(written),
@@ -1114,7 +1119,7 @@ def cmd_pack(args) -> int:
         return 0
     summary = pack_lake(lake, args.out, budget=args.budget,
                         text_col=args.text_col, as_of=args.as_of,
-                        tokenizer=args.tokenizer)
+                        tokenizer=args.tokenizer, range_filter=rng)
     written = [s for s in summary if not s["skipped"]]
     print(json.dumps({
         "out": args.out, "budget": args.budget,
@@ -2237,6 +2242,13 @@ def main(argv=None) -> int:
     pk.add_argument("--budget", type=int, default=2048,
                     help="tokens per sequence")
     pk.add_argument("--text-col", default="text")
+    pk.add_argument("--range", default=None, metavar="COL:LO:HI",
+                    dest="pack_range",
+                    help="pack only live rows whose int column sits in "
+                         "the inclusive band (corpus slicing at the "
+                         "shard boundary, e.g. dsir_logw_scaled bands; "
+                         "the predicate is stamped per shard, so "
+                         "re-running under a different band rewrites)")
     pk.add_argument("--tokenizer", default="whitespace",
                     choices=["whitespace", "bpe"],
                     help="sequence-budget token counter: whitespace "

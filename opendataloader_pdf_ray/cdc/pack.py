@@ -28,12 +28,14 @@ exactly like export.
 
 from __future__ import annotations
 
+import json
 import posixpath
 import uuid
 from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import fsspec
@@ -43,6 +45,7 @@ from .merge import live_view
 
 _STAMP = b"odl_pack_epoch"
 _TOK_STAMP = b"odl_pack_tokenizer"
+_PRED_STAMP = b"odl_pack_range"
 
 
 def _pack_partition(state: pa.Table, part: int, budget: int,
@@ -63,6 +66,14 @@ def _pack_partition(state: pa.Table, part: int, budget: int,
         np.int64, count=len(texts))
     keep = toks > 0
     urls, toks = urls[keep], toks[keep]
+    if len(urls) == 0:  # a range-filtered (or all-empty) partition
+        return pa.table({
+            "part": pa.array([], pa.int32()),
+            "seq_id": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "tok_start": pa.array([], pa.int64()),
+            "tok_end": pa.array([], pa.int64()),
+        })
     end = np.cumsum(toks)
     start = end - toks
     first = start // budget
@@ -86,7 +97,8 @@ def _pack_partition(state: pa.Table, part: int, budget: int,
 def pack_lake(lake: Lake, out: str, budget: int = 2048,
               text_col: str = "text",
               as_of: Optional[int] = None,
-              tokenizer: str = "whitespace") -> List[Dict]:
+              tokenizer: str = "whitespace",
+              range_filter: Optional[tuple] = None) -> List[Dict]:
     """Write one sequence-manifest shard per live partition (module
     docstring). Returns ≤P summary dicts (part, rows, sequences, tokens,
     tip_epoch, skipped)."""
@@ -96,6 +108,9 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
     if target is None:
         return []
     root, n_parts = lake.root, lake.num_partitions
+    pred = (json.dumps([range_filter[0], int(range_filter[1]),
+                        int(range_filter[2])])
+            if range_filter else "")
 
     def task(batch: pa.Table) -> pa.Table:
         ofs, _ = fsspec.core.url_to_fs(out)
@@ -113,9 +128,11 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
                 kv = meta.metadata or {}
                 stamped = kv.get(_STAMP)
                 stamped_tok = (kv.get(_TOK_STAMP) or b"whitespace").decode()
+                stamped_pred = (kv.get(_PRED_STAMP) or b"").decode()
                 if stamped is not None and tip is not None \
                         and int(stamped) == tip \
-                        and stamped_tok == tokenizer:
+                        and stamped_tok == tokenizer \
+                        and stamped_pred == pred:
                     res["part"].append(part)
                     res["rows"].append(meta.num_rows)
                     res["sequences"].append(-1)  # not recounted on skip
@@ -125,17 +142,30 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
                     continue
             # projection keeps the merge keys (deleted included), so the
             # live filter works without schema unification
-            t = lk.read_partition(part, as_of,
-                                  columns=["url", text_col])
+            cols = ["url", text_col]
+            if range_filter is not None and range_filter[0] not in cols:
+                cols.append(range_filter[0])
+            t = lk.read_partition(part, as_of, columns=cols)
             if t is None:
                 continue
             t = live_view(t)
+            if range_filter is not None:
+                # corpus slicing at the pack boundary (score -> slice ->
+                # shard): inclusive int band, nulls (unscored/tombstone
+                # payloads) excluded — the predicate is STAMPED so a
+                # re-run under a different band rewrites, never mixes
+                col, lo, hi = range_filter
+                c = t[col]
+                mask = pc.and_(pc.greater_equal(c, pa.scalar(int(lo))),
+                               pc.less_equal(c, pa.scalar(int(hi))))
+                t = t.filter(pc.fill_null(mask, False))
             manifest = _pack_partition(t, part, budget, text_col,
                                        tokenizer)
             manifest = manifest.replace_schema_metadata(
                 {**(manifest.schema.metadata or {}),
                  _STAMP: str(tip).encode(),
-                 _TOK_STAMP: tokenizer.encode()})
+                 _TOK_STAMP: tokenizer.encode(),
+                 _PRED_STAMP: pred.encode()})
             ofs.makedirs(out, exist_ok=True)
             if is_local:
                 tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -171,7 +201,8 @@ def pack_lake(lake: Lake, out: str, budget: int = 2048,
 def follow_pack(lake: Lake, out: str, budget: int = 2048,
                 text_col: str = "text", poll_interval: float = 0.5,
                 max_idle_polls: "Optional[int]" = None,
-                tokenizer: str = "whitespace") -> List[Dict]:
+                tokenizer: str = "whitespace",
+                range_filter: Optional[tuple] = None) -> List[Dict]:
     """TAIL the lake's epoch watermark and keep the training-shard
     manifests FRESH as the tail ingests — the pack analog of the
     changefeed/replication followers: each poll re-runs :func:`pack_lake`
@@ -199,7 +230,8 @@ def follow_pack(lake: Lake, out: str, budget: int = 2048,
         if head > done_head and head >= 0:
             out_rows = pack_lake(lake, out, budget=budget,
                                  text_col=text_col, as_of=head,
-                                 tokenizer=tokenizer)
+                                 tokenizer=tokenizer,
+                                 range_filter=range_filter)
             refreshed.extend(r for r in out_rows if not r["skipped"])
             done_head = head
             idle = 0

@@ -107,3 +107,55 @@ class TestDsirBackfill:
         lake = seed_lake(tmp_path / "plain")
         with pytest.raises(Exception, match="lang"):
             make_lake_scorer(lake)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurationLoop:
+    def test_score_slice_pack(self, tmp_path, capsys):
+        """The full curation loop: ingest → dsir-score backfill → pack
+        only the target-like score band into training shards. The band
+        predicate is stamped, so re-packing under a different band
+        rewrites instead of mixing."""
+        from opendataloader_pdf_ray.__main__ import main
+        from opendataloader_pdf_ray.cdc import backfill
+        from opendataloader_pdf_ray.functions.dsir import make_lake_scorer
+
+        lake = _seed(tmp_path)
+        backfill(lake, make_lake_scorer(lake), name="dsir-score")
+        state = lake.read_state()
+        scaled = [v for v in state["dsir_logw_scaled"].to_pylist()
+                  if v is not None]
+        cut = sorted(scaled)[len(scaled) // 2]  # top half = target-like
+        hi = max(scaled)
+
+        out = str(tmp_path / "shards")
+        assert main(["pack", lake.root, out, "--budget", "32",
+                     "--range", f"dsir_logw_scaled:{cut}:{hi}"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["partitions_written"] > 0 and rep["tokens"] > 0
+
+        import pyarrow.dataset as pads
+
+        manifest = pads.dataset(out, format="parquet").to_table()
+        in_band = {u for u, v in zip(state["url"].to_pylist(),
+                                     state["dsir_logw_scaled"].to_pylist())
+                   if v is not None and cut <= v <= hi}
+        packed_urls = set(manifest["url"].to_pylist())
+        assert packed_urls and packed_urls <= in_band
+        # every in-band doc with text lands in a shard
+        texted = {u for u, t in zip(state["url"].to_pylist(),
+                                    state["text"].to_pylist())
+                  if isinstance(t, str) and t.split()}
+        assert packed_urls == in_band & texted
+
+        # same band again → all skipped; different band → full rewrite
+        assert main(["pack", lake.root, out, "--budget", "32",
+                     "--range", f"dsir_logw_scaled:{cut}:{hi}"]) == 0
+        rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep2["partitions_written"] == 0
+        assert main(["pack", lake.root, out, "--budget", "32",
+                     "--range", f"dsir_logw_scaled:{min(scaled)}:{hi}"]) == 0
+        rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep3["partitions_written"] > 0
+        manifest3 = pads.dataset(out, format="parquet").to_table()
+        assert set(manifest3["url"].to_pylist()) >= packed_urls
