@@ -910,6 +910,38 @@ def cmd_dups(args) -> int:
     return 0
 
 
+def cmd_semdups(args) -> int:
+    """Semantic duplicate attribution over the LIVE lake (cdc/semdedup.py —
+    SemDeDup on the vec column): k-means the embedding space, prune within
+    clusters by cosine, annotate (cluster_id, is_sem_dup, sem_dup_of).
+    Needs embeddings: ingest with --embed or `backfill --transform embed`."""
+    import ray
+
+    started_ray = not ray.is_initialized()
+    if started_ray:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from .cdc import Lake
+    from .cdc.semdedup import attribute_semantic, semantic_summary
+
+    lake = Lake(args.lake, args.partitions)
+    ds = attribute_semantic(lake, k=args.clusters, iters=args.iters,
+                            threshold=args.threshold, as_of=args.as_of)
+    if args.out:
+        ds = ds.materialize()
+        ds.write_parquet(args.out)
+    summary = semantic_summary(ds)
+    print(json.dumps({**summary, "clusters_k": args.clusters,
+                      "threshold": args.threshold,
+                      **({"out": args.out} if args.out else {})}))
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_backfill(args) -> int:
     """Recompute / add derived columns across every live lake row as one
     exactly-once epoch (cdc/backfill.py): resumable per partition, time
@@ -2061,6 +2093,21 @@ def main(argv=None) -> int:
                          "Hamming <= 3) instead of the exact fp index")
     dp.set_defaults(fn=cmd_dups)
 
+    sd = sub.add_parser("semdups",
+                        help="semantic dup attribution over the live "
+                             "lake's vec column (SemDeDup: k-means + "
+                             "within-cluster cosine prune; needs --embed "
+                             "ingest or an embed backfill)")
+    sd.add_argument("lake")
+    sd.add_argument("--partitions", type=int, default=None,
+                    help="override only for pre-metadata lakes")
+    sd.add_argument("--clusters", type=int, default=8)
+    sd.add_argument("--iters", type=int, default=3)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--as-of", type=int, default=None)
+    sd.add_argument("--out", default=None,
+                    help="write the attributed rows to partitioned parquet")
+    sd.set_defaults(fn=cmd_semdups)
     bf = sub.add_parser("backfill",
                         help="recompute/add derived columns across every "
                              "live lake row as one exactly-once epoch "
