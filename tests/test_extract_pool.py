@@ -157,3 +157,94 @@ class TestExtractPool:
         lake2 = Lake(str(tmp_path / "lake2"), cfg2.num_partitions)
         ingest_epoch([seg], lake2, 0, cfg2)
         assert lake.read_state().equals(lake2.read_state())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPoolWithLease:
+    def test_cooperative_retention_under_pool_tail(self, tmp_path):
+        """The persistent pool survives the lease pause/resume cycle: a
+        live pool-mode tail grants cooperative retention mid-stream, then
+        resumes through the SAME pool — final state equals the quiesced
+        sequence, no fence errors, pool dead after the tail exits."""
+        import threading
+        import time
+
+        import pyarrow as _pa
+
+        from opendataloader_pdf_ray.cdc.retention import apply_retention
+
+        events = gen_events(240, 40, seed=36)
+        seg_dir = str(tmp_path / "segs")
+        _write_segments(events, seg_dir, shard=30)
+        # hold back the last half: write seqs [0,120) now
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import shutil
+
+        shutil.rmtree(seg_dir)
+        os.makedirs(seg_dir)
+        for s in range(0, 120, 30):
+            chunk = events.filter((pc.field("seq") >= s)
+                                  & (pc.field("seq") < s + 30))
+            pq.write_table(chunk, f"{seg_dir}/seg-{s:06d}.parquet")
+
+        cfg = CDCConfig(extract_mode="pool", epoch_size=60, **{
+            k: v for k, v in CFG_KW.items() if k != "epoch_size"})
+        root = str(tmp_path / "lake")
+        errors = []
+
+        def tail():
+            try:
+                follow(seg_dir, root, cfg, poll_interval=0.05,
+                       max_idle_polls=600)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        t = threading.Thread(target=tail, daemon=True)
+        t.start()
+        lake = None
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                lake = Lake(root)
+                if lake.is_epoch_done(0) and lake.is_epoch_done(1):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.05)
+        assert lake is not None and lake.is_epoch_done(1)
+        ts = sorted(lake.read_state()["warc_ts"].cast(
+            _pa.int64()).to_pylist())
+        cutoff = ts[len(ts) // 2] + 1
+        lineage = apply_retention(lake, cutoff, cooperative=True,
+                                  lease_timeout=30)
+        assert lineage and all(l["epoch"] == 2 for l in lineage)
+        # release the rest of the stream; tail resumes THROUGH the pool
+        for s in range(120, 240, 30):
+            chunk = events.filter((pc.field("seq") >= s)
+                                  & (pc.field("seq") < s + 30))
+            pq.write_table(chunk, f"{seg_dir}/seg-{s:06d}.parquet")
+        open(os.path.join(seg_dir, ".end"), "w").close()
+        t.join(timeout=120)
+        assert not t.is_alive() and errors == []
+        assert lake.is_epoch_done(3) and lake.is_epoch_done(4)
+        assert lake.verify(deep=True)["ok"]
+
+        # oracle: quiesced sequence in tasks mode
+        from opendataloader_pdf_ray.cdc.ingest import ingest_epoch
+
+        paths = sorted(f"{seg_dir}/{n}" for n in os.listdir(seg_dir)
+                       if n.endswith(".parquet"))
+        ocfg = CDCConfig(extract_mode="tasks", epoch_size=60, **{
+            k: v for k, v in CFG_KW.items() if k != "epoch_size"})
+        oracle = Lake(str(tmp_path / "oracle"), ocfg.num_partitions)
+        for e in (0, 1):
+            ingest_epoch(paths, oracle, e, ocfg)
+            oracle.mark_epoch_done(e)
+        apply_retention(oracle, cutoff, epoch=2)
+        for e in (2, 3):
+            ingest_epoch(paths, oracle, e, ocfg, commit_epoch=e + 1)
+            oracle.mark_epoch_done(e + 1)
+        got = lake.read_state(include_tombstones=True)
+        want = oracle.read_state(include_tombstones=True)
+        assert got.equals(want)
