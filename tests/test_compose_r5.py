@@ -79,5 +79,11 @@ class TestRoundFiveCompose:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["tokens"] > 0 and rep["partitions_written"] > 0
 
+        # semantic dup attribution over the same composed lake (vec
+        # column came from --embed)
+        assert main(["semdups", lake_root]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] > 0
+
         assert main(["fsck", lake_root]) == 0
         capsys.readouterr()

@@ -159,3 +159,31 @@ class TestCurationLoop:
         assert rep3["partitions_written"] > 0
         manifest3 = pads.dataset(out, format="parquet").to_table()
         assert set(manifest3["url"].to_pylist()) >= packed_urls
+
+
+    def test_follow_pack_with_range(self, tmp_path):
+        """follow_pack honors the band filter (stamped, incremental)."""
+        from opendataloader_pdf_ray.cdc import backfill
+        from opendataloader_pdf_ray.cdc.pack import follow_pack
+        from opendataloader_pdf_ray.functions.dsir import make_lake_scorer
+
+        lake = _seed(tmp_path)
+        lake.mark_epoch_done(0)  # follow_pack pins to the feed head
+        backfill(lake, make_lake_scorer(lake), name="dsir-score")
+        state = lake.read_state()
+        scaled = [v for v in state["dsir_logw_scaled"].to_pylist()
+                  if v is not None]
+        cut, hi = sorted(scaled)[len(scaled) // 2], max(scaled)
+        out = str(tmp_path / "shards")
+        written = follow_pack(lake, out, budget=32, poll_interval=0.05,
+                              max_idle_polls=2,
+                              range_filter=("dsir_logw_scaled", cut, hi))
+        assert written
+
+        import pyarrow.dataset as pads
+
+        manifest = pads.dataset(out, format="parquet").to_table()
+        in_band = {u for u, v in zip(state["url"].to_pylist(),
+                                     state["dsir_logw_scaled"].to_pylist())
+                   if v is not None and cut <= v <= hi}
+        assert set(manifest["url"].to_pylist()) <= in_band
