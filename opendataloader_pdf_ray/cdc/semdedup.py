@@ -123,10 +123,22 @@ def attribute_semantic(lake: Lake, k: int = 8, iters: int = 3,
 
 
 def semantic_summary(attributed: "ray.data.Dataset") -> Dict:
-    """Driver-safe rollup (≤k rows + scalars)."""
-    rows = attributed.groupby("cluster_id").count().take_all()
-    n = sum(r["count()"] for r in rows)
-    n_dup = attributed.filter(
-        lambda r: r["is_sem_dup"]).count()
-    return {"rows": int(n), "sem_dups": int(n_dup),
-            "clusters": len(rows)}
+    """Driver-safe rollup (≤k tiny rows + scalars; vectorized — no
+    per-row Python filter)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "d": pa.array([int(pc.sum(batch["is_sem_dup"].cast(
+                pa.int64())).as_py() or 0)], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    tot = (attributed.map_batches(partial, batch_format="pyarrow")
+                     .aggregate(Sum("n", alias_name="n"),
+                                Sum("d", alias_name="d")))
+    clusters = attributed.groupby("cluster_id").count().count()
+    return {"rows": int(tot["n"] or 0), "sem_dups": int(tot["d"] or 0),
+            "clusters": int(clusters)}
